@@ -1,13 +1,253 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.relational.RelationalQueries
+import graft.mr.{MrJob, MrQueries, WordCount}
+import graft.kv.OpLog
+import graft.shard.Sharding
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+import graft.lin.{HistOp, Linearizability}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 that is SQL-expressible carries a DuckDB
+  * oracle in [[oracleSql]] with *identical output column names and types*
+  * (money math in DECIMAL(18,2) cast to double at the boundary; BIGINT casts
+  * where DuckDB would widen to HUGEINT; no raw timestamp columns — epoch
+  * millis only). Non-SQL-expressible operators (LSH, ANN, linearizability)
+  * are rows-only here and differentially tested in ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.q5NationRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational surface
+    "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
+    "q3_shipping_priority" -> RelationalQueries.q3ShippingPriority _,
+    "q5_nation_revenue" -> RelationalQueries.q5NationRevenue _,
+    "q6_forecast_revenue" -> RelationalQueries.q6ForecastRevenue _,
+    "q_semi_anti" -> RelationalQueries.qSemiAnti _,
+    "q_window_topn" -> RelationalQueries.qWindowTopN _,
+    "q_setops" -> RelationalQueries.qSetOps _,
+    "q_rollup" -> RelationalQueries.qRollup _,
+    "ev_hourly_agg" -> RelationalQueries.evHourlyAgg _,
+    "ev_sessionize" -> RelationalQueries.evSessionize _,
+    // MapReduce surface (reference apps, declarative + typed twin)
+    "mr_wordcount" -> MrQueries.wordCount _,
+    "mr_inverted_index" -> MrQueries.invertedIndex _,
+    "mr_sorted_concat" -> MrQueries.sortedConcat _,
+    "mr_wc_typed" -> ((s: SparkSession, d: String) =>
+      MrJob.run(WordCount, MrJob.documentsCorpus(s, d)).toDF()),
+    // KV op-log semantics (K1-K3, A5)
+    "kv_append_fold" -> OpLog.appendFold _,
+    "kv_exactly_once" -> OpLog.exactlyOnceFold _,
+    // sharding (P6, K6)
+    "shard_routing" -> Sharding.shardRouting _,
+    // text analysis
+    "text_token_stats" -> TextAnalysis.tokenStats _,
+    "text_quality" -> TextAnalysis.qualityScore _,
+    "text_langid" -> TextAnalysis.langId _,
+    "text_fingerprint" -> TextAnalysis.fingerprint _,
+    // dedup family
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_token_jaccard" -> ((s: SparkSession, d: String) => Dedup.tokenJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d).toDF()),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashDups(s, d).toDF()),
+    // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
+    // so the "near-dup" threshold is set to the corpus scale here
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
+    // similarity search
+    "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
+    "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d).toDF()),
+    // multimodal plumbing
+    "mm_summary" -> Multimodal.mediaSummary _,
+    "mm_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),
+    // linearizability (A7): events as an appends-only per-key history
+    "lin_check" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val hist = Tables.events(s, d).select(
+          col("user_id").cast("string").as("key"), lit(2).as("op"),
+          col("event_id").cast("string").as("value"), lit("").as("output"),
+          Tables.eventMs.as("call"), (Tables.eventMs + 1).as("ret"))
+        .as[HistOp]
+      Linearizability.check(hist).toDF()
+    }),
+  )
+
+  // Shared SQL fragments for the oracle side.
+  private val tokEx = "string_split_regex(text, '[^\\p{L}]+')"
+  private def toks(src: String) = s"list_filter(string_split_regex($src, '[^\\p{L}]+'), x -> x <> '')"
+  private val revenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          $revenue AS sum_disc_price,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, $revenue AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenue AS revenue, COUNT(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q_semi_anti" ->
+      """WITH w AS (SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY 1),
+         wo AS (SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY 1)
+         SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+           COALESCE(n_with_orders, 0) AS n_with_orders,
+           COALESCE(n_without_orders, 0) AS n_without_orders
+         FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""",
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+           FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 2""",
+    "q_setops" ->
+      """WITH used AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem),
+         cat AS (SELECT DISTINCT p_partkey AS partkey FROM part)
+         SELECT 'both' AS side, COUNT(*) AS n FROM (SELECT partkey FROM used INTERSECT SELECT partkey FROM cat)
+         UNION ALL
+         SELECT 'used_only' AS side, COUNT(*) AS n FROM (SELECT partkey FROM used EXCEPT SELECT partkey FROM cat)
+         UNION ALL
+         SELECT 'cat_only' AS side, COUNT(*) AS n FROM (SELECT partkey FROM cat EXCEPT SELECT partkey FROM used)""",
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "ev_hourly_agg" ->
+      """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id FROM events),
+         g AS (SELECT user_id, ms, event_id,
+           CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         s AS (SELECT user_id, ms, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g)
+         SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
+         FROM s GROUP BY user_id, session_idx""",
+    "mr_wordcount" ->
+      s"""SELECT word, COUNT(*) AS cnt FROM
+          (SELECT unnest($tokEx) AS word FROM documents) WHERE word <> '' GROUP BY word""",
+    "mr_inverted_index" ->
+      s"""WITH t AS (SELECT DISTINCT word, CAST(doc_id AS VARCHAR) AS doc FROM
+           (SELECT doc_id, unnest($tokEx) AS word FROM documents) WHERE word <> '')
+          SELECT word, COUNT(*) AS n_docs, string_agg(doc, ',' ORDER BY doc) AS doc_list
+          FROM t GROUP BY word""",
+    "mr_sorted_concat" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY CAST(doc_id AS VARCHAR)) AS docs
+         FROM documents GROUP BY lang""",
+    "mr_wc_typed" ->
+      s"""SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value FROM
+          (SELECT unnest($tokEx) AS word FROM documents) WHERE word <> '' GROUP BY word""",
+    "kv_append_fold" ->
+      """WITH ops AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
+           event_id AS seq, CAST(event_id AS VARCHAR) AS value FROM events)
+         SELECT key, string_agg(value, ',' ORDER BY ts, seq) AS final_value, COUNT(*) AS n_ops
+         FROM ops GROUP BY key""",
+    "kv_exactly_once" ->
+      """WITH ops AS (SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts,
+           event_id AS seq, CAST(event_id AS VARCHAR) AS value FROM events),
+         dup AS (SELECT * FROM ops UNION ALL SELECT * FROM ops WHERE seq % 3 = 0),
+         ded AS (SELECT DISTINCT key, ts, seq, value FROM dup)
+         SELECT key, string_agg(value, ',' ORDER BY ts, seq) AS final_value, COUNT(*) AS n_ops
+         FROM ded GROUP BY key""",
+    "shard_routing" ->
+      """SELECT ascii(substr(CAST(user_id AS VARCHAR), 1, 1)) % 10 AS shard, COUNT(*) AS n_events
+         FROM events GROUP BY 1""",
+    "text_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk, length(text) AS text_len FROM documents)
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+            CAST(text_len AS BIGINT) AS n_chars,
+            CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS avg_token_len
+          FROM t""",
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+          s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+            CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct FROM t)
+          SELECT doc_id, n_tokens,
+            CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+            CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+            (CASE WHEN n_tokens < 10 THEN 0.0 ELSE 1.0 END) *
+              (0.5 * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.03 THEN 1.0
+                           ELSE CAST(n_stop AS DOUBLE) / n_tokens * 10.0 END) +
+               0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)) AS quality_score
+          FROM s""",
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, lang AS lang_declared,
+            CAST(len(list_filter(tk, x -> x IN ('der','und','die','das'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(tk, x -> x IN ('el','la','los','de'))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(tk, x -> x IN ('le','les','une','est'))) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(tk, x -> x IN ('zh'))) AS BIGINT) AS s_zh
+            FROM t)
+          SELECT doc_id, lang_declared, s_de, s_en, s_es, s_fr, s_zh,
+            CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS lang_pred
+          FROM s""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(${toks("lower(text)")})), ' ')) AS fp
+          FROM documents""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY text""",
+    "dedup_token_jaccard" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
+           (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c FROM w a JOIN w b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+          FROM pairs JOIN sz s1 ON pairs.d1 = s1.doc_id JOIN sz s2 ON pairs.d2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""",
+    "mm_summary" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           COUNT(*) AS n_media,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(strlen(text)) AS DOUBLE) / COUNT(*) AS avg_bytes
+         FROM documents GROUP BY 1""",
+  )
 }

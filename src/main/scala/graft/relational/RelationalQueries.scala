@@ -1,0 +1,180 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational query surface over the TPC-H-ish fixture tables.
+  *
+  * Design notes for scale (local[32] today, 1000-executor cluster tomorrow):
+  *   - Money/quantity math is done in `DECIMAL(18,2)` and cast back to double
+  *     at the output boundary — exact, engine-independent results (the
+  *     DuckDB oracle computes the identical decimal sums), and still
+  *     whole-stage-codegen-friendly.
+  *   - Dimension tables (region/nation/supplier/customer at these SFs) are
+  *     explicitly `broadcast()` so the big fact-side scan never shuffles for
+  *     the join. At 100 TB, lineitem/orders are the only tables that matter;
+  *     all joins below are either broadcast or co-partitioned on the join key.
+  *   - Aggregations are declarative (`groupBy.agg`) so Catalyst plans
+  *     partial (map-side) aggregation before the exchange.
+  */
+object RelationalQueries {
+
+  /** Cast a 2-decimal money/qty double to exact decimal for aggregation. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Pricing summary report — groupBy two low-cardinality flags, wide set of
+    * aggregates. Map-side partial agg collapses 60k rows to ~6 groups per
+    * partition before the shuffle; at 100 TB this stays a 2-stage plan with a
+    * tiny exchange. (Reference analogue: A1/A2 grouped reduce,
+    * /root/reference/src/mr/worker.go:161-182.)
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Selective filter + tiny projection; the filter and the 3-column read
+    * schema must reach the parquet scan (PushedFilters in explain). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** Fact-fact join (orders ⋈ lineitem, co-keyed on orderkey — at scale both
+    * sides shuffle on the same key once; with bucketing they co-locate) plus a
+    * broadcast dimension join (customer). Top-10 by exact decimal revenue. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-way star join: fact table joined to a chain of broadcast dims.
+    * Revenue per nation. All dimension joins are broadcast; only the
+    * lineitem ⋈ orders pair shuffles (on orderkey). */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Semi/anti join semantics (EXISTS / NOT EXISTS): customers that do vs
+    * don't have orders, per market segment. left_semi/left_anti never
+    * materialize the right side's columns — cheapest join shapes at scale. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(without, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  /** Window functions: top-2 orders per customer by price (dense ranking) and
+    * running revenue. Partition-local after one shuffle on o_custkey. */
+  def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("bigint").as("rn"), col("running_spend"))
+  }
+
+  /** Set operations: parts referenced by lineitem vs the part catalog.
+    * Output: per-key presence flags via INTERSECT / EXCEPT semantics. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val used = Tables.lineitem(spark, dir).select(col("l_partkey").as("partkey")).distinct()
+    val cat  = Tables.part(spark, dir).select(col("p_partkey").as("partkey")).distinct()
+    val both     = used.intersect(cat).agg(count(lit(1)).as("n")).select(lit("both").as("side"), col("n"))
+    val usedOnly = used.except(cat).agg(count(lit(1)).as("n")).select(lit("used_only").as("side"), col("n"))
+    val catOnly  = cat.except(used).agg(count(lit(1)).as("n")).select(lit("cat_only").as("side"), col("n"))
+    both.unionAll(usedOnly).unionAll(catOnly)
+  }
+
+  /** Grouping sets / rollup: order counts and revenue at (status, priority),
+    * (status) and grand-total granularities in one pass. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+  }
+
+  /** Time-bucketed event aggregation (the batch shape of a streaming
+    * tumbling-window agg; the Structured Streaming twin lives in
+    * [[graft.streaming.EventStreams]]). Bucket is epoch-millis of the hour —
+    * timestamp types never cross the oracle boundary. */
+  def evHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ms = Tables.eventMs
+    ev.groupBy(
+        (ms - (ms % 3600000L)).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Sessionization via gap > 30 min: lag window + conditional cumulative sum.
+    * One shuffle on user_id, then partition-local windows. */
+  def evSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.eventMs.as("ms"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    ev.withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"))
+  }
+}

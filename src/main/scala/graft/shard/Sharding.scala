@@ -1,0 +1,98 @@
+package graft.shard
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shard configuration — mirror of
+  * /root/reference/src/shardmaster/common.go:21-29: `NShards` fixed shards,
+  * each mapped to a replica-group id; config 0 maps everything to the
+  * invalid group 0. */
+final case class ShardConfig(num: Int, shards: Vector[Int], groups: Map[Int, Seq[String]])
+
+/** The shardmaster's query surface (K4-K5) + the shardkv router (P6, K6).
+  *
+  * The config state machine is deterministic, tiny (NShards entries), and
+  * driver-side by design — only the *routing* of keyed data by shard is a
+  * distributed concern, expressed as a column function so Catalyst folds it
+  * into scans/exchanges.
+  */
+object Sharding {
+  val NShards = 10 // /root/reference/src/shardmaster/common.go:21
+
+  /** `key2shard`: first byte of the key mod NShards
+    * (/root/reference/src/shardkv/client.go:22-29). Note this is a second,
+    * different partitioner from the MR FNV bucket hash. */
+  def key2shard(key: String): Int =
+    if (key == null || key.isEmpty) 0 else key.charAt(0).toInt % NShards
+
+  /** Column form of [[key2shard]] — pure built-ins, codegen'd. */
+  def shardCol(key: Column): Column =
+    when(key.isNull || length(key) === 0, 0).otherwise(ascii(substring(key, 1, 1)) % NShards)
+
+  val initial: ShardConfig = ShardConfig(0, Vector.fill(NShards)(0), Map.empty)
+
+  /** Rebalance invariant (/root/reference/src/shardmaster/test_test.go:25-52):
+    * every shard on a live group; per-group counts satisfy max-min <= 1.
+    * Deterministic: groups are processed in sorted-gid order; moves pick the
+    * lowest-indexed shard from the most-loaded group. */
+  private def rebalance(shards: Vector[Int], gids: Seq[Int]): Vector[Int] = {
+    if (gids.isEmpty) return Vector.fill(NShards)(0)
+    val sorted = gids.sorted
+    var cur = shards.map(g => if (sorted.contains(g)) g else 0)
+    // place orphaned shards on least-loaded groups
+    def counts = sorted.map(g => g -> cur.count(_ == g)).toMap
+    for (i <- cur.indices if cur(i) == 0) {
+      val tgt = sorted.minBy(g => (counts(g), g))
+      cur = cur.updated(i, tgt)
+    }
+    // level until max-min <= 1
+    var done = false
+    while (!done) {
+      val c = counts
+      val maxG = sorted.maxBy(g => (c(g), -g))
+      val minG = sorted.minBy(g => (c(g), g))
+      if (c(maxG) - c(minG) <= 1) done = true
+      else cur = cur.updated(cur.indexOf(maxG), minG)
+    }
+    cur
+  }
+
+  /** Join (K5): add groups, rebalance. */
+  def join(c: ShardConfig, servers: Map[Int, Seq[String]]): ShardConfig = {
+    val groups = c.groups ++ servers
+    ShardConfig(c.num + 1, rebalance(c.shards, groups.keys.toSeq), groups)
+  }
+
+  /** Leave (K5): drop groups, rebalance. */
+  def leave(c: ShardConfig, gids: Seq[Int]): ShardConfig = {
+    val groups = c.groups -- gids
+    ShardConfig(c.num + 1, rebalance(c.shards, groups.keys.toSeq), groups)
+  }
+
+  /** Move (K5): explicit shard placement, no rebalance
+    * (/root/reference/src/shardmaster/common.go:53-57). */
+  def move(c: ShardConfig, shard: Int, gid: Int): ShardConfig =
+    ShardConfig(c.num + 1, c.shards.updated(shard, gid), c.groups)
+
+  /** Query (K4): config #num, or latest for -1
+    * (/root/reference/src/shardmaster/client.go:31-46). */
+  def query(history: Seq[ShardConfig], num: Int): ShardConfig =
+    if (num < 0 || num >= history.length) history.last else history(num)
+
+  /** Oracle-checked routing query: events keyed by user_id string, counted
+    * per shard — the data-plane half of K6 (partition pruning by shard). */
+  def shardRouting(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(shardCol(col("user_id").cast("string")).as("shard"), col("value"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Shard migration plan between two configs (K7): which shards move where.
+    * At scale this drives a `repartition` of the state store by the new
+    * assignment; unaffected shards stay put (challenge 2 semantics,
+    * /root/reference/src/shardkv/test_test.go:817,887). */
+  def migrationPlan(from: ShardConfig, to: ShardConfig): Seq[(Int, Int, Int)] =
+    (0 until NShards).collect {
+      case s if from.shards(s) != to.shards(s) => (s, from.shards(s), to.shards(s))
+    }
+}
