@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query runs at sf0.001 and returns a schema with no raw timestamps") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      import org.apache.spark.sql.types.TimestampType
+      assert(!df.schema.fields.exists(_.dataType == TimestampType),
+        s"$name leaks a timestamp column (oracle-hostile)")
+      // cheap execution check (limit avoids heavy full runs here)
+      assert(df.limit(1).collect() != null, name)
+    }
+  }
+
+  test("pushdown: q6 reaches the parquet scan with filters and pruned schema") {
+    val plan = relational.RelationalQueries.q6ForecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && !plan.contains("PushedFilters: []"), plan.take(2000))
+    assert(plan.contains("l_discount") && !plan.contains("l_shipdate"),
+      "read schema should exclude unused columns")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  test("fnv64 is deterministic and spreads") {
+    assert(Dedup.fnv64("abc") == Dedup.fnv64("abc"))
+    assert(Dedup.fnv64("abc") != Dedup.fnv64("abd"))
+  }
+
+  test("minhash estimates jaccard within tolerance on synthetic sets") {
+    val a = (1 to 100).map(i => s"sh$i").toSet
+    val variants = Seq(0.9, 0.5, 0.2).map { j =>
+      // build b with |a∩b|/|a∪b| ≈ j by replacing elements
+      val keep = (2.0 * j / (1 + j) * 100).toInt
+      val b = a.take(keep) ++ (1 to (100 - keep)).map(i => s"other$i")
+      (j, b)
+    }
+    val sigA = Dedup.minhashSig(a)
+    variants.foreach { case (_, b) =>
+      val sigB = Dedup.minhashSig(b)
+      val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / Dedup.NumHashes
+      val trueJ = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(est - trueJ) < 0.2, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("identical docs always collide in LSH and estimate 1.0") {
+    val sig1 = Dedup.minhashSig(Set("x y z", "y z w"))
+    val sig2 = Dedup.minhashSig(Set("x y z", "y z w"))
+    assert(sig1.toSeq == sig2.toSeq)
+  }
+
+  test("minhashLsh pairs have high true shingle jaccard (no false positives above threshold)") {
+    val pairs = Dedup.minhashLsh(spark, sf, threshold = 0.8).collect()
+    // verify each flagged pair against exact shingle jaccard
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Dedup.shingles(
+        graft.mr.Tokenize(r.getString(1).toLowerCase).toSeq)).toMap
+    pairs.foreach { p =>
+      val (a, b) = (docs(p.d1), docs(p.d2))
+      val trueJ = a.intersect(b).size.toDouble / a.union(b).size
+      assert(trueJ > 0.5, s"pair ${p.d1},${p.d2}: est=${p.est_jaccard} true=$trueJ")
+    }
+  }
+
+  test("simhash hamming distance small for near-identical token lists") {
+    val t = (1 to 200).map(i => s"tok$i")
+    val d1 = Dedup.simhash(t)
+    val d2 = Dedup.simhash(t.drop(2) :+ "extra")
+    val far = Dedup.simhash((1 to 200).map(i => s"zzz$i"))
+    assert(java.lang.Long.bitCount(d1 ^ d2) <= 12)
+    assert(java.lang.Long.bitCount(d1 ^ far) > 12)
+  }
+
+  test("simhashDups finds identical documents") {
+    val dups = Dedup.simhashDups(spark, sf, maxDist = 0).collect()
+    // exact text duplicates must appear with distance 0
+    val texts = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactDupPairs = texts.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(g => g.keys.toSeq.sorted.combinations(2).map(c => (c(0), c(1)))).toSet
+    val found = dups.map(p => (p.d1, p.d2)).toSet
+    exactDupPairs.foreach(p => assert(found.contains(p), s"missed exact dup $p"))
+  }
+
+  test("shingle fingerprints: identical docs share all fingerprints") {
+    val fps = Dedup.shingleFingerprints(spark, sf).collect().map(f => f.doc_id -> f.fps.toSeq).toMap
+    val texts = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+      val ids = g.keys.toSeq
+      assert(ids.map(fps).distinct.size == 1)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  lazy val all: Array[Similarity.Vec] = Similarity.vectors(spark, sf).collect()
+
+  test("brute-force top-k matches a driver-local exact computation") {
+    val k = 10
+    val hits = Similarity.bruteForceTopK(spark, sf, numQueries = 4, k = k).collect()
+      .groupBy(_.query_id)
+    (0L until 4L).foreach { q =>
+      val qv = all.find(_.vec_id == q).get
+      val expected = all.filter(_.vec_id != q)
+        .map(v => (Similarity.cosine(qv.embedding, v.embedding), v.vec_id))
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+      val got = hits(q).sortBy(_.rank).map(h => (h.cosine, h.neighbor_id)).toSeq
+      assert(got == expected.toSeq, s"query $q")
+    }
+  }
+
+  test("top-k ranks are 1..k with descending cosine") {
+    val hits = Similarity.bruteForceTopK(spark, sf, numQueries = 2, k = 5).collect()
+      .groupBy(_.query_id)
+    hits.values.foreach { hs =>
+      val sorted = hs.sortBy(_.rank)
+      assert(sorted.map(_.rank).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p(0).cosine >= p(1).cosine))
+    }
+  }
+
+  test("IVF recall vs brute force is reasonable at nprobe=4/nlist=16") {
+    val k = 10
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 8, k = k).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val ivf = Similarity.ivfTopK(spark, sf, numQueries = 8, k = k).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recalls = brute.keys.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / k
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // near-orthogonal random embeddings are a worst case for IVF; just
+    // require it finds a meaningful fraction and runs the pruned path
+    assert(mean > 0.2, s"mean recall $mean")
+  }
+
+  test("embedding near-dups are symmetric-free (d1 < d2) and above threshold") {
+    val dups = Similarity.embeddingNearDups(spark, sf, threshold = 0.3).collect()
+    assert(dups.nonEmpty)
+    dups.foreach { p =>
+      assert(p.d1 < p.d2)
+      assert(p.cosine >= 0.3)
+    }
+  }
+}
