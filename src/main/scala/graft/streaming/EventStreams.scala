@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.kv.{KvState, Op}
+
+/** Structured Streaming surface — the reference's replicated-log → state
+  * machine pipeline (SURVEY §2.6, §3.3) re-expressed the Spark way:
+  *
+  *   - The Raft log's total order + durability
+  *     (/root/reference/src/raft/raft.go:442-459 Start, :242-256 applyLog)
+  *     is delegated to an ordered, replayable source + streaming checkpoint
+  *     (the role of `Persister`, /root/reference/src/raft/persister.go:33-58).
+  *   - The KV service's in-memory map becomes keyed `mapGroupsWithState`
+  *     state; `maxraftstate` snapshotting maps to the state store's own
+  *     checkpoint/compaction.
+  *
+  * At scale: state is hash-partitioned by key across executors, the same
+  * sharding the reference builds by hand in shardkv; RocksDB state store +
+  * changelog checkpointing is the production config knob, not a code change.
+  */
+object EventStreams {
+
+  /** Per-key KV state machine fold with exactly-once client semantics
+    * (K1-K3): applies ops in ts order *within each micro-batch*, deduping on
+    * (clientId, seq) against state carried across batches. State per key =
+    * current value + per-client high-water seq (the duplicate table every
+    * kvraft implementation keeps). */
+  final case class KvSessionState(value: String, maxSeq: Map[Long, Long])
+
+  def applyOpsToState(key: String, ops: Iterator[Op],
+                      state: GroupState[KvSessionState]): KvState = {
+    val st = state.getOption.getOrElse(KvSessionState("", Map.empty))
+    var value = st.value
+    var maxSeq = st.maxSeq
+    ops.toArray.sortBy(o => (o.ts, o.clientId, o.seq)).foreach { o =>
+      if (maxSeq.getOrElse(o.clientId, Long.MinValue) < o.seq) {
+        maxSeq = maxSeq.updated(o.clientId, o.seq)
+        o.op match {
+          case "put"    => value = o.value
+          case "append" => value = value + o.value
+          case _        => ()
+        }
+      }
+    }
+    state.update(KvSessionState(value, maxSeq))
+    KvState(key, value)
+  }
+
+  /** Streaming KV store: an op-log stream → per-key materialized state.
+    * Update-mode output: one row per key touched in the micro-batch. */
+  def kvStore(ops: Dataset[Op]): Dataset[KvState] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.groupByKey(_.key)
+      .mapGroupsWithState[KvSessionState, KvState](GroupStateTimeout.NoTimeout())(
+        applyOpsToState _)
+  }
+
+  /** Tumbling-window event aggregation with a watermark — the streaming twin
+    * of [[graft.relational.RelationalQueries.evHourlyAgg]]. Late data beyond
+    * 1 hour is dropped deterministically by the watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame = {
+    val withTs = events.withColumn("ts_ts", timestamp_millis(expr("ts DIV 1000000")))
+    withTs
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Run a streaming query over the fixture events *as a stream* (one file
+    * source micro-batch) into an in-memory sink; returns the materialized
+    * result. Used by tests to prove batch/stream parity. */
+  def runOnce(spark: SparkSession, dir: String, name: String,
+              build: DataFrame => DataFrame,
+              outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; filter to the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = build(stream).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming KV append-fold over the fixture events, memory-sink result.
+    * Parity target: [[graft.kv.OpLog.appendFold]] restricted to final values. */
+  def runKvStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    runOnce(spark, dir, "kv_stream", df =>
+      kvStore(df.select(
+        expr("ts DIV 1000000").as("ts"),
+        col("user_id").as("clientId"),
+        col("event_id").as("seq"),
+        lit("append").as("op"),
+        col("user_id").cast("string").as("key"),
+        col("event_id").cast("string").as("value")).as[Op]).toDF(),
+      OutputMode.Update())
+  }
+}
