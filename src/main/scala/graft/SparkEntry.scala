@@ -40,6 +40,8 @@ object SparkEntry {
     "q_rollup" -> RelationalQueries.qRollup _,
     "ev_hourly_agg" -> RelationalQueries.evHourlyAgg _,
     "ev_sessionize" -> RelationalQueries.evSessionize _,
+    "q_asof_join" -> RelationalQueries.qAsofJoin _,
+    "q_quantiles" -> RelationalQueries.qQuantiles _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -49,8 +51,9 @@ object SparkEntry {
     // KV op-log semantics (K1-K3, A5)
     "kv_append_fold" -> OpLog.appendFold _,
     "kv_exactly_once" -> OpLog.exactlyOnceFold _,
-    // sharding (P6, K6)
+    // sharding (P6, K4-K6)
     "shard_routing" -> Sharding.shardRouting _,
+    "shard_config_history" -> Sharding.configHistory _,
     // text analysis
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_quality" -> TextAnalysis.qualityScore _,
@@ -161,6 +164,25 @@ object SparkEntry {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g)
          SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
          FROM s GROUP BY user_id, session_idx""",
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, event_type FROM events),
+         t AS (SELECT user_id, ms, 0 AS side, event_id FROM ev WHERE event_type = 'view'
+               UNION ALL
+               SELECT user_id, ms, 1 AS side, event_id FROM ev WHERE event_type = 'purchase'),
+         w AS (SELECT user_id, ms, side, event_id,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER win AS last_view_id,
+                 last_value(CASE WHEN side = 0 THEN ms END IGNORE NULLS) OVER win AS last_view_ms
+               FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ms, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id AS purchase_id, ms AS purchase_ms, last_view_id, last_view_ms
+         FROM w WHERE side = 1""",
+    "q_quantiles" ->
+      """SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MIN(value) AS v_min, MAX(value) AS v_max, COUNT(*) AS n
+         FROM events GROUP BY event_type""",
     "mr_wordcount" ->
       s"""SELECT word, COUNT(*) AS cnt FROM
           (SELECT unnest($tokEx) AS word FROM documents) WHERE word <> '' GROUP BY word""",

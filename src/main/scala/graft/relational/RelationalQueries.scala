@@ -160,6 +160,48 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** As-of join: for every `purchase` event, the most recent `view` event of
+    * the same user at or before the purchase time.
+    *
+    * Implemented as the scalable union+window shape — tag both sides, one
+    * shuffle on the join key, then a partition-local ordered carry-forward
+    * (`last(..., ignoreNulls)`). This is linear in |L|+|R| with a single
+    * exchange; the naive `L join R on key and r.ts <= l.ts` range join is
+    * quadratic per key and is exactly what this operator exists to avoid at
+    * 100 TB. Ties (view and purchase at the same ms) order the view first. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.eventMs.as("ms"), col("event_id"), col("event_type"))
+    val views     = ev.filter(col("event_type") === "view")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val tagged = views.select(col("user_id"), col("ms"), lit(0).as("side"), col("event_id"))
+      .unionAll(purchases.select(col("user_id"), col("ms"), lit(1).as("side"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_id", last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_view_ms", last(when(col("side") === 0, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("purchase_ms"),
+        col("last_view_id"), col("last_view_ms"))
+  }
+
+  /** Exact interpolated quantiles (median / p90 / p99) of event value per
+    * type, plus min/max. `percentile` sorts within the (tiny) group state —
+    * exact, matching the oracle's quantile_cont; for sketch-based quantiles at
+    * extreme cardinality swap in approx_percentile. */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        count(lit(1)).as("n"))
+
   /** Sessionization via gap > 30 min: lag window + conditional cumulative sum.
     * One shuffle on user_id, then partition-local windows. */
   def evSessionize(spark: SparkSession, dir: String): DataFrame = {

@@ -87,6 +87,29 @@ object Sharding {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Config state machine exercised end-to-end (K4-K5): a deterministic
+    * Join/Join/Join/Leave/Move/Leave script from config 0, emitted as one row
+    * per (config, shard). Every intermediate config satisfies the balance
+    * invariant (spec-checked); `n_groups` tracks live replica groups. The
+    * config table is tiny by construction — it stays a driver-side value and
+    * only its *application* (routing/migration) is distributed. */
+  def configHistory(spark: SparkSession, dir: String): DataFrame = {
+    val steps = Seq[ShardConfig => ShardConfig](
+      c => join(c, Map(1 -> Seq("g1a", "g1b"))),
+      c => join(c, Map(2 -> Seq("g2a"), 3 -> Seq("g3a"))),
+      c => join(c, Map(4 -> Seq("g4a"))),
+      c => leave(c, Seq(2)),
+      c => move(c, 3, 1),
+      c => leave(c, Seq(1)))
+    val history = steps.scanLeft(initial)((c, f) => f(c))
+    import spark.implicits._
+    history
+      .flatMap(c => c.shards.zipWithIndex.map { case (gid, s) =>
+        (c.num.toLong, s.toLong, gid.toLong, c.groups.size.toLong)
+      })
+      .toDF("config_num", "shard", "gid", "n_groups")
+  }
+
   /** Shard migration plan between two configs (K7): which shards move where.
     * At scale this drives a `repartition` of the state store by the new
     * assignment; unaffected shards stay put (challenge 2 semantics,
