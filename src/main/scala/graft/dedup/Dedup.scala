@@ -64,39 +64,19 @@ object Dedup {
     h
   }
 
-  val NumHashes = 64
+  val NumHashes: Int = graft.functions.MinHash.NumHashes
   val Bands = 16
   val Rows = 4 // NumHashes / Bands
-  private val Prime = (1L << 61) - 1 // Mersenne prime for (a*x+b) mod p perms
-
-  /** Seeded permutation coefficients — fixed across runs/executors. */
-  private val perms: Array[(Long, Long)] = {
-    val rnd = new java.util.Random(42)
-    Array.fill(NumHashes)((math.abs(rnd.nextLong()) % (Prime - 1) + 1,
-      math.abs(rnd.nextLong()) % Prime))
-  }
 
   /** Word w-shingles of a token sequence. */
   def shingles(tokens: Seq[String], w: Int = 3): Set[String] =
     if (tokens.length < w) Set(tokens.mkString(" "))
     else tokens.sliding(w).map(_.mkString(" ")).toSet
 
-  /** MinHash signature of a shingle set under the fixed permutations. */
-  def minhashSig(sh: Set[String]): Array[Long] = {
-    val sig = Array.fill(NumHashes)(Long.MaxValue)
-    sh.foreach { s =>
-      val x = fnv64(s) & Long.MaxValue
-      var i = 0
-      while (i < NumHashes) {
-        val (a, b) = perms(i)
-        // (a*x+b) mod p via unsigned 128-free reduction: Math.multiplyHigh-free
-        val v = (a * (x % Prime) + b) % Prime
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
-    sig
-  }
+  /** MinHash signature of a shingle set — same core as the `minhash_sig`
+    * column expression, so typed and declarative paths agree bit-for-bit. */
+  def minhashSig(sh: Set[String]): Array[Long] =
+    graft.functions.MinHash.sigOf(sh.iterator.map(_.getBytes("UTF-8")))
 
   final case class DocSig(doc_id: Long, sig: Array[Long])
   final case class NearDup(d1: Long, d2: Long, est_jaccard: Double)
@@ -117,20 +97,18 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(toks) - w),
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
 
-  /** MinHash signatures, fully declarative and map-only: per document, a
-    * 64-element array column `sig` where sig[i] = min over shingles of
-    * xxhash64(i, shingle). One nested array expression per row — no explode,
-    * no shuffle, no aggregation state. (The explode + 64-min-agg formulation
-    * was measured 25× slower: 64 agg buffers push the operator past
-    * `spark.sql.codegen.maxFields` out of whole-stage codegen, and the
-    * exploded shingle rows shuffle for nothing.) Columns: doc_id, sig. */
-  def signaturesDF(spark: SparkSession, dir: String): DataFrame = {
-    val sh = array_distinct(shinglesCol(TextAnalysis.tokensCol(lower(col("text")))))
+  /** MinHash signatures, declarative and map-only: per document, a
+    * 64-element `sig` array via the fused `minhash_tokens` expression — one
+    * static JVM call per row inside whole-stage codegen, straight from the
+    * (codegen'd) tokenizer output. No distinct pass (min is idempotent over
+    * duplicate shingles), no shingle strings materialized. Interpreted HOF
+    * formulations of the same computation (lambda shingling / per-(i,shingle)
+    * hash lambdas) measured 10-50× slower. Columns: doc_id, sig. */
+  def signaturesDF(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(sh, s => xxhash64(i, s)))).as("sig"))
-  }
+      graft.functions.MinHash.minhashTokensCol(
+        TextAnalysis.tokensCol(lower(col("text")))).as("sig"))
 
   /** MinHash + LSH near-dup pairs: band-bucket candidates via a self-join on
     * (band, band-hash), signature-estimated jaccard >= threshold.
@@ -154,7 +132,11 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
     val a = capped.select(col("band"), col("bh"), col("doc_id").as("d1"), col("sig").as("sig1"))
     val b = capped.select(col("band"), col("bh"), col("doc_id").as("d2"), col("sig").as("sig2"))
-    a.join(b, Seq("band", "bh"))
+    // Self-join as shuffle-merge, not broadcast: both sides are the same
+    // full-size relation (broadcasting the corpus is wrong at scale), and
+    // identical shuffle subplans let ReuseExchange compute signatures once —
+    // the second side becomes a ReusedExchange instead of a re-scan.
+    a.join(b.hint("shuffle_merge"), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         (aggregate(zip_with(col("sig1"), col("sig2"),

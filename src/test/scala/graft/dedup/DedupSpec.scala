@@ -49,6 +49,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("typed minhashSig and native minhash_sig expression agree bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val fromExpr = Dedup.signaturesDF(spark, sf).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fromExpr.foreach { case (id, sig) =>
+      val typed = Dedup.minhashSig(
+        Dedup.shingles(graft.mr.Tokenize(docs(id)).toSeq)).toSeq
+      assert(sig == typed, s"doc $id: expression and typed signatures differ")
+    }
+  }
+
+  test("minhash_sig survives interpreted eval (non-codegen) identically") {
+    import org.apache.spark.sql.functions._
+    val sh = Seq("a b c", "b c d", "c d e")
+    val interp = graft.functions.MinHash.computeArray(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        sh.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+      .toLongArray().toSeq
+    assert(interp == Dedup.minhashSig(sh.toSet).toSeq)
+  }
+
   test("simhash hamming distance small for near-identical token lists") {
     val t = (1 to 200).map(i => s"tok$i")
     val d1 = Dedup.simhash(t)
