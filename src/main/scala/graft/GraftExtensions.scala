@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Fnv32Expr, MinHashSigExpr, MinHashTokensExpr}
+
+/** Session-extensions entry point: makes the engine's native expressions
+  * available to pure-SQL users at session build time —
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)              // programmatic
+  *   // or spark.sql.extensions=graft.GraftExtensions    // config-driven
+  *
+  * Injected functions:
+  *   - graft_fnv32(string): the reference's bucket router hash
+  *   - graft_minhash_sig(array<string>): MinHash signature of shingles
+  *   - graft_minhash_tokens(array<string>): fused shingle+MinHash from tokens
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_fnv32"),
+      info("graft_fnv32", "graft_fnv32(str) - FNV-1a 32-bit hash masked to 31 bits."),
+      (children: Seq[Expression]) => Fnv32Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(shingles) - 64-perm MinHash signature."),
+      (children: Seq[Expression]) => MinHashSigExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_tokens"),
+      info("graft_minhash_tokens", "graft_minhash_tokens(tokens) - fused 3-shingle MinHash signature."),
+      (children: Seq[Expression]) => MinHashTokensExpr(children.head, 3)))
+  }
+}

@@ -36,10 +36,11 @@ object MrQueries {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     words(spark, dir)
       .select(col("word"), col("doc_id").cast("string").as("doc"))
-      .distinct()
       .groupBy(col("word"))
-      .agg(count(lit(1)).as("n_docs"),
-        concat_ws(",", sort_array(collect_set(col("doc")))).as("doc_list"))
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .select(col("word"),
+        size(col("docs")).cast("bigint").as("n_docs"),
+        concat_ws(",", col("docs")).as("doc_list"))
 
   /** Sorted value concat per group (A4, crash/nocrash reduce shape,
     * /root/reference/src/mrapps/nocrash.go:40-50): group documents by lang,

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: one-line plan-shape summary per registered query — joins,
+  * exchanges, scan pushdown — to catch shuffle/broadcast regressions. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        def c(p: String) = p.r.findAllIn(plan).size
+        println(f"[AUDIT] $name%-24s bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
+          f"exch=${c("Exchange")} scans=${c("Scan parquet")} pushed=${c("PushedFilters: \\[[^\\]]")} " +
+          f"wsc=${c("WholeStageCodegen")}")
+      } catch { case e: Throwable => println(s"[AUDIT] $name ERROR ${e.getClass.getSimpleName}") }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.SparkTestSession
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects SQL functions at session build time") {
+    val shared = SparkTestSession.spark // pin the shared context first
+    // extensions bind at session build; clear the session slots so
+    // getOrCreate builds a NEW session (same context) with our extensions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = spark.sql(
+        """SELECT graft_fnv32('abc') AS h,
+                  graft_minhash_tokens(array('a','b','c','d')) AS sig,
+                  graft_minhash_sig(array('a b c', 'b c d')) AS sig2""").collect()(0)
+      assert(r.getInt(0) == Fnv32.hash("abc"))
+      assert(r.getSeq[Long](1) ==
+        graft.dedup.Dedup.minhashSig(graft.dedup.Dedup.shingles(Seq("a", "b", "c", "d"))).toSeq)
+      assert(r.getSeq[Long](2) ==
+        graft.dedup.Dedup.minhashSig(Set("a b c", "b c d")).toSeq)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}

@@ -51,6 +51,17 @@ class MrSpec extends AnyFunSuite {
     }
   }
 
+  test("readCorpus reads whole files as (filename, contents) — S1 source") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus")
+    java.nio.file.Files.write(dir.resolve("a.txt"), "hello world\nhello".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.txt"), "world again".getBytes)
+    val corpus = MrJob.readCorpus(spark, dir.toString + "/*.txt").collect().toMap
+    assert(corpus == Map("a.txt" -> "hello world\nhello", "b.txt" -> "world again"))
+    val wc = MrJob.run(WordCount, MrJob.readCorpus(spark, dir.toString + "/*.txt"))
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(wc == Map("hello" -> "2", "world" -> "2", "again" -> "1"))
+  }
+
   test("text sink lines are '<key> <value>' globally sorted") {
     val out = MrJob.toTextLines(MrJob.run(WordCount, MrJob.documentsCorpus(spark, sf)))
       .collect().map(_.getString(0))
