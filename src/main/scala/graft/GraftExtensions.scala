@@ -17,6 +17,11 @@ import graft.functions.{Fnv32Expr, MinHashSigExpr, MinHashTokensExpr}
   *   - graft_fnv32(string): the reference's bucket router hash
   *   - graft_minhash_sig(array<string>): MinHash signature of shingles
   *   - graft_minhash_tokens(array<string>): fused shingle+MinHash from tokens
+  *
+  * Injected rules:
+  *   - [[graft.plans.AsOfJoinRule]]: expands the [[graft.plans.AsOfJoinPlan]]
+  *     logical operator (see `graft.plans.AsOf.join`) into its linear
+  *     union+window physical shape
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -24,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(session => new graft.plans.AsOfJoinRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_fnv32"),
       info("graft_fnv32", "graft_fnv32(str) - FNV-1a 32-bit hash masked to 31 bits."),

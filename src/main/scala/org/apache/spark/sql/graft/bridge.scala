@@ -1,15 +1,21 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into `private[sql]` Column↔Expression conversion (Spark 4 moved
-  * it behind `org.apache.spark.sql.classic.ExpressionUtils`). Lives under
+/** Bridge into `private[sql]` Column↔Expression / plan↔Dataset conversion
+  * (Spark 4 moved these behind `org.apache.spark.sql.classic`). Lives under
   * `org.apache.spark.sql` solely to satisfy the access modifier — the same
   * pattern open-source Spark extension libraries use.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (triggers analysis). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
