@@ -41,6 +41,10 @@ object SparkEntry {
     "ev_hourly_agg" -> RelationalQueries.evHourlyAgg _,
     "ev_sessionize" -> RelationalQueries.evSessionize _,
     "q_asof_join" -> RelationalQueries.qAsofJoin _,
+    // same query through the custom AsOfJoinPlan operator + resolution rule
+    // (requires the GraftExtensions session Verify/Bench build) — checked
+    // against the same DuckDB oracle as q_asof_join
+    "q_asof_operator" -> RelationalQueries.qAsofOperator _,
     "q_quantiles" -> RelationalQueries.qQuantiles _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
@@ -165,6 +169,18 @@ object SparkEntry {
          SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(ms) AS start_ms, MAX(ms) AS end_ms
          FROM s GROUP BY user_id, session_idx""",
     "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, event_type FROM events),
+         t AS (SELECT user_id, ms, 0 AS side, event_id FROM ev WHERE event_type = 'view'
+               UNION ALL
+               SELECT user_id, ms, 1 AS side, event_id FROM ev WHERE event_type = 'purchase'),
+         w AS (SELECT user_id, ms, side, event_id,
+                 last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER win AS last_view_id,
+                 last_value(CASE WHEN side = 0 THEN ms END IGNORE NULLS) OVER win AS last_view_ms
+               FROM t WINDOW win AS (PARTITION BY user_id ORDER BY ms, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id AS purchase_id, ms AS purchase_ms, last_view_id, last_view_ms
+         FROM w WHERE side = 1""",
+    "q_asof_operator" ->
       """WITH ev AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, event_type FROM events),
          t AS (SELECT user_id, ms, 0 AS side, event_id FROM ev WHERE event_type = 'view'
                UNION ALL

@@ -202,6 +202,23 @@ object RelationalQueries {
         col("last_view_id"), col("last_view_ms"))
   }
 
+  /** [[qAsofJoin]] expressed through the custom `AsOfJoinPlan` logical
+    * operator (graft.plans.AsOf.join) — same semantics, same oracle; the
+    * session must carry [[graft.GraftExtensions]] so the resolution rule can
+    * expand the node. Exercises the (c)-tier extension path end-to-end
+    * against DuckDB. */
+  def qAsofOperator(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.eventMs.as("ms"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ms").as("v_ms"), col("event_id").as("v_id"))
+    graft.plans.AsOf.join(purchases, views, "user_id" -> "v_user", "ms" -> "v_ms")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("purchase_ms"),
+        col("v_id").as("last_view_id"), col("v_ms").as("last_view_ms"))
+  }
+
   /** Exact interpolated quantiles (median / p90 / p99) of event value per
     * type, plus min/max. `percentile` sorts within the (tiny) group state —
     * exact, matching the oracle's quantile_cont; for sketch-based quantiles at
