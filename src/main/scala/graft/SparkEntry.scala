@@ -46,6 +46,7 @@ object SparkEntry {
     // against the same DuckDB oracle as q_asof_join
     "q_asof_operator" -> RelationalQueries.qAsofOperator _,
     "q_quantiles" -> RelationalQueries.qQuantiles _,
+    "q_min_cost_supplier" -> RelationalQueries.qMinCostSupplier _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -60,6 +61,7 @@ object SparkEntry {
     "shard_config_history" -> Sharding.configHistory _,
     // text analysis
     "text_token_stats" -> TextAnalysis.tokenStats _,
+    "text_bpe_tokens" -> TextAnalysis.bpeTokens _,
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_langid" -> TextAnalysis.langId _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
@@ -192,6 +194,16 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT user_id, event_id AS purchase_id, ms AS purchase_ms, last_view_id, last_view_ms
          FROM w WHERE side = 1""",
+    "q_min_cost_supplier" ->
+      """SELECT l.l_partkey,
+                MIN(l.l_suppkey) AS best_supp,
+                MIN(l.l_extendedprice) AS best_price,
+                COUNT(*) AS n_best
+         FROM lineitem l
+         WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                    FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY l.l_partkey""",
     "q_quantiles" ->
       """SELECT event_type,
            quantile_cont(value, 0.5) AS p50,
@@ -236,6 +248,11 @@ object SparkEntry {
             CAST(text_len AS BIGINT) AS n_chars,
             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS avg_token_len
           FROM t""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
+         FROM documents""",
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
           s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,

@@ -202,6 +202,26 @@ object RelationalQueries {
         col("last_view_id"), col("last_view_ms"))
   }
 
+  /** Correlated scalar subquery (TPC-H Q2 shape on the fixture schema): per
+    * part, the rows achieving the minimum extended price, aggregated to
+    * (part, best_supp, best_price, n_best). Written in SQL so Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery) turns the per-row
+    * subquery into one aggregate + join — the scalable plan — instead of a
+    * re-execution per outer row. */
+  def qMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li")
+    spark.sql(
+      """SELECT l.l_partkey,
+                MIN(l.l_suppkey) AS best_supp,
+                MIN(l.l_extendedprice) AS best_price,
+                COUNT(*) AS n_best
+         FROM graft_li l
+         WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                    FROM graft_li l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY l.l_partkey""")
+  }
+
   /** [[qAsofJoin]] expressed through the custom `AsOfJoinPlan` logical
     * operator (graft.plans.AsOf.join) — same semantics, same oracle; the
     * session must carry [[graft.GraftExtensions]] so the resolution rule can

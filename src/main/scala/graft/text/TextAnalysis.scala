@@ -35,6 +35,19 @@ object TextAnalysis {
           lit(0L), (acc, x) => acc + x).cast("double") / size(col("toks")))
           .as("avg_token_len"))
 
+  /** GPT-2-style pre-tokenizer regex, lookahead-free so the identical
+    * pattern runs under both Java regex (Spark) and RE2 (DuckDB oracle):
+    * contractions | space?letters | space?digits | space?other | whitespace. */
+  val BpeIsh = "'(s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting, both ways a data pipeline needs it: whitespace tokens
+    * and BPE-ish pre-tokenizer segments — one codegen'd map-only pass. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(array_remove(split(col("text"), "\\s+"), "")).cast("bigint").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeIsh), lit(0))).cast("bigint").as("n_bpe_tokens"))
+
   /** Quality scoring: stopword ratio, distinct-token ratio, mean token
     * length band — a deterministic heuristic quality score in [0,1]. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
