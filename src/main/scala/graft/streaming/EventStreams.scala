@@ -72,6 +72,55 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  // ------------------------------------------------- streaming sessionize
+
+  final case class SessIn(user_id: Long, ms: Long, ts_ts: java.sql.Timestamp)
+  /** idx = 1-based index of the open (or last closed) session; n == 0 marks
+    * "no open session" (kept so later sessions of the user keep counting). */
+  final case class SessState(idx: Long, start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, session_idx: Long, n_events: Long,
+                           start_ms: Long, end_ms: Long)
+
+  /** Streaming twin of
+    * [[graft.relational.RelationalQueries.evSessionize]]: gap-based sessions
+    * via `flatMapGroupsWithState` with an event-time timeout. A session is
+    * emitted when a same-user event arrives past the gap, or when the
+    * watermark passes `end + gap` (Spark's no-data micro-batch fires the
+    * timeout). Same output schema and 1-based session numbering as the batch
+    * query. Late events beyond the watermark are dropped by the engine —
+    * the deterministic streaming trade-off. */
+  def sessionize(events: Dataset[SessIn], gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts_ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessIn], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(SessState(st.idx, 0, 0, 0)) // closed; keep the counter
+            if (st.n > 0) Iterator.single(Session(user, st.idx, st.n, st.start, st.last))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessState(0, 0, 0, 0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            rows.toArray.sortBy(_.ms).foreach { e =>
+              if (st.n == 0) st = SessState(st.idx + 1, e.ms, e.ms, 1)
+              else if (e.ms - st.last > gapMs) {
+                out += Session(user, st.idx, st.n, st.start, st.last)
+                st = SessState(st.idx + 1, e.ms, e.ms, 1)
+              } else st = st.copy(last = math.max(st.last, e.ms), n = st.n + 1)
+            }
+            state.update(st)
+            if (st.n > 0) state.setTimeoutTimestamp(
+              math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Run a streaming query over the fixture events *as a stream* (one file
     * source micro-batch) into an in-memory sink; returns the materialized
     * result. Used by tests to prove batch/stream parity. */

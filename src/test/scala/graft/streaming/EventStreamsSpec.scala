@@ -76,6 +76,41 @@ class EventStreamsSpec extends AnyFunSuite {
       s"state after restart: $finalState")
   }
 
+  test("streaming sessionize (flatMapGroupsWithState + event-time timeout) equals batch") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("sessin").toString
+    val out = java.nio.file.Files.createTempDirectory("sessout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sessckpt").toString
+
+    val real = graft.Tables.events(spark, sf)
+      .select(col("user_id"), graft.Tables.eventMs.as("ms"))
+      .select(col("user_id"), col("ms"), timestamp_millis(col("ms")).as("ts_ts"))
+      .as[EventStreams.SessIn]
+    val maxMs = real.agg(max(col("ms"))).collect()(0).getLong(0)
+    // sentinel event far in the future: advances the watermark past every
+    // real session's (end + gap), so all real sessions emit via timeout
+    val sentinel = Seq(EventStreams.SessIn(-1L, maxMs + 86400000L,
+      new java.sql.Timestamp(maxMs + 86400000L))).toDS()
+    real.unionAll(sentinel).write.mode("overwrite").parquet(in)
+
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.SessIn].schema
+    val q = EventStreams.sessionize(
+        spark.readStream.schema(schema).parquet(in).as[EventStreams.SessIn]).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = graft.relational.RelationalQueries.evSessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming KV store dedups retried ops across the stream") {
     import spark.implicits._
     // one batch containing retries: duplicates of (clientId, seq) fold once
