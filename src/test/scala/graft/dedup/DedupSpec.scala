@@ -49,6 +49,15 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered tokenJaccard is lossless vs the naive full self-join") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fast = canon(Dedup.tokenJaccard(spark, sf, threshold = 0.6))
+    val naive = canon(Dedup.tokenJaccardNaive(spark, sf, threshold = 0.6))
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
   test("typed minhashSig and native minhash_sig expression agree bit-for-bit") {
     import org.apache.spark.sql.functions._
     val fromExpr = Dedup.signaturesDF(spark, sf).orderBy("doc_id").collect()
