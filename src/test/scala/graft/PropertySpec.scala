@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.kv.{Op, OpLog}
+import graft.shard.{ShardConfig, Sharding}
+
+/** Property-based invariants (SURVEY §5 plan): random shardmaster op
+  * sequences hold the balance invariant; random op logs fold identically to
+  * an in-memory reference regardless of Spark partitioning.
+  * (Raw ScalaCheck generators, deterministically seeded — the scalatestplus
+  * bridge isn't in the offline dependency cache.) */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, Seed(42L + i)))
+  }
+
+  private def forAll[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  // ------------------------------------------------ shard balance (A6)
+
+  sealed trait CfgOp
+  final case class DoJoin(gids: Seq[Int]) extends CfgOp
+  final case class DoLeave(k: Int) extends CfgOp
+  final case class DoMove(shard: Int, pick: Int) extends CfgOp
+
+  private val genOp: Gen[CfgOp] = Gen.frequency(
+    5 -> Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 40)).map(g => DoJoin(g.distinct))),
+    3 -> Gen.chooseNum(0, 5).map(DoLeave(_)),
+    2 -> Gen.zip(Gen.chooseNum(0, Sharding.NShards - 1), Gen.chooseNum(0, 100))
+      .map { case (s, p) => DoMove(s, p) })
+
+  private def applyOp(c: ShardConfig, op: CfgOp): ShardConfig = op match {
+    case DoJoin(gids) =>
+      val fresh = gids.filterNot(c.groups.contains)
+      if (fresh.isEmpty) c
+      else Sharding.join(c, fresh.map(g => g -> Seq(s"srv$g")).toMap)
+    case DoLeave(k) =>
+      val live = c.groups.keys.toSeq.sorted
+      if (live.isEmpty) c else Sharding.leave(c, Seq(live(k % live.size)))
+    case DoMove(shard, pick) =>
+      val live = c.groups.keys.toSeq.sorted
+      if (live.isEmpty) c else Sharding.move(c, shard, live(pick % live.size))
+  }
+
+  test("shard balance invariant holds after every random Join/Leave/Move sequence") {
+    forAll(Gen.listOfN(12, genOp), 50) { ops =>
+      var c = Sharding.initial
+      ops.foreach { op =>
+        val before = c.groups.keySet
+        c = applyOp(c, op)
+        // every shard on a live group (or 0 when no groups at all)
+        if (c.groups.isEmpty) assert(c.shards.forall(_ == 0))
+        else assert(c.shards.forall(c.groups.contains))
+        // balance is re-established exactly when membership changes (a real
+        // Join/Leave); an explicit Move — and a no-op join of an existing
+        // gid — leaves placement alone until then, like the reference
+        if (c.groups.keySet != before && c.groups.nonEmpty) {
+          val counts = c.groups.keys.map(g => c.shards.count(_ == g))
+          assert(counts.max - counts.min <= 1,
+            s"unbalanced after $op: shards=${c.shards} groups=${c.groups.keySet}")
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------ op-log fold (A5, K3)
+
+  /** (cli, seq) identifies ONE client request in the protocol
+    * (/root/reference/src/kvraft/common.go), so op/key/value derive
+    * deterministically from it — a repeated (cli, seq) in the log is then a
+    * true retransmission, which dedup must fold exactly once. */
+  private def reqOf(cli: Int, seq: Int): (String, String, String) = {
+    val h = cli * 31 + seq
+    (Seq("put", "append", "get")(h % 3), Seq("a", "b", "c")(h / 3 % 3), s"v$cli-$seq.")
+  }
+
+  private val genOps: Gen[List[(Int, Int)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 30)))
+
+  test("OpLog.materialize equals in-memory reference fold on random logs") {
+    import spark.implicits._
+    forAll(genOps, 20) { raw =>
+      // ts = position; duplicate (cli, seq) draws are retries
+      val ops = raw.zipWithIndex.map { case ((cli, seq), i) =>
+        val (op, k, v) = reqOf(cli, seq)
+        Op(i.toLong, cli.toLong, seq.toLong, op, k, v)
+      }
+      val expected = {
+        val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+        val state = scala.collection.mutable.Map.empty[String, String].withDefaultValue("")
+        ops.sortBy(o => (o.ts, o.clientId, o.seq)).foreach { o =>
+          if (seen.add((o.clientId, o.seq))) o.op match {
+            case "put"    => state(o.key) = o.value
+            case "append" => state(o.key) = state(o.key) + o.value
+            case _        => ()
+          }
+        }
+        // one row per key referenced in the log; get-only keys read as ""
+        ops.map(_.key).distinct.map(k => k -> state(k)).toMap
+      }
+      val got = OpLog.materialize(spark.createDataset(ops).repartition(4))
+        .collect().map(s => s.key -> s.value).toMap
+      assert(got == expected)
+    }
+  }
+}
