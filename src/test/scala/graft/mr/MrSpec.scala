@@ -62,6 +62,30 @@ class MrSpec extends AnyFunSuite {
     assert(wc == Map("hello" -> "2", "world" -> "2", "again" -> "1"))
   }
 
+  test("test-mr.sh shape: wc + indexer on an ~3MB 8-file corpus, distributed == oracle, byte-compared") {
+    // build a pg-corpus-sized fixture: 8 files, ~400 KB each, from document texts
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("text").collect().map(_.getString(0))
+    val dir = java.nio.file.Files.createTempDirectory("pgcorpus")
+    (0 until 8).foreach { i =>
+      val sb = new StringBuilder
+      var j = i
+      while (sb.length < 400000) { sb.append(texts(j % texts.length)).append("\n"); j += 7 }
+      java.nio.file.Files.write(dir.resolve(f"pg-$i.txt"), sb.toString.getBytes("UTF-8"))
+    }
+    val corpus = MrJob.readCorpus(spark, dir.toString + "/*.txt")
+    Seq(WordCount, Indexer).foreach { app =>
+      val dist = MrJob.toTextLines(MrJob.run(app, corpus)).collect().map(_.getString(0))
+      val oracle = MrJob.toTextLines(MrJob.runOracle(app, corpus)).collect().map(_.getString(0))
+      assert(dist.nonEmpty)
+      assert(dist.sameElements(oracle), s"${app.name}: distributed != sequential oracle")
+    }
+    // the fixture vocabulary is small; prove MB-scale input actually flowed
+    // through the shuffle by total occurrence count, not distinct words
+    val totalWords = MrJob.run(WordCount, corpus).collect().map(_.value.toLong).sum
+    assert(totalWords > 400000L, s"corpus too small: $totalWords occurrences")
+  }
+
   test("text sink lines are '<key> <value>' globally sorted") {
     val out = MrJob.toTextLines(MrJob.run(WordCount, MrJob.documentsCorpus(spark, sf)))
       .collect().map(_.getString(0))
