@@ -47,6 +47,7 @@ object SparkEntry {
     "q_asof_operator" -> RelationalQueries.qAsofOperator _,
     "q_quantiles" -> RelationalQueries.qQuantiles _,
     "q_min_cost_supplier" -> RelationalQueries.qMinCostSupplier _,
+    "ev_approx_users" -> RelationalQueries.evApproxUsers _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -194,6 +195,13 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT user_id, event_id AS purchase_id, ms AS purchase_ms, last_view_id, last_view_ms
          FROM w WHERE side = 1""",
+    "ev_approx_users" ->
+      """SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           (ABS(CAST(approx_count_distinct(user_id) AS BIGINT) - COUNT(DISTINCT user_id))
+              / CAST(COUNT(DISTINCT user_id) AS DOUBLE)) <= 0.1 AS estimate_ok
+         FROM events GROUP BY event_type""",
     "q_min_cost_supplier" ->
       """SELECT l.l_partkey,
                 MIN(l.l_suppkey) AS best_supp,

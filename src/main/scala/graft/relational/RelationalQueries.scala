@@ -202,6 +202,24 @@ object RelationalQueries {
         col("last_view_id"), col("last_view_ms"))
   }
 
+  /** Sketch aggregation: HyperLogLog++ distinct users per event type at 2%
+    * target error, next to the exact count. At 100 TB the sketch is THE
+    * answer for high-cardinality distincts: partial sketches merge
+    * associatively map-side (bytes per group cross the wire, not values).
+    * Estimates are engine-specific, so the oracle checks exact_users and the
+    * estimate's documented error envelope rather than sketch equality. */
+  def evApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        // bounded sanity flag comparable across engines: estimate within 10%
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.1).as("estimate_ok"))
+
   /** Correlated scalar subquery (TPC-H Q2 shape on the fixture schema): per
     * part, the rows achieving the minimum extended price, aggregated to
     * (part, best_supp, best_price, n_best). Written in SQL so Catalyst's
