@@ -48,6 +48,9 @@ object SparkEntry {
     "q_quantiles" -> RelationalQueries.qQuantiles _,
     "q_min_cost_supplier" -> RelationalQueries.qMinCostSupplier _,
     "ev_approx_users" -> RelationalQueries.evApproxUsers _,
+    "ev_range_join" -> RelationalQueries.evRangeJoin _,
+    "q_grouping_sets" -> RelationalQueries.qGroupingSets _,
+    "q_skew_salted" -> RelationalQueries.qSkewSalted _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -202,6 +205,25 @@ object SparkEntry {
            (ABS(CAST(approx_count_distinct(user_id) AS BIGINT) - COUNT(DISTINCT user_id))
               / CAST(COUNT(DISTINCT user_id) AS DOUBLE)) <= 0.1 AS estimate_ok
          FROM events GROUP BY event_type""",
+    "ev_range_join" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, event_type FROM events),
+         p AS (SELECT user_id, ms AS pms, event_id AS purchase_id FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id AS v_user, ms AS vms FROM ev WHERE event_type = 'view')
+         SELECT user_id, purchase_id, pms AS purchase_ms,
+           COUNT(vms) AS n_views_1h, MAX(vms) AS last_view_ms
+         FROM p LEFT JOIN v ON v_user = user_id AND vms >= pms - 3600000 AND vms < pms
+         GROUP BY user_id, purchase_id, pms""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status_dim,
+           COALESCE(o_orderpriority, 'ALL') AS priority_dim,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "q_skew_salted" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+         FROM lineitem GROUP BY l_returnflag""",
     "q_min_cost_supplier" ->
       """SELECT l.l_partkey,
                 MIN(l.l_suppkey) AS best_supp,

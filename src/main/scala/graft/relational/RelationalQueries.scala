@@ -257,6 +257,71 @@ object RelationalQueries {
         col("v_id").as("last_view_id"), col("v_ms").as("last_view_ms"))
   }
 
+  /** Time-range join, binned: for every purchase, the count of (and most
+    * recent) `view` events by the same user in the hour before it.
+    *
+    * The naive plan — `p JOIN v ON v.user = p.user AND v.ms BETWEEN p.ms-1h
+    * AND p.ms` — gives Catalyst only `user_id` as an equi-key, so a hot user
+    * degenerates to an O(|P|·|V|) per-key nested loop. Binning restores a
+    * composite equi-key: replicate each view to time buckets
+    * `floor(ms/1h)` and `floor(ms/1h)+1` (a 1-hour window spans at most two
+    * 1-hour bins), equi-join on `(user_id, bin)`, then re-check the exact
+    * range. Each qualifying pair matches in exactly one replica (the two
+    * replicas carry different bins), so no dedup is needed. Cost: 2× shuffle
+    * volume on the views side in exchange for hash-partitionable parallelism
+    * that survives any per-user skew — the standard interval-join build
+    * (Flink's interval join and range-join binning hints do the same). */
+  def evRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val windowMs = 3600000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.eventMs.as("ms"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("pms"), col("event_id").as("purchase_id"))
+      .withColumn("bin", expr(s"pms DIV $windowMs"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ms").as("vms"))
+      .withColumn("vbin", expr(s"vms DIV $windowMs"))
+      .withColumn("bin", explode(array(col("vbin"), col("vbin") + 1)))
+      .drop("vbin")
+    purchases.join(views,
+        purchases("user_id") === views("v_user") && purchases("bin") === views("bin") &&
+          col("vms") >= col("pms") - windowMs && col("vms") < col("pms"),
+        "left")
+      .groupBy(col("user_id"), col("purchase_id"), col("pms"))
+      .agg(count(col("vms")).as("n_views_1h"), max(col("vms")).as("last_view_ms"))
+      .select(col("user_id"), col("purchase_id"), col("pms").as("purchase_ms"),
+        col("n_views_1h"), col("last_view_ms"))
+  }
+
+  /** GROUPING SETS with non-hierarchical sets — (status) and (priority)
+    * marginals in one pass (rollup/cube can't express exactly this pair).
+    * Catalyst expands to a single Expand + one aggregate: one scan, one
+    * shuffle, versus two scans + two shuffles for the UNION ALL phrasing. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status_dim,
+                COALESCE(o_orderpriority, 'ALL') AS priority_dim,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM graft_orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+  }
+
+  /** Two-phase salted aggregation ([[graft.shard.Salting]]) registered
+    * against the plain group-by oracle: the skew-proof plan must be
+    * bit-identical to the direct one. `l_returnflag` has ~3 values over all
+    * of lineitem — at 100 TB each key is a hot key, and the salt spreads each
+    * over 16 reducers before the tiny (key, salt)-partial re-aggregation. */
+  def qSkewSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.shard.Salting.saltedSumCount(
+        Tables.lineitem(spark, dir),
+        key = col("l_returnflag"), value = dec(col("l_quantity")),
+        saltFrom = col("l_orderkey"), buckets = 16)
+      .select(col("k").as("l_returnflag"),
+        col("total_sum").cast("double").as("sum_qty"),
+        col("total_count").as("n_items"))
+
   /** Exact interpolated quantiles (median / p90 / p99) of event value per
     * type, plus min/max. `percentile` sorts within the (tiny) group state —
     * exact, matching the oracle's quantile_cont; for sketch-based quantiles at
