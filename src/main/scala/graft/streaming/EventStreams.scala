@@ -121,6 +121,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication — the streaming twin of
+    * [[graft.dedup.Dedup.exact]] for a training-data ingest pipeline where
+    * the same document (or event) may be delivered more than once, across
+    * micro-batches. `dropDuplicatesWithinWatermark` keys the dedup state on
+    * `idCols` and — unlike plain `dropDuplicates`, whose state grows without
+    * bound — evicts state once the watermark passes, so the query runs
+    * forever at a bounded footprint. The guarantee is exactly the ingest
+    * contract: duplicates arriving within `delay` of each other are removed;
+    * a replay older than the watermark is late data, dropped wholesale. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  delay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_millis(expr("ts DIV 1000000")))
+      .withWatermark("ts_ts", delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Run a streaming query over the fixture events *as a stream* (one file
     * source micro-batch) into an in-memory sink; returns the materialized
     * result. Used by tests to prove batch/stream parity. */

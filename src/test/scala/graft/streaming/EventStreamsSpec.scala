@@ -121,4 +121,37 @@ class EventStreamsSpec extends AnyFunSuite {
     val out = EventStreams.kvStore(spark.createDataset(ops)).collect()
     assert(out.map(s => s.key -> s.value).toMap == Map("k" -> "ab"))
   }
+
+  test("dropDuplicatesWithinWatermark removes redelivered events across micro-batches") {
+    val in = java.nio.file.Files.createTempDirectory("dedupin").toString
+    val out = java.nio.file.Files.createTempDirectory("dedupout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedupckpt").toString
+
+    // two identical deliveries of the fixture events as separate files;
+    // maxFilesPerTrigger=1 forces the duplicate copy into a LATER
+    // micro-batch, so dedup must work through state, not within a batch
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.coalesce(1).write.mode("overwrite").parquet(in)
+    val firstFile = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(firstFile.toPath,
+      new java.io.File(in, "copy-" + firstFile.getName).toPath)
+
+    val schema = ev.schema
+    val q = EventStreams.dedupStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in),
+        idCols = Seq("event_id"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(out)
+    val nDistinct = ev.select("event_id").distinct().count()
+    assert(got.count() == nDistinct, "every event exactly once despite redelivery")
+    assert(got.select("event_id").distinct().count() == nDistinct)
+  }
 }
