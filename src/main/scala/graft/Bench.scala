@@ -20,9 +20,12 @@ object Bench {
       .withExtensions(new GraftExtensions) // custom exprs + AsOfJoinRule
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen once on the smallest table so per-query times
-    // measure the query, not first-use initialization
-    SparkEntry.queries.get("q1_pricing_summary").foreach { fn =>
+    // Full untimed warmup pass: run EVERY query once before any timing.
+    // Round-1 lesson: a single-query warmup left the first queries in sorted
+    // order (the dedup family) paying all Janino/JIT compilation and thread
+    // -pool spin-up inside their timed best-of-2 — both timed runs of
+    // dedup_token_jaccard measured 10x its warm cost on a contended host.
+    SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // best-of-2 per query: the second run measures the engine (plan cache +

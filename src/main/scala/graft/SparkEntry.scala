@@ -82,17 +82,32 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d).toDF()),
     // multimodal plumbing
     "mm_summary" -> Multimodal.mediaSummary _,
+    // scalar-bin form: raw integer byte-histogram counts (the Array[Float]
+    // L1-normalized form stays a ScalaTest-only API — the driver's pandas
+    // canonicalizer can't sort array columns)
     "mm_features" -> ((s: SparkSession, d: String) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()),
-    // linearizability (A7): events as an appends-only per-key history
+      Multimodal.extractFeatureCounts(Multimodal.mediaTable(s, d)).toDF()),
+    // linearizability (A7): per-user append history from events (nanos call/
+    // ret — unique per user, so the fold is sequential and checks in linear
+    // time), with a PLANTED violation for every user_id % 7 == 0: a trailing
+    // get that observes a value no interleaving can produce. The checker must
+    // answer "violation" for exactly those keys — a hard per-row oracle
+    // signal on the verdict itself. Concurrent/Unknown behavior is
+    // spec-tested (LinearizabilitySpec); this query pins the verdicts.
     "lin_check" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val hist = Tables.events(s, d).select(
-          col("user_id").cast("string").as("key"), lit(2).as("op"),
-          col("event_id").cast("string").as("value"), lit("").as("output"),
-          Tables.eventMs.as("call"), (Tables.eventMs + 1).as("ret"))
-        .as[HistOp]
-      Linearizability.check(hist).toDF()
+      val ev = Tables.events(s, d)
+      val appends = ev.select(
+        col("user_id").cast("string").as("key"), lit(2).as("op"),
+        col("event_id").cast("string").as("value"), lit("").as("output"),
+        col("ts").as("call"), (col("ts") + 1).as("ret"))
+      val planted = ev.filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id").cast("string").as("key"))
+        .agg(max(col("ts")).as("t"))
+        .select(col("key"), lit(0).as("op"), lit("").as("value"),
+          lit("IMPOSSIBLE").as("output"),
+          (col("t") + 1000000L).as("call"), (col("t") + 1000001L).as("ret"))
+      Linearizability.check(appends.unionAll(planted).as[HistOp]).toDF()
     }),
   )
 
@@ -271,6 +286,27 @@ object SparkEntry {
     "shard_routing" ->
       """SELECT ascii(substr(CAST(user_id AS VARCHAR), 1, 1)) % 10 AS shard, COUNT(*) AS n_events
          FROM events GROUP BY 1""",
+    // deterministic config trajectory of the Join/Join/Join/Leave/Move/Leave
+    // script, hand-derived from the documented rebalance rules (sorted-gid
+    // processing, lowest-indexed shard from most-loaded group, max-min <= 1;
+    // /root/reference/src/shardmaster/test_test.go:25-52) — pins the exact
+    // rebalance algorithm output, not just the invariant
+    "shard_config_history" ->
+      """SELECT CAST(config_num AS BIGINT) AS config_num, CAST(shard AS BIGINT) AS shard,
+           CAST(gid AS BIGINT) AS gid, CAST(n_groups AS BIGINT) AS n_groups
+         FROM (VALUES (0,0,0,0),(0,1,0,0),(0,2,0,0),(0,3,0,0),(0,4,0,0),(0,5,0,0),(0,6,0,0),(0,7,0,0),(0,8,0,0),(0,9,0,0),
+           (1,0,1,1),(1,1,1,1),(1,2,1,1),(1,3,1,1),(1,4,1,1),(1,5,1,1),(1,6,1,1),(1,7,1,1),(1,8,1,1),(1,9,1,1),
+           (2,0,2,3),(2,1,3,3),(2,2,2,3),(2,3,3,3),(2,4,2,3),(2,5,3,3),(2,6,1,3),(2,7,1,3),(2,8,1,3),(2,9,1,3),
+           (3,0,2,4),(3,1,3,4),(3,2,2,4),(3,3,3,4),(3,4,2,4),(3,5,3,4),(3,6,4,4),(3,7,4,4),(3,8,1,4),(3,9,1,4),
+           (4,0,1,3),(4,1,3,3),(4,2,4,3),(4,3,3,3),(4,4,1,3),(4,5,3,3),(4,6,4,3),(4,7,4,3),(4,8,1,3),(4,9,1,3),
+           (5,0,1,3),(5,1,3,3),(5,2,4,3),(5,3,1,3),(5,4,1,3),(5,5,3,3),(5,6,4,3),(5,7,4,3),(5,8,1,3),(5,9,1,3),
+           (6,0,3,2),(6,1,3,2),(6,2,4,2),(6,3,3,2),(6,4,4,2),(6,5,3,2),(6,6,4,2),(6,7,4,2),(6,8,3,2),(6,9,4,2))
+           AS t(config_num, shard, gid, n_groups)""",
+    "lin_check" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) + CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS n_ops,
+           CASE WHEN user_id % 7 = 0 THEN 'violation' ELSE 'linearizable' END AS verdict
+         FROM events GROUP BY user_id""",
     "text_token_stats" ->
       s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk, length(text) AS text_len FROM documents)
           SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -328,6 +364,40 @@ object SparkEntry {
           SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
           FROM pairs JOIN sz s1 ON pairs.d1 = s1.doc_id JOIN sz s2 ON pairs.d2 = s2.doc_id
           WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""",
+    // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
+    // each byte's high nibble from code points with UTF-8 arithmetic
+    "mm_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             text, CAST(strlen(text) AS BIGINT) AS n_bytes
+           FROM documents),
+         nb AS (
+           SELECT doc_id, n.nib AS nib FROM m,
+             UNNEST(flatten(list_transform(string_split(text, ''), c ->
+               CASE WHEN unicode(c) < 128 THEN [unicode(c) // 16]
+                    WHEN unicode(c) < 2048 THEN [12 + (unicode(c) // 1024), 8 + ((unicode(c) % 64) // 16)]
+                    WHEN unicode(c) < 65536 THEN [14, 8 + (((unicode(c) // 64) % 64) // 16), 8 + ((unicode(c) % 64) // 16)]
+                    ELSE [15, 8 + (((unicode(c) // 4096) % 64) // 16), 8 + (((unicode(c) // 64) % 64) // 16), 8 + ((unicode(c) % 64) // 16)]
+               END))) AS n(nib))
+         SELECT m.doc_id, ANY_VALUE(media_type) AS media_type, ANY_VALUE(n_bytes) AS n_bytes,
+           COALESCE(COUNT(*) FILTER (nib = 0), 0) AS b0,
+           COALESCE(COUNT(*) FILTER (nib = 1), 0) AS b1,
+           COALESCE(COUNT(*) FILTER (nib = 2), 0) AS b2,
+           COALESCE(COUNT(*) FILTER (nib = 3), 0) AS b3,
+           COALESCE(COUNT(*) FILTER (nib = 4), 0) AS b4,
+           COALESCE(COUNT(*) FILTER (nib = 5), 0) AS b5,
+           COALESCE(COUNT(*) FILTER (nib = 6), 0) AS b6,
+           COALESCE(COUNT(*) FILTER (nib = 7), 0) AS b7,
+           COALESCE(COUNT(*) FILTER (nib = 8), 0) AS b8,
+           COALESCE(COUNT(*) FILTER (nib = 9), 0) AS b9,
+           COALESCE(COUNT(*) FILTER (nib = 10), 0) AS b10,
+           COALESCE(COUNT(*) FILTER (nib = 11), 0) AS b11,
+           COALESCE(COUNT(*) FILTER (nib = 12), 0) AS b12,
+           COALESCE(COUNT(*) FILTER (nib = 13), 0) AS b13,
+           COALESCE(COUNT(*) FILTER (nib = 14), 0) AS b14,
+           COALESCE(COUNT(*) FILTER (nib = 15), 0) AS b15
+         FROM m LEFT JOIN nb ON m.doc_id = nb.doc_id GROUP BY m.doc_id""",
     "mm_summary" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            COUNT(*) AS n_media,

@@ -47,8 +47,15 @@ object Dedup {
         array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks"))
     val w = docs.select(col("doc_id"), col("lang"), col("source"),
       size(col("toks")).as("n"), explode(col("toks")).as("word"))
-    val prefixes = w
-      .withColumn("dfreq", count(lit(1)).over(W.partitionBy(col("lang"), col("source"), col("word"))))
+    // Document frequency as groupBy + join, NOT a count window: the groupBy
+    // gets map-side partial aggregation, so only the distinct vocabulary
+    // (Zipf-small vs the corpus) crosses the wire, and AQE broadcasts it back
+    // — the exploded token table then shuffles exactly once (the rank window
+    // by doc_id) instead of twice. A count().over(lang,source,word) window
+    // ships the whole exploded corpus unreduced.
+    val dfreq = w.groupBy(col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("dfreq"))
+    val prefixes = w.join(dfreq, Seq("lang", "source", "word"))
       .withColumn("rank", row_number().over(W.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("word"))))
       .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("lang"), col("source"), col("word"), col("doc_id"))

@@ -2,22 +2,45 @@ package graft.lin
 
 import org.apache.spark.sql.Dataset
 
+import scala.collection.immutable.BitSet
+
 /** One call/return event in an operation history — porcupine's `Operation`
   * (/root/reference/src/porcupine/model.go:5-11) specialized to the KV model
   * (/root/reference/src/models/kv.go:7-15). op: 0=get, 1=put, 2=append. */
 final case class HistOp(key: String, op: Int, value: String, output: String,
                         call: Long, ret: Long)
 
-final case class LinVerdict(key: String, n_ops: Long, linearizable: Boolean)
+final case class LinVerdict(key: String, n_ops: Long, verdict: String)
 
 /** Linearizability checking (A7). The reference's checker partitions the
   * history by key (/root/reference/src/models/kv.go:18-34) — a group-by — and
   * runs a sequential search per key (/root/reference/src/porcupine/checker.go).
   * Here the partitioning is the distributed part (one shuffle on key; each
-  * key's search runs on an executor core), and the per-key search is a
-  * memoized DFS over the real-time partial order.
+  * key's search runs on an executor core); the per-key search is a
+  * Wing&Gong-style lazy DFS in the shape porcupine implements with an
+  * explicit bitset (/root/reference/src/porcupine/bitset.go:1-72,
+  * checker.go:101-215), made sound for histories of ANY length:
+  *
+  *   - No op-count cap (the visited key is an immutable BitSet, not a 64-bit
+  *     mask) and no greedy fallback.
+  *   - The call-sorted history decomposes at quiescence points — instants
+  *     where every earlier op returned before any later op is called — into
+  *     components that any linearization must keep in order, so the DFS only
+  *     interleaves ops *within* the current component: mostly-sequential
+  *     histories (what batch op-log replays produce) check in linear time.
+  *   - Refuting a pathologically concurrent history is inherently
+  *     exponential (porcupine has the same worst case and its harness treats
+  *     a 1 s timeout as pass, /root/reference/src/kvraft/test_test.go:23,447).
+  *     Past an expansion budget this checker returns [[Unknown]] — never a
+  *     wrong boolean.
   */
 object Linearizability {
+
+  sealed trait Verdict
+  case object Linearizable extends Verdict
+  case object NotLinearizable extends Verdict
+  /** Search budget exhausted before a witness or a refutation was found. */
+  case object Unknown extends Verdict
 
   /** KV model step (/root/reference/src/models/kv.go:40-54): get must observe
     * the current state; put replaces; append concatenates. */
@@ -27,59 +50,97 @@ object Linearizability {
     case _ => Some(state + o.value)
   }
 
-  /** Per-key history check: does a linearization exist? Memoized DFS: a
-    * candidate op can go next iff its call precedes every undone op's return
-    * (no undone op strictly returned before it was called). */
-  def checkKey(history: Seq[HistOp]): Boolean = {
-    val ops = history.sortBy(o => (o.call, o.ret)).toArray
-    val n = ops.length
-    if (n == 0) return true
-    if (n > 62) return checkKeyGreedy(ops) // bitmask bound; long histories → greedy
-    val seen = scala.collection.mutable.HashSet.empty[(Long, String)]
-    def dfs(doneMask: Long, state: String): Boolean = {
-      if (java.lang.Long.bitCount(doneMask) == n) return true
-      if (!seen.add((doneMask, state))) return false
-      var minRet = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        if ((doneMask & (1L << i)) == 0 && ops(i).ret < minRet) minRet = ops(i).ret
-        i += 1
+  /** Split a call-sorted history at quiescence points: cut before op i when
+    * op i's call is strictly after every earlier op's return. All ops of a
+    * component precede all ops of the next in every linearization. */
+  private[lin] def components(ops: Array[HistOp]): Array[Array[HistOp]] = {
+    val out = Array.newBuilder[Array[HistOp]]
+    var start = 0
+    var maxRet = Long.MinValue
+    var i = 0
+    while (i < ops.length) {
+      if (i > start && ops(i).call > maxRet) {
+        out += ops.slice(start, i)
+        start = i
       }
-      i = 0
-      while (i < n) {
-        if ((doneMask & (1L << i)) == 0 && ops(i).call <= minRet) {
-          step(state, ops(i)) match {
-            case Some(s2) if dfs(doneMask | (1L << i), s2) => return true
-            case _ => ()
-          }
+      if (ops(i).ret > maxRet) maxRet = ops(i).ret
+      i += 1
+    }
+    if (start < ops.length) out += ops.slice(start, ops.length)
+    out.result()
+  }
+
+  /** Per-key search. Iterative lazy DFS over frames (component, done-set
+    * within component, model state), memoized on the frame — finding one
+    * witness proves linearizable; exhausting the space refutes; exceeding
+    * `budget` frame expansions yields [[Unknown]]. */
+  def checkKeyVerdict(history: Seq[HistOp], budget: Long = 10_000_000L): Verdict = {
+    val sorted = history.sortBy(o => (o.call, o.ret)).toArray
+    if (sorted.isEmpty) return Linearizable
+    val comps = components(sorted)
+    val nComps = comps.length
+    val seen = scala.collection.mutable.HashSet.empty[(Int, BitSet, String)]
+    val stack = scala.collection.mutable.ArrayDeque.empty[(Int, BitSet, String)]
+    stack.append((0, BitSet.empty, ""))
+    var expansions = 0L
+    while (stack.nonEmpty) {
+      expansions += 1
+      if (expansions > budget) return Unknown
+      var (ci, done, state) = stack.removeLast()
+      // advance through completed components (always via the explicit frame,
+      // so cross-component revisits with the same carried state memoize)
+      if (done.size == comps(ci).length) {
+        if (ci == nComps - 1) return Linearizable
+        ci += 1
+        done = BitSet.empty
+      }
+      if (seen.add((ci, done, state))) {
+        val ops = comps(ci)
+        val n = ops.length
+        // an op may linearize next iff no undone op in its component
+        // returned strictly before its call (real-time order); ops in other
+        // components are ordered by the quiescence cut already
+        var minRet = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!done(i) && ops(i).ret < minRet) minRet = ops(i).ret
+          i += 1
         }
-        i += 1
-      }
-      false
-    }
-    dfs(0L, "")
-  }
-
-  /** Fallback for very long per-key histories: apply in (call, ret) order —
-    * sound for sequential (non-overlapping) histories, which is what batch
-    * op-log replays produce. */
-  private def checkKeyGreedy(ops: Array[HistOp]): Boolean = {
-    var state = ""
-    ops.forall { o =>
-      step(state, o) match {
-        case Some(s) => state = s; true
-        case None => false
+        i = 0
+        while (i < n) {
+          if (!done(i) && ops(i).call <= minRet) {
+            step(state, ops(i)).foreach(s2 => stack.append((ci, done + i, s2)))
+          }
+          i += 1
+        }
       }
     }
+    NotLinearizable
   }
 
-  /** Distributed check: shuffle once on key, search each key independently. */
+  /** Boolean form for histories expected to resolve within budget; throws on
+    * [[Unknown]] rather than guessing. */
+  def checkKey(history: Seq[HistOp], budget: Long = 10_000_000L): Boolean =
+    checkKeyVerdict(history, budget) match {
+      case Linearizable    => true
+      case NotLinearizable => false
+      case Unknown => throw new IllegalStateException(
+        s"linearizability search budget ($budget) exhausted; verdict unknown")
+    }
+
+  /** Distributed check: shuffle once on key, search each key independently.
+    * Verdict column: "linearizable" | "violation" | "unknown". */
   def check(history: Dataset[HistOp]): Dataset[LinVerdict] = {
     val spark = history.sparkSession
     import spark.implicits._
     history.groupByKey(_.key).mapGroups { (k, it) =>
       val ops = it.toSeq
-      LinVerdict(k, ops.size.toLong, checkKey(ops))
+      val v = checkKeyVerdict(ops) match {
+        case Linearizable    => "linearizable"
+        case NotLinearizable => "violation"
+        case Unknown         => "unknown"
+      }
+      LinVerdict(k, ops.size.toLong, v)
     }
   }
 }

@@ -60,6 +60,32 @@ object Multimodal {
     }
   }
 
+  final case class MediaFeatureCounts(doc_id: Long, media_type: String, n_bytes: Long,
+                                      b0: Long, b1: Long, b2: Long, b3: Long,
+                                      b4: Long, b5: Long, b6: Long, b7: Long,
+                                      b8: Long, b9: Long, b10: Long, b11: Long,
+                                      b12: Long, b13: Long, b14: Long, b15: Long)
+
+  /** Driver-surface form of [[extractFeatures]]: the same 16-bin high-nibble
+    * byte histogram as raw integer counts in scalar columns — exactly
+    * comparable by the oracle harness (the L1-normalized Array[Float] form is
+    * float-divided and array-typed, which the pandas canonicalizer can't
+    * sort). Same per-partition decode pass, no shuffle. */
+  def extractFeatureCounts(media: Dataset[Media]): Dataset[MediaFeatureCounts] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bins = new Array[Long](16)
+        var i = 0
+        while (i < m.bytes.length) { bins((m.bytes(i) & 0xff) >>> 4) += 1L; i += 1 }
+        MediaFeatureCounts(m.doc_id, m.media_type, m.bytes.length.toLong,
+          bins(0), bins(1), bins(2), bins(3), bins(4), bins(5), bins(6), bins(7),
+          bins(8), bins(9), bins(10), bins(11), bins(12), bins(13), bins(14), bins(15))
+      }
+    }
+  }
+
   /** Frame sampling for video rows: n evenly spaced fixed-size windows of the
     * payload (a real impl samples decoded frames; offsets are the real part). */
   def sampleFrames(media: Dataset[Media], n: Int = 4, frameSize: Int = 32): Dataset[Frame] = {
