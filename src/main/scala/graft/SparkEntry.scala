@@ -72,14 +72,19 @@ object SparkEntry {
     // dedup family
     "dedup_exact" -> Dedup.exact _,
     "dedup_token_jaccard" -> ((s: SparkSession, d: String) => Dedup.tokenJaccard(s, d)),
-    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d).toDF()),
+    // LSH candidates verified with the exact distinct-shingle jaccard: output
+    // equals the all-pairs truth (which the oracle computes) without ever
+    // materializing all pairs
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshVerified(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashDups(s, d).toDF()),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
     // similarity search
     "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
-    "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d).toDF()),
+    // ball-pruned IVF is EXACT (recall 1.0 by construction) — same oracle
+    // truth as brute force, reached through the codebook + pruning path
+    "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopKExact(s, d).toDF()),
     // multimodal plumbing
     "mm_summary" -> Multimodal.mediaSummary _,
     // scalar-bin form: raw integer byte-histogram counts (the Array[Float]
@@ -354,6 +359,53 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
+    // all-pairs exact distinct-3-shingle jaccard — the quadratic ground
+    // truth the LSH+verify pipeline must reproduce
+    "dedup_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE list_distinct(list_transform(generate_series(1, len(tk)-2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM t),
+          w AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+          sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c FROM w a JOIN w b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+          FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+                 ROUND(list_inner_product(a.emb, b.emb) /
+                   sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cosine
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT d1, d2, cosine FROM p WHERE cosine >= 0.35""",
+    "sim_topk_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
+    // ball-pruned IVF returns the exact top-k, so its oracle is the same
+    // all-pairs truth as sim_topk_brute
+    "sim_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
     "dedup_token_jaccard" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
            (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),

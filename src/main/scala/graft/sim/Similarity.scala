@@ -70,25 +70,76 @@ object Similarity {
     }
     candidates.groupByKey(_._1).flatMapGroups { (qid, it) =>
       it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
-        .iterator.zipWithIndex.map { case ((_, id, c), r) => Hit(qid, id, c, r + 1) }
+        .iterator.zipWithIndex.map { case ((_, id, c), r) =>
+          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
     }
   }
 
-  /** IVF (inverted-file) ANN: nlist deterministic centroids (lowest vec_ids —
-    * a stand-in for a k-means codebook), corpus assigned to nearest centroid,
-    * queries probe the nprobe nearest lists only. */
+  /** Trained IVF codebook: a few distributed Lloyd iterations of spherical
+    * k-means (assign by max cosine; new centroid = element-wise mean — the
+    * cosine argmax is scale-invariant, so the mean needs no renormalizing).
+    * Each iteration is one map-side-combined pass: every partition folds its
+    * rows into nlist local (sum, count) accumulators, so only
+    * O(partitions × nlist × dim) crosses the wire — the 100 TB-safe k-means
+    * shape. Init is a deterministic seeded sample (order by xxhash64 of
+    * vec_id), not the first nlist ids. Empty clusters keep their previous
+    * centroid. */
+  def trainCentroids(vecs: Dataset[Vec], nlist: Int, iters: Int = 4): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = vecs.toDF()
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist).as[Vec].collect().map(_.embedding)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials: Dataset[(Int, Array[Double], Long)] = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.isEmpty) 0 else cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { v =>
+          var best = 0; var bestC = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = cosine(v.embedding, cs(i))
+            if (c > bestC) { bestC = c; best = i }
+            i += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < dim) { sums(best)(d) += v.embedding(d).toDouble; d += 1 }
+        }
+        cs.indices.iterator.filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+      }
+      val agg = partials.groupByKey(_._1).reduceGroups { (a, b) =>
+        val s = new Array[Double](a._2.length)
+        var d = 0
+        while (d < s.length) { s(d) = a._2(d) + b._2(d); d += 1 }
+        (a._1, s, a._3 + b._3)
+      }.map(_._2).collect()
+        .map { case (cid, sum, n) => cid -> sum.map(x => (x / n).toFloat) }.toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) => agg.getOrElse(i, old) }
+      bc.unpersist()
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN with a trained k-means codebook: corpus assigned
+    * to its nearest centroid, queries probe only the nprobe nearest lists —
+    * the recall/speedup trade. At 100 TB the corpus would additionally be
+    * *stored* partitioned by list id so probing prunes parquet partitions. */
   def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 8, k: Int = 10,
               nlist: Int = 16, nprobe: Int = 4): Dataset[Hit] = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
-    val centroids = vecs.filter(_.vec_id < nlist).collect().sortBy(_.vec_id)
+    val centroids = trainCentroids(vecs, nlist)
     val bcCent = spark.sparkContext.broadcast(centroids)
     val assigned = vecs.map { v =>
       val cs = bcCent.value
       var best = 0; var bestC = Double.NegativeInfinity
       var i = 0
       while (i < cs.length) {
-        val c = cosine(v.embedding, cs(i).embedding)
+        val c = cosine(v.embedding, cs(i))
         if (c > bestC) { bestC = c; best = i }
         i += 1
       }
@@ -97,7 +148,7 @@ object Similarity {
     val queries = vecs.filter(_.vec_id < numQueries).collect()
     val bcQ = spark.sparkContext.broadcast(queries.map { q =>
       val cs = bcCent.value
-      val probes = cs.indices.map(i => (cosine(q.embedding, cs(i).embedding), i))
+      val probes = cs.indices.map(i => (cosine(q.embedding, cs(i)), i))
         .sortBy { case (c, i) => (-c, i) }.take(nprobe).map(_._2).toSet
       (q, probes)
     })
@@ -128,10 +179,138 @@ object Similarity {
     }
   }
 
+  /** IVF with provable ball-pruning — EXACT top-k (recall 1.0 by
+    * construction), not best-effort probing:
+    *
+    *   1. Train the codebook; assign every vector to its max-cosine list;
+    *      record each list's angular radius r = max angle(member, centroid).
+    *   2. Probe the nprobe nearest lists to the query → k-th best cosine τ
+    *      (a lower bound on the true k-th best).
+    *   3. A skipped list can hold a vector at angle >= θ(q, centroid) − r,
+    *      so its best possible cosine is cos(max(θ − r, 0)); scan only
+    *      lists where that bound >= τ, merge with the probe candidates.
+    *
+    * Any vector in a pruned list provably scores below τ <= true k-th best,
+    * so the result equals brute force exactly — which is the oracle. On an
+    * isotropic corpus (this fixture) the bound prunes little and the win is
+    * correctness at IVF cost; on clustered corpora (the realistic 100 TB
+    * case) step 3 skips most lists, and storage partitioned by list id turns
+    * the skip into parquet partition pruning. */
+  def ivfTopKExact(spark: SparkSession, dir: String, numQueries: Int = 8, k: Int = 10,
+                   nlist: Int = 16, nprobe: Int = 4): Dataset[Hit] = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val centroids = trainCentroids(vecs, nlist)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    def nearestList(cs: Array[Array[Float]], e: Array[Float]): Int = {
+      var best = 0; var bestC = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cosine(e, cs(i)); if (c > bestC) { bestC = c; best = i }; i += 1
+      }
+      best
+    }
+    val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v))
+    // per-list angular radius via min member-to-centroid cosine (tiny agg)
+    val radius: Map[Int, Double] = assigned
+      .map { case (l, v) => (l, cosine(v.embedding, bcCent.value(l))) }
+      .groupByKey(_._1).mapGroups((l, it) => (l, it.map(_._2).min))
+      .collect().map { case (l, cmin) => l -> math.acos(math.max(-1.0, math.min(1.0, cmin))) }
+      .toMap
+    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val probeSets: Array[(Vec, Set[Int])] = queries.map { q =>
+      val cs = bcCent.value
+      val probes = cs.indices.map(i => (cosine(q.embedding, cs(i)), i))
+        .sortBy { case (c, i) => (-c, i) }.take(nprobe).map(_._2).toSet
+      (q, probes)
+    }
+    def scan(listsPerQuery: Array[(Vec, Set[Int])]): Array[(Long, Long, Double)] = {
+      val bcQ = spark.sparkContext.broadcast(listsPerQuery)
+      assigned.mapPartitions { it =>
+        val qs = bcQ.value
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+        it.foreach { case (list, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (q, lists) = qs(qi)
+            if (lists.contains(list) && v.vec_id != q.vec_id) {
+              val c = cosine(q.embedding, v.embedding)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, v.vec_id))
+              else if (c > h.head._1 || (c == h.head._1 && v.vec_id < h.head._2)) {
+                h.dequeue(); h.enqueue((c, v.vec_id))
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case ((q, _), h) =>
+          h.iterator.map { case (c, id) => (q.vec_id, id, c) }
+        }
+      }.collect() // bounded: Q × k rows per partition merged below
+    }
+    val phase1 = scan(probeSets)
+    val tau: Map[Long, Double] = phase1.groupBy(_._1).map { case (qid, hits) =>
+      val sorted = hits.map(_._3).sorted(Ordering.Double.TotalOrdering.reverse)
+      qid -> (if (sorted.length >= k) sorted(k - 1) else Double.NegativeInfinity)
+    }
+    val survivors: Array[(Vec, Set[Int])] = probeSets.map { case (q, probed) =>
+      val cs = bcCent.value
+      val t = tau.getOrElse(q.vec_id, Double.NegativeInfinity)
+      val extra = cs.indices.filter { l =>
+        !probed.contains(l) && radius.contains(l) && {
+          val theta = math.acos(math.max(-1.0, math.min(1.0, cosine(q.embedding, cs(l)))))
+          math.cos(math.max(theta - radius(l), 0.0)) >= t
+        }
+      }.toSet
+      (q, extra)
+    }
+    val needPhase2 = survivors.filter(_._2.nonEmpty)
+    val phase2 = (if (needPhase2.nonEmpty) scan(needPhase2) else Array.empty[(Long, Long, Double)]) ++
+      phase1 // merge probe candidates with surviving-list candidates
+    val merged = phase2.groupBy(_._1).toSeq.flatMap { case (qid, hits) =>
+      hits.distinct.sortBy { case (_, id, c) => (-c, id) }.take(k)
+        .zipWithIndex.map { case ((_, id, c), r) =>
+          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
+    }
+    spark.createDataset(merged)
+  }
+
+  /** Recall@k of the IVF path against the exact brute-force top-k, per
+    * query: the hard signal that the trained codebook + probe pruning
+    * actually retrieves the true neighbors. `recall_ok` is the oracle
+    * surface (brute is itself oracle-checked against DuckDB, so the chain
+    * grounds out in an independent engine). */
+  def ivfRecall(spark: SparkSession, dir: String, numQueries: Int = 8, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4, minRecall: Double = 0.9): DataFrame = {
+    val brute = bruteForceTopK(spark, dir, numQueries, k).toDF()
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(spark, dir, numQueries, k, nlist, nprobe).toDF()
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = ivf.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+    ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_hits"),
+        (coalesce(col("n_matched"), lit(0L)) >= math.ceil(minRecall * k).toLong)
+          .as("recall_ok"))
+  }
+
   final case class EmbDup(d1: Long, d2: Long, cosine: Double)
 
+  /** Cosine rounded to 6 decimals (HALF_UP): the oracle-boundary form — a
+    * DuckDB twin computing the same dot/sqrt(aa*bb) shape agrees to far more
+    * than 6 places, so rounding makes the compare engine-independent. */
+  def cosine6(a: Array[Float], b: Array[Float]): Double = {
+    val d = dot(a, a) * dot(b, b)
+    val c = if (d == 0.0) 0.0 else dot(a, b) / math.sqrt(d)
+    BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the coarse cluster
-    * the fixture provides): all-pairs only within a block. */
+    * the fixture provides): all-pairs only within a block. Threshold applies
+    * to the 6-decimal-rounded cosine (see [[cosine6]]). */
   def embeddingNearDups(spark: SparkSession, dir: String,
                         threshold: Double = 0.95): Dataset[EmbDup] = {
     import spark.implicits._
@@ -140,12 +319,11 @@ object Similarity {
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val vs = it.map { case (_, id, e) => (id, e, norm(e)) }.toArray.sortBy(_._1)
+        val vs = it.map { case (_, id, e) => (id, e) }.toArray.sortBy(_._1)
         for {
           i <- vs.indices.iterator
           j <- (i + 1) until vs.length
-          c = { val d = vs(i)._3 * vs(j)._3
-                if (d == 0.0) 0.0 else dot(vs(i)._2, vs(j)._2) / d }
+          c = cosine6(vs(i)._2, vs(j)._2)
           if c >= threshold
         } yield EmbDup(vs(i)._1, vs(j)._1, c)
       }
