@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -202,7 +202,9 @@ object Similarity {
     val vecs = vectors(spark, dir)
     val centroids = trainCentroids(vecs, nlist)
     val bcCent = spark.sparkContext.broadcast(centroids)
-    def nearestList(cs: Array[Array[Float]], e: Array[Float]): Int = {
+    // a local `val` lambda, not a `def`: a local def lifts to a method on the
+    // non-serializable Similarity$ object and the task closure would capture it
+    val nearestList: (Array[Array[Float]], Array[Float]) => Int = (cs, e) => {
       var best = 0; var bestC = Double.NegativeInfinity
       var i = 0
       while (i < cs.length) {

@@ -18,6 +18,8 @@ class SimilaritySpec extends AnyFunSuite {
       val expected = all.filter(_.vec_id != q)
         .map(v => (Similarity.cosine(qv.embedding, v.embedding), v.vec_id))
         .sortBy { case (c, id) => (-c, id) }.take(k)
+        .map { case (c, id) =>
+          (BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
       val got = hits(q).sortBy(_.rank).map(h => (h.cosine, h.neighbor_id)).toSeq
       assert(got == expected.toSeq, s"query $q")
     }
