@@ -25,34 +25,58 @@ final case class KvState(key: String, value: String)
   *     are applied once (the invariant checkClntAppends enforces,
   *     /root/reference/src/kvraft/test_test.go:83-100).
   *
-  * Distribution: one shuffle on `key`; each key's fold is partition-local and
-  * streams its ops in sorted order — per-key state is O(value), not O(ops).
-  * At 100 TB the op log shuffles once and keys fold independently across
-  * executors; skewed hot keys are handled by AQE skew-split on the exchange.
+  * Distribution: one shuffle on `key` with a SECONDARY SORT — `repartition
+  * (key)` + `sortWithinPartitions(key, ts, clientId, seq)` — so each key's
+  * ops arrive contiguous and pre-ordered and the fold streams them one at a
+  * time. Per-key working state is O(final value + #clients-per-key), never
+  * O(ops): a hot key with a billion ops folds in constant task memory (the
+  * sort itself is Spark's spillable external sorter). Skewed hot keys are
+  * handled by AQE skew-split on the exchange.
   */
 object OpLog {
 
-  /** Apply ops to empty state, exactly-once per (clientId, seq), in (ts,
-    * clientId, seq) order per key. Returns final (key, value) states. */
+  /** Streaming per-key fold over a key-contiguous, (key, ts, clientId, seq)-
+    * sorted op iterator — the state machine of the reference's kv model
+    * (/root/reference/src/models/kv.go:40-54) with the kvraft duplicate
+    * table: clients issue `seq` monotonically, so a client's op with
+    * `seq <=` its high-water mark is a retry, applied once
+    * (/root/reference/src/kvraft/test_test.go:83-100). Emits each key's
+    * final state as soon as its last op is consumed — nothing upstream of
+    * the current key is retained. */
+  private[graft] def foldSorted(it: Iterator[Op]): Iterator[KvState] = {
+    val in = it.buffered
+    new Iterator[KvState] {
+      override def hasNext: Boolean = in.hasNext
+      override def next(): KvState = {
+        val key = in.head.key
+        val maxSeq = scala.collection.mutable.HashMap.empty[Long, Long]
+        val sb = new StringBuilder
+        while (in.hasNext && in.head.key == key) {
+          val o = in.next()
+          if (maxSeq.getOrElse(o.clientId, Long.MinValue) < o.seq) {
+            maxSeq(o.clientId) = o.seq
+            o.op match {
+              case "put"    => sb.clear(); sb.append(o.value)
+              case "append" => sb.append(o.value)
+              case _        => () // get: no state change
+            }
+          }
+        }
+        KvState(key, sb.toString)
+      }
+    }
+  }
+
+  /** Apply ops to empty state, exactly-once per client retry (per-client
+    * high-water `seq`, as in kvraft), in (ts, clientId, seq) order per key.
+    * Returns final (key, value) states. */
   def materialize(ops: Dataset[Op]): Dataset[KvState] = {
     val spark = ops.sparkSession
     import spark.implicits._
-    ops.groupByKey(_.key)
-      .mapGroups { (key, it) =>
-        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
-        val sorted = it.toArray.sortBy(o => (o.ts, o.clientId, o.seq))
-        val sb = new StringBuilder
-        var put: String = ""
-        var havePut = false
-        sorted.foreach { o =>
-          if (seen.add((o.clientId, o.seq))) o.op match {
-            case "put"    => put = o.value; havePut = true; sb.clear()
-            case "append" => sb.append(o.value)
-            case _        => () // get: no state change
-          }
-        }
-        KvState(key, (if (havePut) put else "") + sb.toString)
-      }
+    ops.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ts"), col("clientId"), col("seq"))
+      .as[Op]
+      .mapPartitions(foldSorted _)
   }
 
   /** Point lookup (K1): value of `key`, "" when absent. */

@@ -14,8 +14,10 @@ import org.apache.spark.sql.graft.ColumnBridge
   *
   * Semantics: for every left row, the LATEST right row with the same key and
   * `rightTime <= leftTime`; right columns are null when no such row exists.
-  * Ties between right rows at the same instant are broken arbitrarily; a
-  * right row exactly at `leftTime` matches (inclusive).
+  * Ties between right rows at the same instant are broken deterministically:
+  * the greatest right tuple (lexicographic over the right schema's field
+  * order) wins — so retries and re-partitionings reproduce the same output.
+  * A right row exactly at `leftTime` matches (inclusive).
   *
   * The rewrite (in [[AsOfJoinRule]]) is the linear union+window shape — tag
   * both sides, one shuffle on the key, partition-local ordered
@@ -58,8 +60,12 @@ class AsOfJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           lit(0).as("__graft_side"), lit(null).cast(lType).as("__graft_l"),
           rStruct.as("__graft_r")))
 
+      // ordering the frame by the right struct itself makes the same-instant
+      // winner deterministic (greatest right tuple) with zero extra shuffle;
+      // left rows carry null __graft_r, which sorts first within their
+      // (__graft_t, side=1) group and never affects which right row is last
       val w = Window.partitionBy(col("__graft_k"))
-        .orderBy(col("__graft_t"), col("__graft_side"))
+        .orderBy(col("__graft_t"), col("__graft_side"), col("__graft_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val res = tagged
         .withColumn("__graft_rlast", last(col("__graft_r"), ignoreNulls = true).over(w))

@@ -25,38 +25,56 @@ object EventStreams {
 
   /** Per-key KV state machine fold with exactly-once client semantics
     * (K1-K3): applies ops in ts order *within each micro-batch*, deduping on
-    * (clientId, seq) against state carried across batches. State per key =
-    * current value + per-client high-water seq (the duplicate table every
-    * kvraft implementation keeps). */
-  final case class KvSessionState(value: String, maxSeq: Map[Long, Long])
+    * per-client high-water `seq` against state carried across batches (the
+    * duplicate table every kvraft implementation keeps). Each client mark
+    * carries its last-activity event time, and marks idle longer than
+    * `dedupHorizonMs` (relative to the key's newest op) are evicted — so
+    * state per key is bounded by the number of RECENTLY ACTIVE clients, not
+    * all clients ever seen. The trade-off is the same watermark contract as
+    * [[dedupStream]]: a retry arriving after the horizon re-applies. */
+  final case class ClientMark(seq: Long, lastTs: Long)
+  final case class KvSessionState(value: String, marks: Map[Long, ClientMark])
 
-  def applyOpsToState(key: String, ops: Iterator[Op],
+  val DefaultDedupHorizonMs: Long = 24L * 3600 * 1000
+
+  def applyOpsToState(dedupHorizonMs: Long)(key: String, ops: Iterator[Op],
                       state: GroupState[KvSessionState]): KvState = {
     val st = state.getOption.getOrElse(KvSessionState("", Map.empty))
     var value = st.value
-    var maxSeq = st.maxSeq
+    var marks = st.marks
+    var maxTs = Long.MinValue
     ops.toArray.sortBy(o => (o.ts, o.clientId, o.seq)).foreach { o =>
-      if (maxSeq.getOrElse(o.clientId, Long.MinValue) < o.seq) {
-        maxSeq = maxSeq.updated(o.clientId, o.seq)
+      if (o.ts > maxTs) maxTs = o.ts
+      val prev = marks.get(o.clientId)
+      if (prev.forall(_.seq < o.seq)) {
+        marks = marks.updated(o.clientId, ClientMark(o.seq, o.ts))
         o.op match {
           case "put"    => value = o.value
           case "append" => value = value + o.value
           case _        => ()
         }
+      } else {
+        // a retry proves the client is alive: refresh its mark's clock so an
+        // actively-retrying client is never evicted mid-conversation
+        marks = marks.updated(o.clientId,
+          ClientMark(prev.get.seq, math.max(prev.get.lastTs, o.ts)))
       }
     }
-    state.update(KvSessionState(value, maxSeq))
+    if (maxTs != Long.MinValue)
+      marks = marks.filter { case (_, m) => m.lastTs >= maxTs - dedupHorizonMs }
+    state.update(KvSessionState(value, marks))
     KvState(key, value)
   }
 
   /** Streaming KV store: an op-log stream → per-key materialized state.
     * Update-mode output: one row per key touched in the micro-batch. */
-  def kvStore(ops: Dataset[Op]): Dataset[KvState] = {
+  def kvStore(ops: Dataset[Op],
+              dedupHorizonMs: Long = DefaultDedupHorizonMs): Dataset[KvState] = {
     val spark = ops.sparkSession
     import spark.implicits._
     ops.groupByKey(_.key)
       .mapGroupsWithState[KvSessionState, KvState](GroupStateTimeout.NoTimeout())(
-        applyOpsToState _)
+        applyOpsToState(dedupHorizonMs) _)
   }
 
   /** Tumbling-window event aggregation with a watermark — the streaming twin

@@ -51,6 +51,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOf.join breaks same-(key,time) right ties by greatest right tuple") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val trades = Seq(("a", 10L, "L1"), ("a", 30L, "L2")).toDF("sym", "t_trade", "trade_id")
+      // three quotes at the same instant for the same key, shuffled across
+      // partitions: the greatest right tuple (here, max quote_id since the
+      // earlier struct fields are tied) must win on every run
+      val quotes = Seq(("a", 10L, "R5"), ("a", 10L, "R9"), ("a", 10L, "R1"), ("a", 25L, "R2"))
+        .toDF("qsym", "t_quote", "quote_id")
+      for (nPart <- Seq(1, 3, 7)) {
+        val out = AsOf.join(trades, quotes.repartition(nPart), "sym" -> "qsym", "t_trade" -> "t_quote")
+          .select("trade_id", "quote_id").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(out == Map("L1" -> "R9", "L2" -> "R2"), s"nPart=$nPart")
+      }
+    }
+  }
+
   test("AsOf.join plans exactly one exchange (linear, not a range join)") {
     withExtSession { spark =>
       import spark.implicits._

@@ -122,6 +122,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.map(s => s.key -> s.value).toMap == Map("k" -> "ab"))
   }
 
+  test("KV store client marks are bounded: idle clients evict past the dedup horizon") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.kv.Op
+    val horizon = 1000L
+    val state = TestGroupState.create[EventStreams.KvSessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(),
+      hasTimedOut = false)
+    // batch 1: three clients write
+    EventStreams.applyOpsToState(horizon)("k", Iterator(
+      Op(10, 1, 1, "append", "k", "a"),
+      Op(20, 2, 1, "append", "k", "b"),
+      Op(30, 3, 1, "append", "k", "c")), state)
+    assert(state.get.marks.keySet == Set(1L, 2L, 3L))
+    // batch 2: only client 3 is active, far past the horizon → 1 and 2 evict
+    EventStreams.applyOpsToState(horizon)("k", Iterator(
+      Op(5000, 3, 2, "append", "k", "d")), state)
+    assert(state.get.marks.keySet == Set(3L), s"marks: ${state.get.marks}")
+    assert(state.get.value == "abcd")
+    // a stale retry from evicted client 1 now re-applies — the documented
+    // watermark trade-off (same contract as dropDuplicatesWithinWatermark)
+    val out = EventStreams.applyOpsToState(horizon)("k", Iterator(
+      Op(5001, 1, 1, "append", "k", "a")), state)
+    assert(out.value == "abcda")
+  }
+
   test("dropDuplicatesWithinWatermark removes redelivered events across micro-batches") {
     val in = java.nio.file.Files.createTempDirectory("dedupin").toString
     val out = java.nio.file.Files.createTempDirectory("dedupout").toString
