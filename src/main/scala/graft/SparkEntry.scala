@@ -77,6 +77,10 @@ object SparkEntry {
     // materializing all pairs
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshVerified(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashDups(s, d).toDF()),
+    // cap observability: every bucket the capped candidate generators would
+    // drop, as data — the oracle pins it EMPTY at this sf, so a silent-drop
+    // regression (or a fixture that outgrows the caps) fails loudly
+    "dedup_dropped_buckets" -> ((s: SparkSession, d: String) => Dedup.droppedBuckets(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -378,6 +382,44 @@ object SparkEntry {
           SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
           FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
           WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""",
+    // full independent recomputation of fnv64 + SimHash + pigeonhole in SQL:
+    // FNV-1a's 64-bit wraparound runs in HUGEINT mod 2^64, the xor touches
+    // only the low byte (tokens are ASCII letters, so c < 128), bit
+    // extraction is exact because powers of two are exact doubles. No cap
+    // term: dedup_dropped_buckets pins that no bucket overflows at this sf
+    "dedup_simhash" ->
+      s"""WITH occ AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS tok FROM documents),
+          vocab AS (SELECT DISTINCT tok FROM occ),
+          hashed AS (SELECT tok,
+              list_reduce(
+                list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                  list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i]) AS HUGEINT))),
+                (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                           * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+            FROM vocab),
+          bits AS (SELECT o.doc_id, b.b,
+              SUM(CASE WHEN (h.h // CAST(power(2, b.b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+            FROM occ o JOIN hashed h USING (tok)
+            CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+            GROUP BY o.doc_id, b.b),
+          sims AS (SELECT doc_id,
+              SUM(CASE WHEN acc > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sim
+            FROM bits GROUP BY doc_id),
+          chunks AS (SELECT doc_id, sim, c.c, (sim // CAST(power(2, 16 * c.c) AS HUGEINT)) % 65536 AS chunk
+            FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS s1, b.sim AS s2
+            FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+          ham AS (SELECT d1, d2,
+              SUM(CASE WHEN (s1 // p.p) % 2 <> (s2 // p.p) % 2 THEN 1 ELSE 0 END) AS hamming
+            FROM cand CROSS JOIN (SELECT CAST(power(2, unnest(range(0, 64))) AS HUGEINT) AS p) p
+            GROUP BY d1, d2)
+          SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3""",
+    // the caps lose nothing at this sf: the overflow-bucket report is empty,
+    // value-compared (schema + zero rows) so any silent drop fails the gate
+    "dedup_dropped_buckets" ->
+      """SELECT CAST(NULL AS VARCHAR) AS family, CAST(NULL AS INT) AS band,
+           CAST(NULL AS VARCHAR) AS bucket, CAST(NULL AS BIGINT) AS bucket_n
+         WHERE 1 = 0""",
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -247,28 +247,65 @@ object Dedup {
       .map { case (id, toks) => DocSim(id, simhash(toks)) }
   }
 
+  /** Pigeonhole candidate pairs over precomputed simhashes — the testable
+    * core of [[simhashDups]]. A bucket larger than `maxBucket` is dropped
+    * WHOLE (same contract as [[minhashLsh]]'s band buckets — truncation
+    * would silently bias toward low doc_ids); dropped buckets are queryable
+    * as data via [[droppedBuckets]]. */
+  def simhashPairsOf(sims: Dataset[DocSim], maxDist: Int = 3,
+                     maxBucket: Int = 4000): Dataset[SimPair] = {
+    import sims.sparkSession.implicits._
+    sims.flatMap { d =>
+      (0 until 4).iterator.map(c => ((c, (d.sim >>> (c * 16)) & 0xffffL), d))
+    }.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val docs = it.map(_._2).toArray.sortBy(_.doc_id)
+      if (docs.length > maxBucket) {
+        System.err.println(
+          s"[simhashDups] bucket $key overflow: ${docs.length} docs > $maxBucket, dropped whole")
+        Iterator.empty
+      } else
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1) until docs.length
+          dist = java.lang.Long.bitCount(docs(i).sim ^ docs(j).sim)
+          if dist <= maxDist
+        } yield SimPair(docs(i).doc_id, docs(j).doc_id, dist)
+    }.dropDuplicates("d1", "d2")
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist, using the
     * pigeonhole trick: split 64 bits into 4 chunks of 16 — any pair within
     * distance 3 agrees on at least one whole chunk, so chunk-equality buckets
     * are a complete candidate set (linear shuffle, no all-pairs). */
   def simhashDups(spark: SparkSession, dir: String, maxDist: Int = 3,
-                  maxBucket: Int = 4000): Dataset[SimPair] = {
-    import spark.implicits._
-    val sims = simhashes(spark, dir)
-    sims.flatMap { d =>
-      (0 until 4).iterator.map(c => ((c, (d.sim >>> (c * 16)) & 0xffffL), d))
-    }.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val docs = it.map(_._2).toArray.sortBy(_.doc_id)
-      if (docs.length > maxBucket)
-        System.err.println(s"[simhashDups] bucket $key overflow: ${docs.length} docs, capped to $maxBucket")
-      val d = if (docs.length > maxBucket) docs.take(maxBucket) else docs
-      for {
-        i <- d.indices.iterator
-        j <- (i + 1) until d.length
-        dist = java.lang.Long.bitCount(d(i).sim ^ d(j).sim)
-        if dist <= maxDist
-      } yield SimPair(d(i).doc_id, d(j).doc_id, dist)
-    }.dropDuplicates("d1", "d2")
+                  maxBucket: Int = 4000): Dataset[SimPair] =
+    simhashPairsOf(simhashes(spark, dir), maxDist, maxBucket)
+
+  /** Overflow buckets both capped candidate generators would drop, AS DATA —
+    * the non-silent answer to "what did the cap cost me": one row per
+    * degenerate bucket with its family and size. Empty at sane corpus/cap
+    * combinations (pinned by the oracle at test scale); at 100 TB this is
+    * the operational dashboard for cap tuning. Shares the signature /
+    * simhash plans with the generators themselves. */
+  def droppedBuckets(spark: SparkSession, dir: String, lshMaxBucket: Int = 2000,
+                     simMaxBucket: Int = 4000): DataFrame = {
+    val bandHashes = transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(slice(col("sig"), b * Rows + 1, lit(Rows))))
+    val lsh = signaturesDF(spark, dir)
+      .select(posexplode(bandHashes).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > lshMaxBucket)
+      .select(lit("minhash_lsh").as("family"), col("band"),
+        col("bh").cast("string").as("bucket"), col("bucket_n"))
+    val chunkArr = array((0 until 4).map(c =>
+      shiftrightunsigned(col("sim"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val sim = simhashes(spark, dir).toDF()
+      .select(posexplode(chunkArr).as(Seq("band", "chunk")))
+      .groupBy(col("band"), col("chunk")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > simMaxBucket)
+      .select(lit("simhash").as("family"), col("band"),
+        col("chunk").cast("string").as("bucket"), col("bucket_n"))
+    lsh.unionAll(sim)
   }
 
   // ---------------------------------------------- rolling-hash fingerprints

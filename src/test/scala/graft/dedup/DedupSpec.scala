@@ -102,6 +102,24 @@ class DedupSpec extends AnyFunSuite {
     exactDupPairs.foreach(p => assert(found.contains(p), s"missed exact dup $p"))
   }
 
+  test("simhash overflow buckets drop WHOLE, never truncate (LSH-consistent cap)") {
+    import spark.implicits._
+    // three identical sims land in one bucket per chunk; maxBucket=2 must
+    // drop the bucket entirely — truncation (the old take(maxBucket)) would
+    // still emit the (1,2) pair, biased toward low doc_ids
+    val sims = spark.createDataset(Seq(
+      Dedup.DocSim(1, 0x1234L), Dedup.DocSim(2, 0x1234L), Dedup.DocSim(3, 0x1234L),
+      Dedup.DocSim(10, 0x777700000000L), Dedup.DocSim(11, 0x777700000000L)))
+    val pairs = Dedup.simhashPairsOf(sims, maxDist = 3, maxBucket = 2).collect()
+    // doc 1/2/3 share EVERY chunk bucket (all dropped); 10/11 share theirs
+    // (size 2 <= cap) and must still pair
+    assert(pairs.map(p => (p.d1, p.d2)).toSet == Set((10L, 11L)), pairs.toSeq.toString)
+  }
+
+  test("droppedBuckets is empty at fixture scale (caps lose nothing)") {
+    assert(Dedup.droppedBuckets(spark, sf).count() == 0)
+  }
+
   test("shingle fingerprints: identical docs share all fingerprints") {
     val fps = Dedup.shingleFingerprints(spark, sf).collect().map(f => f.doc_id -> f.fps.toSeq).toMap
     val texts = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
