@@ -63,6 +63,9 @@ object SparkEntry {
     // sharding (P6, K4-K6)
     "shard_routing" -> Sharding.shardRouting _,
     "shard_config_history" -> Sharding.configHistory _,
+    // K7: keyed state carried through every config change of the script via
+    // chained migrateDF re-tags; census per (shard, gid) after each hop
+    "shard_migration" -> Sharding.migrationCensus _,
     // text analysis
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_bpe_tokens" -> TextAnalysis.bpeTokens _,
@@ -316,6 +319,24 @@ object SparkEntry {
            (5,0,1,3),(5,1,3,3),(5,2,4,3),(5,3,1,3),(5,4,1,3),(5,5,3,3),(5,6,4,3),(5,7,4,3),(5,8,1,3),(5,9,1,3),
            (6,0,3,2),(6,1,3,2),(6,2,4,2),(6,3,3,2),(6,4,4,2),(6,5,3,2),(6,6,4,2),(6,7,4,2),(6,8,3,2),(6,9,4,2))
            AS t(config_num, shard, gid, n_groups)""",
+    // independent data-plane census (routing recomputed from events in SQL)
+    // joined to the same pinned trajectory: every migration hop's end state
+    // is value-checked, not just the config plane
+    "shard_migration" ->
+      """WITH census AS (
+           SELECT ascii(substr(CAST(user_id AS VARCHAR), 1, 1)) % 10 AS shard,
+             COUNT(DISTINCT user_id) AS n_keys, COUNT(*) AS n_events
+           FROM events GROUP BY 1),
+         traj(config_num, shard, gid) AS (VALUES
+           (1,0,1),(1,1,1),(1,2,1),(1,3,1),(1,4,1),(1,5,1),(1,6,1),(1,7,1),(1,8,1),(1,9,1),
+           (2,0,2),(2,1,3),(2,2,2),(2,3,3),(2,4,2),(2,5,3),(2,6,1),(2,7,1),(2,8,1),(2,9,1),
+           (3,0,2),(3,1,3),(3,2,2),(3,3,3),(3,4,2),(3,5,3),(3,6,4),(3,7,4),(3,8,1),(3,9,1),
+           (4,0,1),(4,1,3),(4,2,4),(4,3,3),(4,4,1),(4,5,3),(4,6,4),(4,7,4),(4,8,1),(4,9,1),
+           (5,0,1),(5,1,3),(5,2,4),(5,3,1),(5,4,1),(5,5,3),(5,6,4),(5,7,4),(5,8,1),(5,9,1),
+           (6,0,3),(6,1,3),(6,2,4),(6,3,3),(6,4,4),(6,5,3),(6,6,4),(6,7,4),(6,8,3),(6,9,4))
+         SELECT CAST(config_num AS BIGINT) AS config_num, CAST(shard AS BIGINT) AS shard,
+           CAST(gid AS BIGINT) AS gid, n_keys, n_events
+         FROM traj JOIN census USING (shard)""",
     "lin_check" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
            COUNT(*) + CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS n_ops,

@@ -87,23 +87,24 @@ object Sharding {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** Config state machine exercised end-to-end (K4-K5): a deterministic
-    * Join/Join/Join/Leave/Move/Leave script from config 0, emitted as one row
-    * per (config, shard). Every intermediate config satisfies the balance
-    * invariant (spec-checked); `n_groups` tracks live replica groups. The
-    * config table is tiny by construction — it stays a driver-side value and
-    * only its *application* (routing/migration) is distributed. */
+  /** The deterministic Join/Join/Join/Leave/Move/Leave script (from config
+    * 0) every config-plane query and the migration pipeline share. */
+  val configScript: Seq[ShardConfig] = Seq[ShardConfig => ShardConfig](
+    c => join(c, Map(1 -> Seq("g1a", "g1b"))),
+    c => join(c, Map(2 -> Seq("g2a"), 3 -> Seq("g3a"))),
+    c => join(c, Map(4 -> Seq("g4a"))),
+    c => leave(c, Seq(2)),
+    c => move(c, 3, 1),
+    c => leave(c, Seq(1))).scanLeft(initial)((c, f) => f(c))
+
+  /** Config state machine exercised end-to-end (K4-K5): the script emitted as
+    * one row per (config, shard). Every intermediate config satisfies the
+    * balance invariant (spec-checked); `n_groups` tracks live replica groups.
+    * The config table is tiny by construction — it stays a driver-side value
+    * and only its *application* (routing/migration) is distributed. */
   def configHistory(spark: SparkSession, dir: String): DataFrame = {
-    val steps = Seq[ShardConfig => ShardConfig](
-      c => join(c, Map(1 -> Seq("g1a", "g1b"))),
-      c => join(c, Map(2 -> Seq("g2a"), 3 -> Seq("g3a"))),
-      c => join(c, Map(4 -> Seq("g4a"))),
-      c => leave(c, Seq(2)),
-      c => move(c, 3, 1),
-      c => leave(c, Seq(1)))
-    val history = steps.scanLeft(initial)((c, f) => f(c))
     import spark.implicits._
-    history
+    configScript
       .flatMap(c => c.shards.zipWithIndex.map { case (gid, s) =>
         (c.num.toLong, s.toLong, gid.toLong, c.groups.size.toLong)
       })
@@ -111,11 +112,96 @@ object Sharding {
   }
 
   /** Shard migration plan between two configs (K7): which shards move where.
-    * At scale this drives a `repartition` of the state store by the new
-    * assignment; unaffected shards stay put (challenge 2 semantics,
-    * /root/reference/src/shardkv/test_test.go:817,887). */
+    * Tiny by construction (<= NShards rows) — drives the data movement in
+    * [[migrateDF]] / [[migrateTable]]. */
   def migrationPlan(from: ShardConfig, to: ShardConfig): Seq[(Int, Int, Int)] =
     (0 until NShards).collect {
       case s if from.shards(s) != to.shards(s) => (s, from.shards(s), to.shards(s))
     }
+
+  /** gid of each row's `shard` under config `c`, as a codegen'd column. */
+  def gidCol(c: ShardConfig, shard: Column): Column =
+    c.shards.zipWithIndex.foldLeft(lit(0)) { case (acc, (gid, s)) =>
+      when(shard === s, lit(gid)).otherwise(acc)
+    }
+
+  /** K7 data plane, in-flight form: apply a config change to gid-tagged
+    * state. Rows in moved shards are re-tagged to their new gid; rows in
+    * unaffected shards pass through BIT-IDENTICAL and unshuffled — the
+    * rewrite is one narrow codegen'd projection over the migration plan
+    * (Challenge-2 semantics: unaffected shards never stop serving,
+    * /root/reference/src/shardkv/test_test.go:817,887). */
+  def migrateDF(state: DataFrame, from: ShardConfig, to: ShardConfig): DataFrame = {
+    val plan = migrationPlan(from, to)
+    if (plan.isEmpty) state
+    else state.withColumn("gid",
+      plan.foldLeft(col("gid")) { case (acc, (s, _, toGid)) =>
+        when(col("shard") === s, lit(toGid)).otherwise(acc)
+      })
+  }
+
+  /** K7 data plane, at-rest form: migrate a gid-PARTITIONED parquet state
+    * table across a config change, moving ONLY the bytes that must move:
+    *
+    *   1. read just the affected gid partitions (partition pruning — the
+    *      unaffected majority of the store is never opened),
+    *   2. re-tag moved shards to their new gid ([[migrateDF]]),
+    *   3. dynamic-partition-overwrite exactly the affected gid directories,
+    *   4. delete gid directories the change emptied — the reference's shard
+    *      garbage collection (challenge 1,
+    *      /root/reference/src/shardkv/test_test.go:663,744).
+    *
+    * Unaffected partitions keep their physical files byte-for-byte (the
+    * spec asserts file paths + sizes are untouched). At 100 TB this is the
+    * difference between shipping the moved shards and rewriting the world. */
+  def migrateTable(spark: SparkSession, path: String,
+                   from: ShardConfig, to: ShardConfig): Unit = {
+    val plan = migrationPlan(from, to)
+    if (plan.isEmpty) return
+    val affectedGids = (plan.map(_._2) ++ plan.map(_._3)).distinct
+    val affected = spark.read.parquet(path)
+      .filter(col("gid").isin(affectedGids.map(Int.box): _*))
+    val retagged = migrateDF(affected, from, to)
+      // eager checkpoint: breaks lineage so the overwrite below can't race
+      // its own input (Spark refuses to overwrite a path it is reading)
+      .localCheckpoint(true)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    retagged.write.mode("overwrite").partitionBy("gid").parquet(path)
+    // GC: a gid that owns no shards after the change writes no partition
+    // above, so its stale directory must be removed explicitly
+    val ownedAfter = to.shards.toSet
+    affectedGids.filterNot(ownedAfter).foreach { g =>
+      val dir = new org.apache.hadoop.fs.Path(path, s"gid=$g")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true)
+    }
+  }
+
+  /** Oracle-checked K7 query: keyed state derived from `events` (key =
+    * user_id, value = its event count) is carried through EVERY config
+    * change of [[configScript]] via chained [[migrateDF]] re-tags; after
+    * each migration the per-(shard, gid) census is emitted. The oracle
+    * recomputes the census from events in SQL and joins it to the pinned
+    * config trajectory — so both the routing and every migration hop are
+    * value-checked. */
+  def migrationCensus(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_events"))
+      .withColumn("shard", shardCol(col("key")))
+    val c1 = configScript(1)
+    var state = base.withColumn("gid", gidCol(c1, col("shard")))
+    val censuses = Seq.newBuilder[DataFrame]
+    def census(cfgNum: Int, st: DataFrame): DataFrame =
+      st.groupBy(col("shard"), col("gid"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n_events")).as("n_events"))
+        .select(lit(cfgNum.toLong).as("config_num"), col("shard").cast("bigint").as("shard"),
+          col("gid").cast("bigint").as("gid"), col("n_keys"), col("n_events"))
+    censuses += census(1, state)
+    for (t <- 2 until configScript.length) {
+      state = migrateDF(state, configScript(t - 1), configScript(t))
+      censuses += census(t, state)
+    }
+    censuses.result().reduce(_ unionAll _)
+  }
 }

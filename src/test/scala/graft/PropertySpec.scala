@@ -83,25 +83,46 @@ class PropertySpec extends AnyFunSuite {
     (Seq("put", "append", "get")(h % 3), Seq("a", "b", "c")(h / 3 % 3), s"v$cli-$seq.")
   }
 
-  private val genOps: Gen[List[(Int, Int)]] =
-    Gen.listOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 30)))
+  /** Protocol-conformant random logs: each client's fresh requests carry
+    * monotonically increasing seq (clients send request n only after n-1 —
+    * /root/reference/src/kvraft/client.go), and retries are RETRANSMISSIONS
+    * of earlier ops, possibly arriving arbitrarily late. Outside this
+    * protocol a global per-client mark and a per-key mark can disagree;
+    * inside it they cannot, which is what lets the distributed fold keep
+    * its duplicate table partition-local. */
+  private val genOps: Gen[List[(Int, Int)]] = for {
+    clis <- Gen.listOf(Gen.chooseNum(0, 3))
+    picks <- Gen.listOfN(math.min(clis.length, 8),
+      Gen.chooseNum(0, math.max(0, clis.length - 1)))
+  } yield {
+    val next = Array.fill(4)(0)
+    val base = clis.map { c => val s = next(c); next(c) += 1; (c, s) }
+    if (base.isEmpty) base else base ++ picks.distinct.sorted.map(base(_))
+  }
 
   test("OpLog.materialize equals in-memory reference fold on random logs") {
     import spark.implicits._
     forAll(genOps, 20) { raw =>
-      // ts = position; duplicate (cli, seq) draws are retries
+      // ts = position; the appended picks are late retransmissions
       val ops = raw.zipWithIndex.map { case ((cli, seq), i) =>
         val (op, k, v) = reqOf(cli, seq)
         Op(i.toLong, cli.toLong, seq.toLong, op, k, v)
       }
       val expected = {
-        val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+        // per-client high-water dedup — the kvraft duplicate table: clients
+        // issue seq monotonically, so an op at or below the mark is a stale
+        // retransmission (matches OpLog.foldSorted and the streaming twin).
+        // NOTE the mark is global per client, not per (client, key)
+        val maxSeq = scala.collection.mutable.Map.empty[Long, Long]
         val state = scala.collection.mutable.Map.empty[String, String].withDefaultValue("")
         ops.sortBy(o => (o.ts, o.clientId, o.seq)).foreach { o =>
-          if (seen.add((o.clientId, o.seq))) o.op match {
-            case "put"    => state(o.key) = o.value
-            case "append" => state(o.key) = state(o.key) + o.value
-            case _        => ()
+          if (maxSeq.getOrElse(o.clientId, Long.MinValue) < o.seq) {
+            maxSeq(o.clientId) = o.seq
+            o.op match {
+              case "put"    => state(o.key) = o.value
+              case "append" => state(o.key) = state(o.key) + o.value
+              case _        => ()
+            }
           }
         }
         // one row per key referenced in the log; get-only keys read as ""

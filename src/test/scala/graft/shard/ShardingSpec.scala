@@ -1,6 +1,7 @@
 package graft.shard
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 class ShardingSpec extends AnyFunSuite {
   import Sharding._
@@ -52,6 +53,96 @@ class ShardingSpec extends AnyFunSuite {
     assert(key2shard("0") == '0'.toInt % 10)
     assert(key2shard("") == 0)
     (0 to 9).foreach(d => assert(key2shard(d.toString) == ('0' + d) % 10))
+  }
+
+  test("migrateTable moves shard data between gid partitions; unaffected files untouched (K7)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("shardstate").toString + "/state"
+
+    // configs: {1,2} -> join(3): shards move from 1 and 2 onto 3; some
+    // shards of both 1 and 2 stay put
+    val from = join(join(initial, Map(1 -> Seq("a"))), Map(2 -> Seq("b")))
+    val to = join(from, Map(3 -> Seq("c")))
+    val plan = migrationPlan(from, to)
+    assert(plan.nonEmpty && plan.forall(_._3 == 3))
+
+    // keyed rows over every shard: key "<d>k<i>" -> shard = first byte % 10
+    val rows = for (d <- 0 to 9; i <- 0 until 5) yield {
+      val key = s"${d}k$i"
+      (key, s"v$d-$i", key2shard(key))
+    }
+    val state = rows.toDF("key", "value", "shard")
+      .withColumn("gid", gidCol(from, col("shard")))
+    state.write.partitionBy("gid").parquet(path)
+
+    def files(gid: Int): Map[String, Long] = {
+      val dir = new java.io.File(path, s"gid=$gid")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before1 = files(1)
+    val before2 = files(2)
+    assert(before1.nonEmpty && before2.nonEmpty)
+
+    migrateTable(spark, path, from, to)
+
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("value"),
+        r.getAs[Int]("shard"), r.getAs[Int]("gid")))
+    // complete: every row survived, values intact
+    assert(after.length == rows.length)
+    assert(after.map(t => (t._1, t._2)).toSet == rows.map(t => (t._1, t._2)).toSet)
+    // correct: every row sits at its new config's gid
+    after.foreach { case (key, _, shard, gid) =>
+      assert(gid == to.shards(shard), s"key $key shard $shard at gid $gid, want ${to.shards(shard)}")
+    }
+    // moved shards landed in gid=3's partition directory
+    assert(files(3).nonEmpty)
+    // both source gids still own shards after the change -> their partition
+    // dirs were rewritten in place (affected), but no rows were lost above;
+    // a gid that owned NOTHING would have been GC'd:
+    val gone = leave(to, Seq(1, 2))
+    migrateTable(spark, path, to, gone)
+    assert(files(1).isEmpty && files(2).isEmpty, "emptied gid partitions must be GC'd")
+    val after2 = spark.read.parquet(path).collect()
+    assert(after2.length == rows.length)
+  }
+
+  test("migrateTable leaves unaffected gid partitions physically untouched") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("shardstate2").toString + "/state"
+    // three groups; then MOVE one shard of gid 1 to gid 2: gid 3 is not in
+    // the plan at all and its files must not be rewritten
+    val base = join(join(join(initial, Map(1 -> Seq("a"))), Map(2 -> Seq("b"))), Map(3 -> Seq("c")))
+    val shardOf1 = base.shards.indexOf(1)
+    val moved = move(base, shardOf1, 2)
+
+    val rows = for (d <- 0 to 9; i <- 0 until 3) yield {
+      val key = s"${d}x$i"
+      (key, s"w$d-$i", key2shard(key))
+    }
+    rows.toDF("key", "value", "shard")
+      .withColumn("gid", gidCol(base, col("shard")))
+      .write.partitionBy("gid").parquet(path)
+
+    def listing(gid: Int): Set[(String, Long, Long)] = {
+      val dir = new java.io.File(path, s"gid=$gid")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val gid3Before = listing(3)
+    assert(gid3Before.nonEmpty)
+    migrateTable(spark, path, base, moved)
+    // unaffected gid: same file names, sizes, mtimes — served throughout
+    assert(listing(3) == gid3Before)
+    // the moved shard's rows now read back under gid 2
+    val got = spark.read.parquet(path).filter(col("shard") === shardOf1)
+      .select("gid").distinct().collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2))
   }
 
   test("migration plan lists exactly the changed shards") {
