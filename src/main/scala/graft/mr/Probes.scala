@@ -68,4 +68,66 @@ object Probes {
     }
     def reduce(key: String, values: Iterator[String]): String = app.reduce(key, values)
   }
+
+  /** Deterministic per-(seed, partition, attempt) decision hash. */
+  private def chaosHash(seed: Long, partition: Int, attempt: Int): Int = {
+    var h = 0xcbf29ce484222325L ^ seed
+    h = (h ^ partition) * 0x100000001b3L
+    h = (h ^ attempt) * 0x100000001b3L
+    ((h >>> 33) % 100).toInt
+  }
+
+  /** CONTINUOUS chaos — the Spark expression of the reference's crash loop
+    * (workers randomly dying and rejoining under load the whole run,
+    * /root/reference/src/main/test-mr.sh:160-200 + crash.go `maybeCrash`:
+    * 33% die, else maybe stall): every task attempt of BOTH stages decides
+    * from hash(seed, partition, attempt) to die (~`pCrashPct`%, possibly on
+    * consecutive attempts) or stall up to 200 ms (reordering stress). The
+    * final attempt allowed by `spark.task.maxFailures` is left clean so the
+    * job always completes — the reference's crash loop likewise never kills
+    * the coordinator. Output must be byte-equal to the fault-free run for
+    * EVERY seed; each injected death exercises scheduler reassignment plus
+    * shuffle-refetch on the reduce side. */
+  def chaosLoop(app: MrApp, seed: Long, pCrashPct: Int = 40,
+                maxInjectedFailures: Int = 2): MrApp = new MrApp {
+    val name: String = app.name + s"_chaosloop$seed"
+    private def maybeCrash(stage: String): Unit = {
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() < maxInjectedFailures) {
+        val h = chaosHash(seed, tc.partitionId(), tc.attemptNumber())
+        if (h < pCrashPct)
+          throw new RuntimeException(
+            s"[chaosLoop] injected $stage death, task ${tc.partitionId()} attempt ${tc.attemptNumber()} seed $seed")
+        if (h >= 80) Thread.sleep(h % 200L) // crash.go's stall branch
+      }
+    }
+    def map(filename: String, contents: String): Iterator[KV] = {
+      maybeCrash("map")
+      app.map(filename, contents)
+    }
+    def reduce(key: String, values: Iterator[String]): String = {
+      maybeCrash("reduce")
+      app.reduce(key, values)
+    }
+  }
+
+  /** Environmental straggler probe for SPECULATION: partition `slowPart`'s
+    * first attempt sleeps `slowMs` (a slow host, not slow work — any other
+    * attempt of the same partition is fast), every other partition returns
+    * promptly. With speculation enabled the scheduler launches a second
+    * attempt of the straggler after the quantile+multiplier threshold and
+    * the job finishes without waiting out the sleeper — Spark's version of
+    * the reference's backup-task reassignment on a 10 s silence
+    * (/root/reference/src/mr/master.go:116-134). */
+  def stragglerProbe(spark: SparkSession, n: Int = 8, slowPart: Int = 0,
+                     slowMs: Long = 20000): DataFrame = {
+    import spark.implicits._
+    spark.range(n).repartition(n).mapPartitions { it =>
+      val tc = TaskContext.get()
+      val partSum = it.foldLeft(0L)((a, x) => a + x)
+      if (tc.partitionId() == slowPart && tc.attemptNumber() == 0)
+        Thread.sleep(slowMs)
+      Iterator.single((tc.partitionId(), tc.attemptNumber(), partSum))
+    }.toDF("partition", "attempt", "part_sum")
+  }
 }
