@@ -49,7 +49,7 @@ object Indexer extends MrApp {
   def map(filename: String, contents: String): Iterator[KV] =
     Tokenize(contents).distinct.iterator.map(w => KV(w, filename))
   def reduce(key: String, values: Iterator[String]): String = {
-    val docs = values.toArray.distinct.sorted
+    val docs = values.toArray.distinct.sorted(MrJob.goStringOrdering)
     s"${docs.length} ${docs.mkString(",")}"
   }
 }
@@ -65,7 +65,7 @@ object NocrashApp extends MrApp {
     KV("c", contents.length.toString),
     KV("d", "xyzzy"))
   def reduce(key: String, values: Iterator[String]): String =
-    values.toArray.sorted.mkString(" ")
+    values.toArray.sorted(MrJob.goStringOrdering).mkString(" ")
 }
 
 object MrApps {

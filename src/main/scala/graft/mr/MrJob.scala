@@ -54,12 +54,38 @@ object MrJob {
       .mapGroups((k, vs) => KV(k, app.reduce(k, vs.map(_.value))))
   }
 
-  /** Final text sink `"<key> <value>"` lines, globally sorted — the form
-    * test-mr.sh compares (/root/reference/src/mr/worker.go:179,
-    * src/main/test-mr.sh:56). */
+  /** Go's string ordering: unsigned lexicographic over UTF-8 bytes (what
+    * `sort.Strings` / Go's `<` compare, /root/reference/src/mr/worker.go:30).
+    * Java's natural String order compares UTF-16 code units instead, and the
+    * two DISAGREE outside the BMP: a supplementary letter (surrogates
+    * 0xD800-0xDFFF) sorts before high-BMP letters (0xE000-0xFFFF) in Java
+    * but after them in Go/UTF-8 (its first byte is >= 0xF0). Every surface
+    * that must match reference output byte-for-byte sorts with THIS. */
+  val goStringOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** Final text sink `"<key> <value>"` lines, globally sorted in Go byte
+    * order — the form test-mr.sh compares
+    * (/root/reference/src/mr/worker.go:179, src/main/test-mr.sh:56).
+    * Ordering by the UTF-8 encoding (BinaryType compares unsigned
+    * byte-wise) IS Go's string order; a plain `orderBy(line)` would use
+    * UTF-16 code-unit order and mis-sort non-BMP corpora. */
   def toTextLines(out: Dataset[KV]): DataFrame =
     out.select(concat_ws(" ", col("key"), col("value")).as("line"))
-      .orderBy(col("line"))
+      .orderBy(encode(col("line"), "UTF-8"))
+      .select(col("line"))
 
   /** Treat the fixture `documents` table as a corpus: doc_id is the
     * "filename", text the contents. */

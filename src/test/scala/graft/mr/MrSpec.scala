@@ -89,7 +89,31 @@ class MrSpec extends AnyFunSuite {
   test("text sink lines are '<key> <value>' globally sorted") {
     val out = MrJob.toTextLines(MrJob.run(WordCount, MrJob.documentsCorpus(spark, sf)))
       .collect().map(_.getString(0))
-    assert(out.toSeq == out.toSeq.sorted)
+    assert(out.toSeq == out.toSeq.sorted(MrJob.goStringOrdering))
     assert(out.head.split(" ").length == 2)
+  }
+
+  test("non-BMP corpus: distributed output equals sequential oracle under Go byte-wise sort") {
+    // U+FA00 (CJK compat ideograph, letter, UTF-16 0xFA00 / UTF-8 EF A8 80)
+    // vs U+10400 (Deseret capital, letter, UTF-16 D801 DC00 / UTF-8 F0 90
+    // 90 80): Java's String order puts the Deseret token FIRST (0xD801 <
+    // 0xFA00), Go's byte-wise order puts it LAST (0xF0 > 0xEF). This corpus
+    // pins the sink to the reference's ordering (worker.go:30 sort.Strings)
+    val cjk = "切"
+    val deseret = new String(Character.toChars(0x10400))
+    val dir = java.nio.file.Files.createTempDirectory("utf8corpus")
+    java.nio.file.Files.write(dir.resolve("u1.txt"),
+      s"alpha $deseret $cjk beta $deseret".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("u2.txt"),
+      s"$cjk $cjk gamma $deseret".getBytes("UTF-8"))
+    val corpus = MrJob.readCorpus(spark, dir.toString + "/*.txt")
+    val dist = MrJob.toTextLines(MrJob.run(WordCount, corpus)).collect().map(_.getString(0))
+    val oracle = MrJob.runOracle(WordCount, corpus).collect()
+      .map(kv => s"${kv.key} ${kv.value}").sorted(MrJob.goStringOrdering)
+    assert(dist.sameElements(oracle),
+      s"dist=${dist.mkString("|")} oracle=${oracle.mkString("|")}")
+    // the pin discriminates: Java's natural order gives a DIFFERENT sequence
+    assert(dist.toSeq != dist.toSeq.sorted,
+      "corpus failed to discriminate UTF-16 vs UTF-8 ordering")
   }
 }
