@@ -58,4 +58,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(p.cosine >= 0.3)
     }
   }
+
+  test("chunked near-dups on a hot label: equal to all-pairs, every task group bounded") {
+    import spark.implicits._
+    // ONE label with 600 vectors — the skew case that used to be a single
+    // quadratic task; with maxBlock=64 it becomes (10 choose 2)+10 bounded
+    // chunk-pair groups
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val vecs = (0L until 600L).map { id =>
+      (7, id, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val maxBlock = 64
+    val got = Similarity.chunkedNearDups(spark.createDataset(vecs), threshold = 0.8,
+        maxBlock = maxBlock).collect()
+      .map(p => (p.d1, p.d2, p.cosine)).sorted.toSeq
+    val want = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      c = Similarity.cosine6(vecs(i)._3, vecs(j)._3)
+      if c >= 0.8
+    } yield (vecs(i)._2, vecs(j)._2, c)).toSeq.sorted
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == want)
+    // no group may approach label size: 2*maxBlock + hash-imbalance slack
+    val nc = (600 + maxBlock - 1) / maxBlock
+    val chunkSizes = vecs.groupBy(v => math.floorMod(
+      Similarity.mix64(v._2), nc.toLong).toInt).view.mapValues(_.size)
+    assert(chunkSizes.values.max <= 2 * maxBlock,
+      s"hash imbalance beyond slack: $chunkSizes")
+  }
 }
