@@ -70,16 +70,42 @@ object Linearizability {
     out.result()
   }
 
+  /** 128-bit frame digest for the DFS memo: mixes (component index, done
+    * bitmask, model state chars) through two independently-seeded SplitMix64
+    * chains. Storing 16 bytes per visited frame instead of the frame's full
+    * state string bounds memo memory by ENTRY COUNT, not by state length —
+    * long append-built states no longer accumulate in executor heap. A
+    * false memo hit needs a 128-bit collision among the <= `maxMemo` stored
+    * digests (~2^-90 at the default cap) — far below the search's own
+    * Unknown-budget fallback; porcupine's cache likewise keys on a hashed
+    * bitset (/root/reference/src/porcupine/checker.go:34-45). */
+  private def frameDigest(ci: Int, done: BitSet, state: String): (Long, Long) = {
+    var h1 = 0x9e3779b97f4a7c15L
+    var h2 = 0xc2b2ae3d27d4eb4fL
+    @inline def put(x: Long): Unit = {
+      h1 = graft.sim.Similarity.mix64(h1 ^ x)
+      h2 = graft.sim.Similarity.mix64(h2 + x)
+    }
+    put(ci.toLong)
+    done.toBitMask.foreach(put)
+    put(state.length.toLong)
+    var i = 0
+    while (i < state.length) { put(state.charAt(i).toLong); i += 1 }
+    (h1, h2)
+  }
+
   /** Per-key search. Iterative lazy DFS over frames (component, done-set
-    * within component, model state), memoized on the frame — finding one
-    * witness proves linearizable; exhausting the space refutes; exceeding
-    * `budget` frame expansions yields [[Unknown]]. */
-  def checkKeyVerdict(history: Seq[HistOp], budget: Long = 10_000_000L): Verdict = {
+    * within component, model state), memoized on a 128-bit frame digest —
+    * finding one witness proves linearizable; exhausting the space refutes;
+    * exceeding `budget` frame expansions OR `maxMemo` memoized frames
+    * yields [[Unknown]] — never a wrong boolean and never an OOM. */
+  def checkKeyVerdict(history: Seq[HistOp], budget: Long = 10_000_000L,
+                      maxMemo: Int = 4_000_000): Verdict = {
     val sorted = history.sortBy(o => (o.call, o.ret)).toArray
     if (sorted.isEmpty) return Linearizable
     val comps = components(sorted)
     val nComps = comps.length
-    val seen = scala.collection.mutable.HashSet.empty[(Int, BitSet, String)]
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
     val stack = scala.collection.mutable.ArrayDeque.empty[(Int, BitSet, String)]
     stack.append((0, BitSet.empty, ""))
     var expansions = 0L
@@ -94,7 +120,8 @@ object Linearizability {
         ci += 1
         done = BitSet.empty
       }
-      if (seen.add((ci, done, state))) {
+      if (seen.size >= maxMemo) return Unknown
+      if (seen.add(frameDigest(ci, done, state))) {
         val ops = comps(ci)
         val n = ops.length
         // an op may linearize next iff no undone op in its component

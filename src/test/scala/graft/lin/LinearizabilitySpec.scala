@@ -91,6 +91,16 @@ class LinearizabilitySpec extends AnyFunSuite {
     assert(v == Linearizability.Unknown || v == Linearizability.Linearizable)
   }
 
+  test("memo cap returns Unknown instead of unbounded memory (never a wrong boolean)") {
+    // a width-8 fully-concurrent component forces many memoized frames;
+    // with maxMemo=4 the search must give up as Unknown, and with the
+    // default cap it resolves to a definite verdict
+    val wide = (0 until 8).map(i => HistOp("k", 2, i.toString, "", 0, 100))
+    val history = wide :+ HistOp("k", 0, "", wide.indices.map(_.toString).mkString, 200, 201)
+    assert(Linearizability.checkKeyVerdict(history, maxMemo = 4) == Linearizability.Unknown)
+    assert(Linearizability.checkKeyVerdict(history) == Linearizability.Linearizable)
+  }
+
   test("exhaustive refutation on a concurrent history of moderate width") {
     // 8 overlapping pairs: full refutation of an impossible get must visit
     // every interleaving class (2^8 carried states) and still answer false
