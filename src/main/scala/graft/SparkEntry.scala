@@ -84,6 +84,9 @@ object SparkEntry {
     // drop, as data — the oracle pins it EMPTY at this sf, so a silent-drop
     // regression (or a fixture that outgrows the caps) fails loudly
     "dedup_dropped_buckets" -> ((s: SparkSession, d: String) => Dedup.droppedBuckets(s, d)),
+    // the keep-list: exact-dup + jaccard near-dup edges, connected
+    // components via iterative min-label propagation, canonical = min id
+    "dedup_components" -> ((s: SparkSession, d: String) => Dedup.nearDupComponents(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -435,6 +438,30 @@ object SparkEntry {
             FROM cand CROSS JOIN (SELECT CAST(power(2, unnest(range(0, 64))) AS HUGEINT) AS p) p
             GROUP BY d1, d2)
           SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3""",
+    // independent recomputation of BOTH edge sets and the components: the
+    // same jaccard pipeline as dedup_token_jaccard, exact-text pairs, then
+    // min-label connectivity as a recursive CTE — grounds the iterative
+    // Spark propagation in DuckDB's fixpoint semantics
+    "dedup_components" ->
+      s"""WITH RECURSIVE
+          w AS (SELECT DISTINCT doc_id, lang, source, word FROM
+            (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c FROM w a JOIN w b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          jpairs AS (SELECT d1, d2 FROM jp JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+            WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+          ex AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b
+            ON a.text = b.text AND a.doc_id < b.doc_id),
+          e0 AS (SELECT d1, d2 FROM jpairs UNION SELECT d1, d2 FROM ex),
+          edges AS (SELECT d1 AS src, d2 AS dst FROM e0 UNION SELECT d2 AS src, d1 AS dst FROM e0),
+          cc AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+            UNION
+            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+          SELECT node AS doc_id, MIN(label) AS canonical_id, (node = MIN(label)) AS keep
+          FROM cc GROUP BY node""",
     // the caps lose nothing at this sf: the overflow-bucket report is empty,
     // value-compared (schema + zero rows) so any silent drop fails the gate
     "dedup_dropped_buckets" ->

@@ -308,6 +308,66 @@ object Dedup {
     lsh.unionAll(sim)
   }
 
+  // ------------------------------------------- components / keep-list
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with itself; each round every node takes the min label
+    * among itself and its neighbors; fixpoint = component-minimum labels.
+    * Rounds needed = component diameter — near-dup clusters are shallow
+    * (diameter a handful), so this converges in a few joins; each round is
+    * one shuffle join + one partial-aggregated groupBy, and the frontier is
+    * `localCheckpoint`ed so the plan stays flat across iterations. (For
+    * adversarially deep graphs the standard upgrade is alternating
+    * large-star/small-star — O(log²) rounds — same join shape.)
+    *
+    * `edges` needs columns (d1, d2), undirected, any orientation; `nodes`
+    * one column `node` covering at least every endpoint — isolated nodes
+    * keep their own label. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionAll(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** The output a dedup pipeline actually acts on: one row per document with
+    * its near-dup component's canonical (minimum) doc_id and a keep flag.
+    * Edges = exact-duplicate groups (star to the group minimum — same
+    * connectivity as all-pairs) ∪ token-jaccard near-dup pairs. Documents in
+    * no pair keep themselves. The oracle recomputes both edge sets and the
+    * components with a recursive CTE in DuckDB. */
+  def nearDupComponents(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val jac = tokenJaccard(spark, dir, threshold).select(col("d1"), col("d2"))
+    val exEdges = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("d1"), collect_set(col("doc_id")).as("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val labels = connectedComponents(jac.unionAll(exEdges),
+      docs.select(col("doc_id").as("node")))
+    labels.select(col("node").as("doc_id"), col("label").as("canonical_id"),
+      (col("node") === col("label")).as("keep"))
+  }
+
   // ---------------------------------------------- rolling-hash fingerprints
 
   final case class DocFp(doc_id: Long, fps: Array[Long])

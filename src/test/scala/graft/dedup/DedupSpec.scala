@@ -120,6 +120,51 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.droppedBuckets(spark, sf).count() == 0)
   }
 
+  test("connectedComponents equals driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+    val got = Dedup.connectedComponents(
+        edges.toDF("d1", "d2"), (0L until n.toLong).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // canonical = component minimum; union-find roots ARE minima here
+    // because union always points the larger root at the smaller
+    assert(got == want)
+  }
+
+  test("connectedComponents converges on a deep path graph (worst diameter)") {
+    import spark.implicits._
+    val path = (0L until 15L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(path.toDF("d1", "d2"),
+        (0L to 15L).toDF("node"), maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("nearDupComponents: canonical ids are component minima, keep iff canonical") {
+    val rows = Dedup.nearDupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (doc, canon, keep) =>
+      assert(canon <= doc)
+      assert(keep == (doc == canon))
+    }
+    // every canonical id keeps itself
+    val canons = rows.map(_._2).toSet
+    val keepers = rows.filter(_._3).map(_._1).toSet
+    assert(canons.subsetOf(keepers))
+  }
+
   test("shingle fingerprints: identical docs share all fingerprints") {
     val fps = Dedup.shingleFingerprints(spark, sf).collect().map(f => f.doc_id -> f.fps.toSeq).toMap
     val texts = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
