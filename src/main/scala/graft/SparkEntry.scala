@@ -72,6 +72,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_langid" -> TextAnalysis.langId _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    // Gopher/C4 repetition + shape filters with a combined verdict column
+    "text_gopher_filters" -> TextAnalysis.gopherFilters _,
     // dedup family
     "dedup_exact" -> Dedup.exact _,
     "dedup_token_jaccard" -> ((s: SparkSession, d: String) => Dedup.tokenJaccard(s, d)),
@@ -389,6 +391,26 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(${toks("lower(text)")})), ' ')) AS fp
           FROM documents""",
+    "text_gopher_filters" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+          g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+                 FROM t, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+          g2c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+          g2s AS (SELECT doc_id, MAX(c) AS g2_max, SUM(c) AS g2_n FROM g2c GROUP BY 1),
+          g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+                 FROM t, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+          g3c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+          g3s AS (SELECT doc_id, SUM(c) AS g3_n, COUNT(*) AS g3_d FROM g3c GROUP BY 1),
+          base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_word_len
+               FROM t)
+          SELECT b.doc_id, b.n_words, b.mean_word_len,
+            CAST(g2_max AS DOUBLE) / g2_n AS top_bigram_frac,
+            CAST(g3_n - g3_d AS DOUBLE) / g3_n AS dup_trigram_frac,
+            (b.n_words >= 30 AND b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0
+             AND CAST(g2_max AS DOUBLE) / g2_n <= 0.1
+             AND CAST(g3_n - g3_d AS DOUBLE) / g3_n <= 0.05) AS gopher_ok
+          FROM base b JOIN g2s USING (doc_id) JOIN g3s USING (doc_id)""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",

@@ -90,6 +90,53 @@ object TextAnalysis {
         .otherwise("zh").as("lang_pred"))
   }
 
+  /** Gopher/C4-style repetition + shape filters (Rae et al. 2021 §A1.1,
+    * Raffel et al. 2020 §2.2 — published heuristics every LLM data pipeline
+    * applies before training): per document,
+    *
+    *   - `top_bigram_frac`: fraction of word 2-grams taken by the most
+    *     frequent 2-gram (boilerplate/chant detector),
+    *   - `dup_trigram_frac`: fraction of word 3-grams that are duplicates
+    *     ((n − distinct)/n — loop/spam detector),
+    *   - `n_words`, `mean_word_len`, and the combined `gopher_ok` verdict
+    *     with thresholds in the papers' spirit, tightened to discriminate
+    *     on this corpus.
+    *
+    * All ratios are double divisions of exact integer counts (bit-identical
+    * across engines). Plan: two explode → partial-aggregated groupBy
+    * pipelines joined back on doc_id — at 100 TB each is one shuffle keyed
+    * by (doc, gram), no window, no holistic state. */
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    val tk = tokensCol(col("text"))
+    def grams(n: Int) = transform(sequence(lit(0), size(col("tk")) - n),
+      i => concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("bigint").as("n_words"),
+        (aggregate(transform(col("tk"), t => length(t).cast("bigint")),
+          lit(0L), (acc, x) => acc + x).cast("double") / size(col("tk")))
+          .as("mean_word_len"))
+    def gramStats(n: Int, prefix: String) =
+      base.select(col("doc_id"), explode(grams(n)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          max(col("c")).as(s"${prefix}_max"),
+          sum(col("c")).as(s"${prefix}_n"),
+          count(lit(1)).as(s"${prefix}_d"))
+    base.select(col("doc_id"), col("n_words"), col("mean_word_len"))
+      .join(gramStats(2, "g2"), "doc_id")
+      .join(gramStats(3, "g3"), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        (col("g2_max").cast("double") / col("g2_n")).as("top_bigram_frac"),
+        ((col("g3_n") - col("g3_d")).cast("double") / col("g3_n")).as("dup_trigram_frac"),
+        (col("n_words") >= 30 && col("mean_word_len") >= 3.0 &&
+          col("mean_word_len") <= 10.0 &&
+          col("g2_max").cast("double") / col("g2_n") <= 0.1 &&
+          (col("g3_n") - col("g3_d")).cast("double") / col("g3_n") <= 0.05)
+          .as("gopher_ok"))
+  }
+
   /** Document fingerprint: md5 of the canonical form (lowercased, distinct
     * tokens, sorted, space-joined) — an order-insensitive content hash for
     * cross-corpus dedup joins. A Karp-Rabin rolling-hash variant lives in
