@@ -97,6 +97,10 @@ object SparkEntry {
     // ball-pruned IVF is EXACT (recall 1.0 by construction) — same oracle
     // truth as brute force, reached through the codebook + pruning path
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopKExact(s, d).toDF()),
+    // the AT-REST index: corpus stored partitioned by IVF list id, probes
+    // prune parquet partitions; same exact search + oracle as sim_topk_ivf
+    "sim_topk_ivf_stored" -> ((s: SparkSession, d: String) => Similarity.ivfTopKStored(
+      s, d, java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index").toDF()),
     // recall@k of the APPROXIMATE ivfTopK path vs brute force, swept over
     // nprobe ∈ {4, 8, 16}: monotone recall surface; the nprobe = nlist row is
     // exactly recall 1.0 by construction (full probe ≡ brute force), the
@@ -512,6 +516,19 @@ object SparkEntry {
     // ball-pruned IVF returns the exact top-k, so its oracle is the same
     // all-pairs truth as sim_topk_brute
     "sim_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
+    // the stored-index search is exact too: identical all-pairs truth
+    "sim_topk_ivf_stored" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
          c AS (SELECT query_id, v.vec_id AS neighbor_id,

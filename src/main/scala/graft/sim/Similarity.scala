@@ -224,17 +224,33 @@ object Similarity {
       .collect().map { case (l, cmin) => l -> math.acos(math.max(-1.0, math.min(1.0, cmin))) }
       .toMap
     val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val out = exactScanMerge(spark, _ => assigned, centroids, radius, queries, k, nprobe)
+    assigned.unpersist()
+    out
+  }
+
+  /** Shared two-phase exact IVF search over any (list, vector) source —
+    * the in-memory path passes the persisted assignment; the stored-index
+    * path passes a parquet read PRUNED to the requested lists. `scanSource`
+    * may over-deliver rows (the scan re-checks per-query list membership);
+    * each scan ships at most Q × k candidate rows per partition and the
+    * merge stays distributed (groupByKey on Q keys). */
+  private def exactScanMerge(spark: SparkSession,
+                             scanSource: Set[Int] => Dataset[(Int, Vec)],
+                             centroids: Array[Array[Float]],
+                             radius: Map[Int, Double],
+                             queries: Array[Vec], k: Int, nprobe: Int): Dataset[Hit] = {
+    import spark.implicits._
+    val bcCent = spark.sparkContext.broadcast(centroids)
     val probeSets: Array[(Vec, Set[Int])] = queries.map { q =>
       val cs = bcCent.value
       val probes = cs.indices.map(i => (cosine(q.embedding, cs(i)), i))
         .sortBy { case (c, i) => (-c, i) }.take(nprobe).map(_._2).toSet
       (q, probes)
     }
-    // each scan is a Dataset of candidates — at most Q × k rows per partition
-    // ever cross the wire; the merge stays distributed (groupByKey on Q keys)
     def scan(listsPerQuery: Array[(Vec, Set[Int])]): Dataset[(Long, Long, Double)] = {
       val bcQ = spark.sparkContext.broadcast(listsPerQuery)
-      assigned.mapPartitions { it =>
+      scanSource(listsPerQuery.iterator.flatMap(_._2).toSet).mapPartitions { it =>
         val qs = bcQ.value
         val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
           Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
@@ -288,8 +304,70 @@ object Similarity {
     }.persist()
     out.count() // materialize (Q × k rows) so the intermediates can be freed
     phase1.unpersist()
-    assigned.unpersist()
     out
+  }
+
+  // ------------------------------------------------ stored IVF index
+
+  final case class IvfIndex(path: String, centroids: Array[Array[Float]],
+                            radius: Map[Int, Double])
+
+  /** Build the AT-REST form of the IVF index: the corpus written as a
+    * parquet table `PARTITIONED BY (list_id)` — one directory per inverted
+    * list — plus the codebook and per-list angular radii as driver-side
+    * metadata (at 100 TB these tiny tables live next to the index). Probing
+    * then prunes PARQUET PARTITIONS, not just rows: a query that probes
+    * nprobe of nlist lists opens nprobe/nlist of the corpus bytes. This is
+    * the storage layout the in-memory `ivfTopK*` docs promise. */
+  def buildIvfIndex(spark: SparkSession, dir: String, path: String,
+                    nlist: Int = 16): IvfIndex = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val centroids = trainCentroids(vecs, nlist)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val nearestList: (Array[Array[Float]], Array[Float]) => Int = (cs, e) => {
+      var best = 0; var bestC = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cosine(e, cs(i)); if (c > bestC) { bestC = c; best = i }; i += 1
+      }
+      best
+    }
+    val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v.vec_id, v.embedding))
+      .toDF("list_id", "vec_id", "embedding").persist()
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val radius: Map[Int, Double] = assigned
+      .select(col("list_id"), col("embedding")).as[(Int, Array[Float])]
+      .map { case (l, e) => (l, cosine(e, bcCent.value(l))) }
+      .groupByKey(_._1).mapGroups((l, it) => (l, it.map(_._2).min))
+      .collect().map { case (l, cmin) => l -> math.acos(math.max(-1.0, math.min(1.0, cmin))) }
+      .toMap
+    assigned.unpersist()
+    IvfIndex(path, centroids, radius)
+  }
+
+  /** Reader for one probe pass over the stored index: only the requested
+    * lists' partition directories are opened (partition pruning on
+    * `list_id` — spec-asserted via the scan's PartitionFilters). */
+  def storedLists(spark: SparkSession, indexPath: String, lists: Set[Int]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("list_id").isin(lists.toSeq.map(Int.box): _*))
+      .select(col("list_id"), col("vec_id"), col("embedding"))
+
+  /** EXACT top-k over the stored index — same ball-pruned two-phase search
+    * and the same brute-force oracle as [[ivfTopKExact]], but every scan
+    * reads only the probed/surviving lists' parquet partitions. */
+  def ivfTopKStored(spark: SparkSession, dir: String, indexPath: String,
+                    numQueries: Int = 8, k: Int = 10,
+                    nlist: Int = 16, nprobe: Int = 4): Dataset[Hit] = {
+    import spark.implicits._
+    val idx = buildIvfIndex(spark, dir, indexPath, nlist)
+    val queries = vectors(spark, dir).filter(_.vec_id < numQueries).collect()
+    exactScanMerge(spark,
+      lists => storedLists(spark, idx.path, lists)
+        .as[(Int, Long, Array[Float])]
+        .map { case (l, id, e) => (l, Vec(id, e)) },
+      idx.centroids, idx.radius, queries, k, nprobe)
   }
 
   /** Recall@k of the *approximate* IVF path against the exact brute-force

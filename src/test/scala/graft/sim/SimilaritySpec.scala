@@ -59,6 +59,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("stored IVF index: exact results AND parquet partition pruning on probes") {
+    val path = java.nio.file.Files.createTempDirectory("ivfspec").toString + "/index"
+    val stored = Similarity.ivfTopKStored(spark, sf, path, numQueries = 4, k = 5)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 4, k = 5)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    assert(stored == brute, "stored-index search must be exact")
+    // the index is physically partitioned by list id...
+    val dirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("list_id="))
+    assert(dirs.length > 1, s"expected multiple list partitions, got ${dirs.toSeq}")
+    // ...and a probe's scan plan prunes to the requested partitions
+    val probe = Similarity.storedLists(spark, path, Set(0, 1))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
+      s"no partition filter on list_id in:\n$plan")
+  }
+
   test("chunked near-dups on a hot label: equal to all-pairs, every task group bounded") {
     import spark.implicits._
     // ONE label with 600 vectors — the skew case that used to be a single
