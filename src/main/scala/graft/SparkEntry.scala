@@ -113,6 +113,9 @@ object SparkEntry {
     // canonicalizer can't sort array columns)
     "mm_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatureCounts(Multimodal.mediaTable(s, d)).toDF()),
+    // frame sampling over the binary payload: evenly spaced fixed-size
+    // windows per video row; the oracle recomputes offsets + frame md5
+    "mm_frame_sample" -> Multimodal.frameSample _,
     // linearizability (A7): per-user append history from events (nanos call/
     // ret — unique per user, so the fold is sequential and checks in linear
     // time), with a PLANTED violation for every user_id % 7 == 0: a trailing
@@ -597,5 +600,17 @@ object SparkEntry {
            CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
            CAST(SUM(strlen(text)) AS DOUBLE) / COUNT(*) AS avg_bytes
          FROM documents GROUP BY 1""",
+    // the payload is ASCII (strlen == byte length), so VARCHAR substring md5
+    // equals Spark's binary-slice md5 byte-for-byte
+    "mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, text, strlen(text) AS len FROM documents
+                    WHERE CAST(doc_id % 3 AS INT) = 2),
+         f AS (SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+                 CAST(LEAST(len * i.i // 4, GREATEST(len - 1, 0)) AS INT) AS byte_offset, len, text
+               FROM v, (SELECT unnest(range(0, 4)) AS i) i)
+         SELECT doc_id, frame_idx, byte_offset,
+           CAST(LEAST(byte_offset + 32, len) - byte_offset AS BIGINT) AS n_bytes,
+           md5(substring(text, byte_offset + 1, LEAST(byte_offset + 32, len) - byte_offset)) AS frame_md5
+         FROM f""",
   )
 }

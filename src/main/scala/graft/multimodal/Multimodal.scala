@@ -21,7 +21,8 @@ object Multimodal {
                          width: Int, height: Int, duration_ms: Long)
   final case class MediaFeatures(doc_id: Long, media_type: String,
                                  n_bytes: Long, features: Array[Float])
-  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Int,
+                         frame_bytes: Array[Byte])
 
   /** Derive a deterministic fake media table from `documents`: the UTF-8 text
     * bytes stand in for an encoded payload; metadata derives from doc fields. */
@@ -97,9 +98,21 @@ object Multimodal {
       else (0 until n).iterator.map { i =>
         val off = math.min((len.toLong * i / n).toInt, math.max(0, len - 1))
         val end = math.min(off + frameSize, len)
-        Frame(m.doc_id, i, java.util.Arrays.copyOfRange(m.bytes, off, end))
+        Frame(m.doc_id, i, off, java.util.Arrays.copyOfRange(m.bytes, off, end))
       }
     }
+  }
+
+  /** Oracle surface of [[sampleFrames]]: frame coordinates plus the md5 of
+    * each frame's bytes — value-comparable while keeping the binary payload
+    * out of the compare (the payload is ASCII here, so the oracle's VARCHAR
+    * substring md5 is byte-identical). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("byte_offset"),
+        length(col("frame_bytes")).cast("bigint").as("n_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
   }
 
   /** Oracle-friendly summary: per media_type, row/byte counts and mean
