@@ -166,13 +166,16 @@ object Dedup {
     * exchange) and drops degenerate buckets > maxBucket so a pathological
     * corpus can't go quadratic inside one task. Everything below is native
     * expressions — no JVM-object shuffle, whole plan codegen/Tungsten. */
+  /** LSH band hashes of a `sig` array column: xxhash64 of each band's rows. */
+  def bandHashesCol(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(slice(sig, b * Rows + 1, lit(Rows))))
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.7,
                  maxBucket: Int = 2000): Dataset[NearDup] = {
     import spark.implicits._
-    val bandHashes = transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(slice(col("sig"), b * Rows + 1, lit(Rows))))
     val banded = signaturesDF(spark, dir)
-      .select(col("doc_id"), col("sig"), posexplode(bandHashes).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("sig"), posexplode(bandHashesCol(col("sig"))).as(Seq("band", "bh")))
     val byBucket = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(byBucket))
@@ -289,10 +292,8 @@ object Dedup {
     * simhash plans with the generators themselves. */
   def droppedBuckets(spark: SparkSession, dir: String, lshMaxBucket: Int = 2000,
                      simMaxBucket: Int = 4000): DataFrame = {
-    val bandHashes = transform(sequence(lit(0), lit(Bands - 1)),
-      b => xxhash64(slice(col("sig"), b * Rows + 1, lit(Rows))))
     val lsh = signaturesDF(spark, dir)
-      .select(posexplode(bandHashes).as(Seq("band", "bh")))
+      .select(posexplode(bandHashesCol(col("sig"))).as(Seq("band", "bh")))
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > lshMaxBucket)
       .select(lit("minhash_lsh").as("family"), col("band"),

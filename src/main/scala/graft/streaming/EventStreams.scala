@@ -155,6 +155,65 @@ object EventStreams {
       .withWatermark("ts_ts", delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  // ------------------------------------------------ streaming near-dup LSH
+
+  final case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Array[Long])
+  final case class StreamPair(d1: Long, d2: Long, est_jaccard: Double)
+  final case class BucketState(members: Seq[(Long, Array[Long])])
+
+  /** Streaming twin of [[graft.dedup.Dedup.minhashLsh]] for an ingest
+    * pipeline: as documents arrive, each is minhashed (the same fused
+    * codegen `minhash_tokens` expression — Catalyst expressions run
+    * unchanged on streams), exploded to its LSH band buckets, and matched
+    * via `flatMapGroupsWithState` keyed by (band, bucket) against the
+    * bucket's previously-seen signatures. Emits a pair the moment the
+    * SECOND member of a near-dup pair arrives — across micro-batches,
+    * restart-safe through the state store.
+    *
+    * Contract differences vs the batch pass, both inherent to streaming:
+    * a pair colliding in multiple bands is emitted once per colliding band
+    * (batch dropDuplicates is a second stateful op; dedup downstream or in
+    * the sink), and a bucket past `maxBucket` stops ADMITTING members
+    * (batch drops the whole bucket retroactively — a stream cannot). State
+    * per bucket is <= maxBucket signatures. */
+  def nearDupPairsStream(docs: DataFrame, threshold: Double = 0.7,
+                         maxBucket: Int = 64): Dataset[StreamPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val banded = docs.select(
+        col("doc_id"),
+        graft.functions.MinHash.minhashTokensCol(
+          graft.text.TextAnalysis.tokensCol(lower(col("text")))).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(Dedup.bandHashesCol(col("sig"))).as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("doc_id"), col("sig"))
+      .as[BandedDoc]
+    banded.groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState[BucketState, StreamPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[StreamPair]
+          // deterministic within a micro-batch regardless of arrival order
+          rows.toArray.sortBy(_.doc_id).foreach { d =>
+            members.foreach { case (id, sig) =>
+              if (id != d.doc_id) {
+                var eq = 0
+                var i = 0
+                while (i < sig.length) { if (sig(i) == d.sig(i)) eq += 1; i += 1 }
+                val est = eq.toDouble / sig.length
+                if (est >= threshold)
+                  out += StreamPair(math.min(id, d.doc_id), math.max(id, d.doc_id), est)
+              }
+            }
+            if (members.size < maxBucket) members = members :+ (d.doc_id -> d.sig)
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
   /** Run a streaming query over the fixture events *as a stream* (one file
     * source micro-batch) into an in-memory sink; returns the materialized
     * result. Used by tests to prove batch/stream parity. */

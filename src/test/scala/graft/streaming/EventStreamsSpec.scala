@@ -122,6 +122,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.map(s => s.key -> s.value).toMap == Map("k" -> "ab"))
   }
 
+  test("streaming LSH near-dup pairs equal batch minhashLsh across micro-batches") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("lshin").toString
+    val out = java.nio.file.Files.createTempDirectory("lshout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lshckpt").toString
+
+    // fixture docs split into two files => two micro-batches: near-dup pairs
+    // spanning the split can only be found through the bucket STATE
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+
+    val q = EventStreams.nearDupPairsStream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(in),
+        threshold = 0.7).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.dedup.Dedup.minhashLsh(spark, sf, threshold = 0.7).collect()
+      .map(p => (p.d1, p.d2, p.est_jaccard)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+  }
+
   test("KV store client marks are bounded: idle clients evict past the dedup horizon") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.kv.Op
