@@ -42,12 +42,41 @@ object Linearizability {
   /** Search budget exhausted before a witness or a refutation was found. */
   case object Unknown extends Verdict
 
-  /** KV model step (/root/reference/src/models/kv.go:40-54): get must observe
+  /** A sequential specification in porcupine's model shape
+    * (/root/reference/src/porcupine/model.go:27-43): initial state, a step
+    * that applies an (operation, claimed output) pair and reports whether it
+    * is consistent, and a canonical rendering used for frame memoization.
+    * The search below is generic over the model — the KV model is simply
+    * the one the reference's tests exercise. */
+  trait LinModel[S] extends Serializable {
+    def init: S
+    def step(state: S, op: HistOp): Option[S]
+    def render(state: S): String
+  }
+
+  /** KV model (/root/reference/src/models/kv.go:40-54): get must observe
     * the current state; put replaces; append concatenates. */
-  private def step(state: String, o: HistOp): Option[String] = o.op match {
-    case 0 => if (o.output == state) Some(state) else None
-    case 1 => Some(o.value)
-    case _ => Some(state + o.value)
+  object KvModel extends LinModel[String] {
+    def init: String = ""
+    def step(state: String, o: HistOp): Option[String] = o.op match {
+      case 0 => if (o.output == state) Some(state) else None
+      case 1 => Some(o.value)
+      case _ => Some(state + o.value)
+    }
+    def render(state: String): String = state
+  }
+
+  /** Read-write register (porcupine's canonical example model): put
+    * replaces, get must observe — no append. Exists to prove the checker is
+    * model-generic, like porcupine's registerModel. */
+  object RegisterModel extends LinModel[String] {
+    def init: String = ""
+    def step(state: String, o: HistOp): Option[String] = o.op match {
+      case 0 => if (o.output == state) Some(state) else None
+      case 1 => Some(o.value)
+      case _ => None // registers have no append
+    }
+    def render(state: String): String = state
   }
 
   /** Split a call-sorted history at quiescence points: cut before op i when
@@ -94,20 +123,22 @@ object Linearizability {
     (h1, h2)
   }
 
-  /** Per-key search. Iterative lazy DFS over frames (component, done-set
-    * within component, model state), memoized on a 128-bit frame digest —
-    * finding one witness proves linearizable; exhausting the space refutes;
-    * exceeding `budget` frame expansions OR `maxMemo` memoized frames
-    * yields [[Unknown]] — never a wrong boolean and never an OOM. */
-  def checkKeyVerdict(history: Seq[HistOp], budget: Long = 10_000_000L,
+  /** Per-key search, generic over the sequential model. Iterative lazy DFS
+    * over frames (component, done-set within component, model state),
+    * memoized on a 128-bit frame digest — finding one witness proves
+    * linearizable; exhausting the space refutes; exceeding `budget` frame
+    * expansions OR `maxMemo` memoized frames yields [[Unknown]] — never a
+    * wrong boolean and never an OOM. */
+  def checkVerdict[S](history: Seq[HistOp], model: LinModel[S],
+                      budget: Long = 10_000_000L,
                       maxMemo: Int = 4_000_000): Verdict = {
     val sorted = history.sortBy(o => (o.call, o.ret)).toArray
     if (sorted.isEmpty) return Linearizable
     val comps = components(sorted)
     val nComps = comps.length
     val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
-    val stack = scala.collection.mutable.ArrayDeque.empty[(Int, BitSet, String)]
-    stack.append((0, BitSet.empty, ""))
+    val stack = scala.collection.mutable.ArrayDeque.empty[(Int, BitSet, S)]
+    stack.append((0, BitSet.empty, model.init))
     var expansions = 0L
     while (stack.nonEmpty) {
       expansions += 1
@@ -121,7 +152,7 @@ object Linearizability {
         done = BitSet.empty
       }
       if (seen.size >= maxMemo) return Unknown
-      if (seen.add(frameDigest(ci, done, state))) {
+      if (seen.add(frameDigest(ci, done, model.render(state)))) {
         val ops = comps(ci)
         val n = ops.length
         // an op may linearize next iff no undone op in its component
@@ -136,7 +167,7 @@ object Linearizability {
         i = 0
         while (i < n) {
           if (!done(i) && ops(i).call <= minRet) {
-            step(state, ops(i)).foreach(s2 => stack.append((ci, done + i, s2)))
+            model.step(state, ops(i)).foreach(s2 => stack.append((ci, done + i, s2)))
           }
           i += 1
         }
@@ -144,6 +175,12 @@ object Linearizability {
     }
     NotLinearizable
   }
+
+  /** KV-model form — the per-key entry the distributed check and the
+    * reference's tests use. */
+  def checkKeyVerdict(history: Seq[HistOp], budget: Long = 10_000_000L,
+                      maxMemo: Int = 4_000_000): Verdict =
+    checkVerdict(history, KvModel, budget, maxMemo)
 
   /** Boolean form for histories expected to resolve within budget; throws on
     * [[Unknown]] rather than guessing. */

@@ -91,6 +91,29 @@ class LinearizabilitySpec extends AnyFunSuite {
     assert(v == Linearizability.Unknown || v == Linearizability.Linearizable)
   }
 
+  test("checker is model-generic: register model rejects what the KV model accepts") {
+    import Linearizability._
+    // put(a) concurrent with get observing "ab" after an append: fine for
+    // the KV model, impossible for a read-write register (no append op)
+    val history = Seq(
+      HistOp("r", 1, "a", "", 0, 10),
+      HistOp("r", 2, "b", "", 11, 12), // append
+      HistOp("r", 0, "", "ab", 13, 14))
+    assert(checkVerdict(history, KvModel) == Linearizable)
+    assert(checkVerdict(history, RegisterModel) == NotLinearizable)
+    // pure put/get histories agree across models
+    val rw = Seq(
+      HistOp("r", 1, "x", "", 0, 1),
+      HistOp("r", 1, "y", "", 0, 5), // concurrent with the get below
+      HistOp("r", 0, "", "x", 2, 3))
+    assert(checkVerdict(rw, RegisterModel) == Linearizable)
+    assert(checkVerdict(rw, KvModel) == Linearizable)
+    val bad = Seq(
+      HistOp("r", 1, "x", "", 0, 1),
+      HistOp("r", 0, "", "z", 2, 3)) // z never written
+    assert(checkVerdict(bad, RegisterModel) == NotLinearizable)
+  }
+
   test("memo cap returns Unknown instead of unbounded memory (never a wrong boolean)") {
     // a width-8 fully-concurrent component forces many memoized frames;
     // with maxMemo=4 the search must give up as Unknown, and with the
