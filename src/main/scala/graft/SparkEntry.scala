@@ -74,6 +74,10 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     // Gopher/C4 repetition + shape filters with a combined verdict column
     "text_gopher_filters" -> TextAnalysis.gopherFilters _,
+    // deterministic hash-bucket sampling: language-mixture downsampling and
+    // the 80/10/10 split — every row's fate reproducible in both engines
+    "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
+    "sample_split" -> graft.sample.Sampling.split _,
     // dedup family
     "dedup_exact" -> Dedup.exact _,
     "dedup_token_jaccard" -> ((s: SparkSession, d: String) => Dedup.tokenJaccard(s, d)),
@@ -142,6 +146,14 @@ object SparkEntry {
 
   // Shared SQL fragments for the oracle side.
   private val tokEx = "string_split_regex(text, '[^\\p{L}]+')"
+  /** FNV-1a 32-bit of an ASCII VARCHAR column, masked to 31 bits, mod 100 —
+    * the DuckDB re-derivation of [[graft.functions.Fnv32]]'s bucket (mod-2^32
+    * wraparound in HUGEINT, xor on the low byte since ASCII < 128). */
+  private def fnvBucket(s: String) =
+    s"""CAST(list_reduce(list_prepend(CAST(2166136261 AS HUGEINT),
+        list_transform(range(1, length($s) + 1), i -> CAST(ascii(($s)[i]) AS HUGEINT))),
+        (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 16777619)
+          % CAST(4294967296 AS HUGEINT)) % CAST(2147483648 AS HUGEINT) % 100 AS INT)"""
   private def toks(src: String) = s"list_filter(string_split_regex($src, '[^\\p{L}]+'), x -> x <> '')"
   private val revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
@@ -600,6 +612,16 @@ object SparkEntry {
            CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
            CAST(SUM(strlen(text)) AS DOUBLE) / COUNT(*) AS avg_bytes
          FROM documents GROUP BY 1""",
+    "sample_mixture" ->
+      s"""WITH b AS (SELECT doc_id, lang, ${fnvBucket("CAST(doc_id AS VARCHAR)")} AS bucket FROM documents)
+          SELECT doc_id, lang, bucket FROM b
+          WHERE bucket < CASE lang WHEN 'en' THEN 90 WHEN 'fr' THEN 75 WHEN 'de' THEN 50
+                                   WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END""",
+    "sample_split" ->
+      s"""WITH b AS (SELECT doc_id, lang, ${fnvBucket("CAST(doc_id AS VARCHAR)")} AS bucket FROM documents)
+          SELECT doc_id, lang, bucket,
+            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+          FROM b""",
     // the payload is ASCII (strlen == byte length), so VARCHAR substring md5
     // equals Spark's binary-slice md5 byte-for-byte
     "mm_frame_sample" ->
