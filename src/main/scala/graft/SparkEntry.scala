@@ -38,6 +38,7 @@ object SparkEntry {
     "q_window_topn" -> RelationalQueries.qWindowTopN _,
     "q_setops" -> RelationalQueries.qSetOps _,
     "q_rollup" -> RelationalQueries.qRollup _,
+    "q_cube" -> RelationalQueries.qCube _,
     "ev_hourly_agg" -> RelationalQueries.evHourlyAgg _,
     "ev_sessionize" -> RelationalQueries.evSessionize _,
     "q_asof_join" -> RelationalQueries.qAsofJoin _,
@@ -215,6 +216,12 @@ object SparkEntry {
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "ev_hourly_agg" ->
       """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms, event_type,
            COUNT(*) AS n_events,

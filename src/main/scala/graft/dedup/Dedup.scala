@@ -334,6 +334,14 @@ object Dedup {
     * keep their own label. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // Frontier handling: localCheckpoint(true), NOT persist+unpersist.
+    // Unpersisting an upstream cached frame (cascade=false) re-caches its
+    // dependents LAZILY against the raw lineage, discarding materialized
+    // buffers — in an iterative chain that degenerates to exponential
+    // recompute (observed: a 16-node path graph spun for minutes). The
+    // checkpoint truncates lineage each round instead; the retained blocks
+    // are one tiny label table per round (|nodes| rows), reclaimed by the
+    // ContextCleaner once the frame references are GC'd.
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(true)

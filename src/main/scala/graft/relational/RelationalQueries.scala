@@ -160,6 +160,20 @@ object RelationalQueries {
         col("n_orders"), col("total_price"))
   }
 
+  /** CUBE over (status, priority): all four grouping combinations in one
+    * pass — completes the rollup / grouping-sets family. Same single
+    * shuffle as a plain groupBy: Spark expands the grouping sets map-side. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+  }
+
   /** Time-bucketed event aggregation (the batch shape of a streaming
     * tumbling-window agg; the Structured Streaming twin lives in
     * [[graft.streaming.EventStreams]]). Bucket is epoch-millis of the hour —
