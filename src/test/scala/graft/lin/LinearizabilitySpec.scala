@@ -114,6 +114,21 @@ class LinearizabilitySpec extends AnyFunSuite {
     assert(checkVerdict(bad, RegisterModel) == NotLinearizable)
   }
 
+  test("LinViz renders a bar per op, lanes overlapping ops, and the verdict") {
+    import Linearizability._
+    val history = Seq(
+      HistOp("k", 1, "a", "", 0, 10),
+      HistOp("k", 0, "", "never", 5, 8), // concurrent with the put; violating get
+      HistOp("k", 2, "b", "", 20, 25))
+    val html = LinViz.render("k", history, checkKeyVerdict(history))
+    assert(html.contains("NotLinearizable"))
+    assert("<rect ".r.findAllIn(html).size == 3)
+    assert(html.contains("get() -&gt; “never”") || html.contains("get()"))
+    // the two overlapping ops must occupy different lanes (different y)
+    val ys = """<rect x="[^"]*" y="([0-9.]+)"""".r.findAllMatchIn(html).map(_.group(1)).toSeq
+    assert(ys.distinct.size >= 2, s"lanes: $ys")
+  }
+
   test("memo cap returns Unknown instead of unbounded memory (never a wrong boolean)") {
     // a width-8 fully-concurrent component forces many memoized frames;
     // with maxMemo=4 the search must give up as Unknown, and with the
