@@ -26,6 +26,25 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("map-only operators plan ZERO exchanges (sampling, frame sampling, text filters scan side)") {
+    // these are pure scan→project→filter pipelines: any Exchange in the
+    // plan means a regression reintroduced a shuffle where none is needed
+    val mapOnly = Seq(
+      "sample_mixture" -> sample.Sampling.mixture(spark, sf),
+      "sample_split" -> sample.Sampling.split(spark, sf),
+      "mm_frame_sample" -> multimodal.Multimodal.frameSample(spark, sf))
+    mapOnly.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n${plan.take(1500)}")
+    }
+  }
+
+  test("sampling scan prunes to the two referenced columns") {
+    val plan = sample.Sampling.split(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("doc_id") && !plan.contains("text"),
+      "split should never read the text column")
+  }
+
   test("pushdown: q6 reaches the parquet scan with filters and pruned schema") {
     val plan = relational.RelationalQueries.q6ForecastRevenue(spark, sf)
       .queryExecution.executedPlan.toString
