@@ -345,7 +345,11 @@ object Dedup {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // only nodes that appear in an edge can ever change label — iterate over
+    // those (typically a small fraction of the corpus) and fold the isolated
+    // majority back in at the end with label = self
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -362,7 +366,8 @@ object Dedup {
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   /** The output a dedup pipeline actually acts on: one row per document with
