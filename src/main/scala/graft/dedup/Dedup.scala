@@ -327,7 +327,11 @@ object Dedup {
     * one shuffle join + one partial-aggregated groupBy, and the frontier is
     * `localCheckpoint`ed so the plan stays flat across iterations. (For
     * adversarially deep graphs the standard upgrade is alternating
-    * large-star/small-star — O(log²) rounds — same join shape.)
+    * large-star/small-star — O(log²) rounds — same join shape.) At 100 TB
+    * the edge table would be a bucketed table on `src` so the per-round
+    * join reuses one physical partitioning instead of re-exchanging edges
+    * (checkpointed RDD partitioning is invisible to Catalyst — a known
+    * trade of checkpoint-based iteration; GraphFrames pays the same).
     *
     * `edges` needs columns (d1, d2), undirected, any orientation; `nodes`
     * one column `node` covering at least every endpoint — isolated nodes

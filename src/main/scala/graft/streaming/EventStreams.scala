@@ -155,6 +155,32 @@ object EventStreams {
       .withWatermark("ts_ts", delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Per-hour trending event types: the windowed-agg + finalized-window
+    * top-k pattern. The stateful half is a plain watermarked tumbling-window
+    * count (append mode emits each (window, type) exactly once, when the
+    * watermark closes the window); the RANKING half runs sink-side in
+    * `foreachBatch` over those finalized rows — rank-within-window needs all
+    * of a window's groups, which append mode guarantees arrive together, so
+    * no second stateful operator is required. Returns the agg stream; pair
+    * with [[topKOfFinalized]] in the sink. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events.withColumn("ts_ts", timestamp_millis(expr("ts DIV 1000000")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n_events"))
+
+  /** Sink-side ranking of finalized windows: top-k event types per hour.
+    * Deterministic tie-break on event_type. */
+  def topKOfFinalized(finalized: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_ms")).orderBy(col("n_events").desc, col("event_type"))
+    finalized.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("hour_ms"), col("event_type"), col("n_events"), col("rank").cast("int").as("rank"))
+  }
+
   // ------------------------------------------------ streaming near-dup LSH
 
   final case class BandedDoc(band: Int, bh: Long, doc_id: Long, sig: Array[Long])

@@ -122,6 +122,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.map(s => s.key -> s.value).toMap == Map("k" -> "ab"))
   }
 
+  test("streaming windowed top-k: finalized-window ranking equals batch") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("topkin").toString
+    val out = java.nio.file.Files.createTempDirectory("topkout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("topkckpt").toString
+
+    val ev = graft.Tables.events(spark, sf).select(col("ts"), col("event_type"))
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+    ev.coalesce(1).write.mode("append").parquet(in)
+    // sentinel in a LATER file: advances the watermark past every real
+    // window so append mode finalizes them all; its own window never closes
+    Thread.sleep(1100) // file-source orders batches by mod time (second granularity)
+    Seq((maxTs + 3L * 86400 * 1000000000L, "zzz_sentinel")).toDF("ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val q = EventStreams.hourlyTypeCounts(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(in))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // all groups of a closed window arrive in the same micro-batch, so
+        // sink-side ranking sees complete windows
+        EventStreams.topKOfFinalized(df, k = 3).write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2))).toMap
+    val batch = EventStreams.topKOfFinalized(
+        graft.relational.RelationalQueries.evHourlyAgg(spark, sf)
+          .select(col("hour_ms"), col("event_type"), col("n_events")), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed.toSet -- batch.toSet).take(3)} batch-only=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("streaming LSH near-dup pairs equal batch minhashLsh across micro-batches") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("lshin").toString
