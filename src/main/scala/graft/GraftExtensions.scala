@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new graft.plans.AsOfJoinRule(session))
+    // physical tier: TopKPerKeyPlan → TopKFinalExec(TopKPartialExec(...))
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_fnv32"),
       info("graft_fnv32", "graft_fnv32(str) - FNV-1a 32-bit hash masked to 31 bits."),

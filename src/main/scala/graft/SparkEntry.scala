@@ -46,6 +46,14 @@ object SparkEntry {
     // (requires the GraftExtensions session Verify/Bench build) — checked
     // against the same DuckDB oracle as q_asof_join
     "q_asof_operator" -> RelationalQueries.qAsofOperator _,
+    // per-key top-k through the custom PHYSICAL operator (TopKPerKeyPlan →
+    // planner strategy → TopKPartialExec/TopKFinalExec): map-side bounded
+    // heaps shed all but keys×k rows before the exchange; the window oracle
+    // is the semantic truth it must reproduce
+    "q_topn_physical" -> ((s: SparkSession, d: String) =>
+      graft.plans.TopK.perKey(
+        graft.Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 2)),
     "q_quantiles" -> RelationalQueries.qQuantiles _,
     "q_min_cost_supplier" -> RelationalQueries.qMinCostSupplier _,
     "ev_approx_users" -> RelationalQueries.evApproxUsers _,
@@ -216,6 +224,13 @@ object SparkEntry {
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q_topn_physical" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+           FROM orders)
+         WHERE rank <= 2""",
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
