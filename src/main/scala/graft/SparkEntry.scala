@@ -57,6 +57,8 @@ object SparkEntry {
     "q_quantiles" -> RelationalQueries.qQuantiles _,
     "q_min_cost_supplier" -> RelationalQueries.qMinCostSupplier _,
     "ev_approx_users" -> RelationalQueries.evApproxUsers _,
+    // quantile sketch (GK, bounded-memory, mergeable) vs holistic exact
+    "q_quantiles_sketch" -> RelationalQueries.qQuantilesSketch _,
     "ev_range_join" -> RelationalQueries.evRangeJoin _,
     "q_grouping_sets" -> RelationalQueries.qGroupingSets _,
     "q_skew_salted" -> RelationalQueries.qSkewSalted _,
@@ -282,6 +284,14 @@ object SparkEntry {
            COUNT(*) AS n_events,
            (ABS(CAST(approx_count_distinct(user_id) AS BIGINT) - COUNT(DISTINCT user_id))
               / CAST(COUNT(DISTINCT user_id) AS DOUBLE)) <= 0.1 AS estimate_ok
+         FROM events GROUP BY event_type""",
+    // each engine's own sketch must land in the exact p45..p55 envelope
+    "q_quantiles_sketch" ->
+      """SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           COUNT(*) AS n,
+           (approx_quantile(value, 0.5) BETWEEN quantile_cont(value, 0.45)
+              AND quantile_cont(value, 0.55)) AS sketch_ok
          FROM events GROUP BY event_type""",
     "ev_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, event_type FROM events),

@@ -351,6 +351,24 @@ object RelationalQueries {
         max(col("value")).as("v_max"),
         count(lit(1)).as("n"))
 
+  /** Quantile SKETCH next to the exact answer — the distributed-quantile
+    * pattern at 100 TB (exact percentile is holistic: it buffers each
+    * group's values; the GK sketch is bounded-memory and mergeable
+    * map-side). Like [[evApproxUsers]], sketch values are engine-specific,
+    * so each engine asserts ITS sketch lands inside the exact p45..p55
+    * value envelope (rank error at accuracy 1000 is 0.1% — orders of
+    * magnitude inside the band) and the oracle compares the exact median
+    * plus both booleans. */
+  def qQuantilesSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50_exact"),
+        count(lit(1)).as("n"),
+        (percentile_approx(col("value"), lit(0.5), lit(1000))
+          .between(percentile(col("value"), lit(0.45)), percentile(col("value"), lit(0.55))))
+          .as("sketch_ok"))
+
   /** Sessionization via gap > 30 min: lag window + conditional cumulative sum.
     * One shuffle on user_id, then partition-local windows. */
   def evSessionize(spark: SparkSession, dir: String): DataFrame = {
