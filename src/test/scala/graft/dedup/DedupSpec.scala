@@ -120,26 +120,27 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.droppedBuckets(spark, sf).count() == 0)
   }
 
-  test("connectedComponents equals driver-side union-find on a random graph") {
+  test("connectedComponents equals driver-side union-find on random graphs (3 seeds)") {
     import spark.implicits._
-    val rnd = new scala.util.Random(13)
-    val n = 200
-    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      .filter(e => e._1 != e._2)
-    // driver-side union-find truth
-    val parent = Array.tabulate(n)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a.toInt), find(b.toInt))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    for (seed <- Seq(13, 29, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // driver-side union-find truth; union always points the larger root at
+      // the smaller, so roots ARE component minima
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("d1", "d2"), (0L until n.toLong).toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
     }
-    val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
-    val got = Dedup.connectedComponents(
-        edges.toDF("d1", "d2"), (0L until n.toLong).toDF("node"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // canonical = component minimum; union-find roots ARE minima here
-    // because union always points the larger root at the smaller
-    assert(got == want)
   }
 
   test("connectedComponents converges on a deep path graph (worst diameter)") {
