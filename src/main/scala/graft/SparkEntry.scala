@@ -153,6 +153,27 @@ object SparkEntry {
           (col("t") + 1000000L).as("call"), (col("t") + 1000001L).as("ret"))
       Linearizability.check(appends.unionAll(planted).as[HistOp]).toDF()
     }),
+    // the same distributed check under the REGISTER model (the checker is
+    // model-generic): per-user put history; every user gets a trailing get
+    // that must observe the LAST written value — except user_id % 5 == 0,
+    // whose get claims a never-written value and must read as a violation
+    "lin_check_register" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val puts = ev.select(
+        col("user_id").cast("string").as("key"), lit(1).as("op"),
+        col("event_id").cast("string").as("value"), lit("").as("output"),
+        col("ts").as("call"), (col("ts") + 1).as("ret"))
+      val gets = ev.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id").cast("string").as("key"), lit(0).as("op"),
+          lit("").as("value"),
+          when(col("user_id") % 5 === 0, "IMPOSSIBLE")
+            .otherwise(col("last.event_id").cast("string")).as("output"),
+          (col("last.ts") + 1000000L).as("call"), (col("last.ts") + 1000001L).as("ret"))
+      Linearizability.checkWith(puts.unionAll(gets).as[HistOp],
+        Linearizability.RegisterModel).toDF()
+    }),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -397,6 +418,13 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS key,
            COUNT(*) + CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS n_ops,
            CASE WHEN user_id % 7 = 0 THEN 'violation' ELSE 'linearizable' END AS verdict
+         FROM events GROUP BY user_id""",
+    // register model: every user history ends in a get; correct observations
+    // are linearizable, the planted impossible reads are violations
+    "lin_check_register" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) + 1 AS n_ops,
+           CASE WHEN user_id % 5 = 0 THEN 'violation' ELSE 'linearizable' END AS verdict
          FROM events GROUP BY user_id""",
     "text_token_stats" ->
       s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk, length(text) AS text_len FROM documents)

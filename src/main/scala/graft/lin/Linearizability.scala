@@ -194,12 +194,16 @@ object Linearizability {
 
   /** Distributed check: shuffle once on key, search each key independently.
     * Verdict column: "linearizable" | "violation" | "unknown". */
-  def check(history: Dataset[HistOp]): Dataset[LinVerdict] = {
+  def check(history: Dataset[HistOp]): Dataset[LinVerdict] =
+    checkWith(history, KvModel)
+
+  /** Model-generic distributed check (the model ships to executors). */
+  def checkWith[S](history: Dataset[HistOp], model: LinModel[S]): Dataset[LinVerdict] = {
     val spark = history.sparkSession
     import spark.implicits._
     history.groupByKey(_.key).mapGroups { (k, it) =>
       val ops = it.toSeq
-      val v = checkKeyVerdict(ops) match {
+      val v = checkVerdict(ops, model) match {
         case Linearizable    => "linearizable"
         case NotLinearizable => "violation"
         case Unknown         => "unknown"
