@@ -319,19 +319,20 @@ object Dedup {
 
   // ------------------------------------------- components / keep-list
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with itself; each round every node takes the min label
-    * among itself and its neighbors; fixpoint = component-minimum labels.
-    * Rounds needed = component diameter — near-dup clusters are shallow
-    * (diameter a handful), so this converges in a few joins; each round is
-    * one shuffle join + one partial-aggregated groupBy, and the frontier is
-    * `localCheckpoint`ed so the plan stays flat across iterations. (For
-    * adversarially deep graphs the standard upgrade is alternating
-    * large-star/small-star — O(log²) rounds — same join shape.) At 100 TB
-    * the edge table would be a bucketed table on `src` so the per-round
-    * join reuses one physical partitioning instead of re-exchanging edges
-    * (checkpointed RDD partitioning is invisible to Catalyst — a known
-    * trade of checkpoint-based iteration; GraphFrames pays the same).
+  /** Connected components by min-label propagation WITH POINTER JUMPING:
+    * every node starts labeled with itself; each round every node takes the
+    * min label among itself and its neighbors, then jumps through its
+    * label's label (`label(v) <- label(label(v))` — path doubling). The
+    * jump halves remaining chain depth, so convergence is O(log diameter)
+    * rounds, not O(diameter): the default 20 rounds cover any component a
+    * real corpus can produce. Each round is two shuffle joins + one
+    * partial-aggregated groupBy over the (small) label table, and the
+    * frontier is `localCheckpoint`ed so the plan stays flat across
+    * iterations. At 100 TB the edge table would be a bucketed table on
+    * `src` so the per-round join reuses one physical partitioning instead
+    * of re-exchanging edges (checkpointed RDD partitioning is invisible to
+    * Catalyst — a known trade of checkpoint-based iteration; GraphFrames
+    * pays the same).
     *
     * `edges` needs columns (d1, d2), undirected, any orientation; `nodes`
     * one column `node` covering at least every endpoint — isolated nodes
@@ -360,9 +361,15 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionAll(nbr)
+      val minned = labels.unionAll(nbr)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // computed once, read by both join sides
+      // pointer jump: follow the label's own label (it is always a node of
+      // the same component); toDF mints fresh attribute ids for the self-join
+      val jumped = minned
+        .join(minned.toDF("jn", "jl"), col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+      val next = jumped.localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).count()
       labels = next

@@ -143,13 +143,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("connectedComponents converges on a deep path graph (worst diameter)") {
+  test("connectedComponents converges on a 300-deep path within 12 rounds (pointer jumping)") {
     import spark.implicits._
-    val path = (0L until 15L).map(i => (i, i + 1))
+    // plain min-propagation needs ~300 rounds here; the label-of-label jump
+    // doubles reach per round, so 12 rounds (2^12 >> 300) must suffice —
+    // this test fails with require(converged) if the jump regresses
+    val path = (0L until 300L).map(i => (i, i + 1))
     val got = Dedup.connectedComponents(path.toDF("d1", "d2"),
-        (0L to 15L).toDF("node"), maxIter = 20)
+        (0L to 300L).toDF("node"), maxIter = 12)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L))
+    assert(got.size == 301)
   }
 
   test("nearDupComponents: canonical ids are component minima, keep iff canonical") {
