@@ -189,6 +189,9 @@ object Sharding {
       .select(col("user_id").cast("string").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("n_events"))
       .withColumn("shard", shardCol(col("key")))
+      // one keyed-state table feeds all six census branches: materialize it
+      // once instead of re-scanning events per config hop
+      .localCheckpoint(true)
     val c1 = configScript(1)
     var state = base.withColumn("gid", gidCol(c1, col("shard")))
     val censuses = Seq.newBuilder[DataFrame]
