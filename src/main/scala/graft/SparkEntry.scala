@@ -39,6 +39,8 @@ object SparkEntry {
     "q_setops" -> RelationalQueries.qSetOps _,
     "q_rollup" -> RelationalQueries.qRollup _,
     "q_cube" -> RelationalQueries.qCube _,
+    "q_pivot" -> RelationalQueries.qPivot _,
+    "q_unpivot" -> RelationalQueries.qUnpivot _,
     "ev_hourly_agg" -> RelationalQueries.evHourlyAgg _,
     "ev_sessionize" -> RelationalQueries.evSessionize _,
     "q_asof_join" -> RelationalQueries.qAsofJoin _,
@@ -247,6 +249,20 @@ object SparkEntry {
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    // closed-domain pivot = one pass of conditional aggregates in any engine
+    "q_pivot" ->
+      """SELECT source,
+           COUNT(*) FILTER (lang = 'de') AS de,
+           COUNT(*) FILTER (lang = 'en') AS en,
+           COUNT(*) FILTER (lang = 'es') AS es,
+           COUNT(*) FILTER (lang = 'fr') AS fr,
+           COUNT(*) FILTER (lang = 'zh') AS zh
+         FROM documents GROUP BY source""",
+    "q_unpivot" ->
+      """SELECT doc_id, 'n_chars' AS metric, CAST(strlen(text) AS BIGINT) AS value FROM documents
+         UNION ALL
+         SELECT doc_id, 'n_space_tokens' AS metric,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS value FROM documents""",
     "q_topn_physical" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

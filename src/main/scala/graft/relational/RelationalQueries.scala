@@ -351,6 +351,25 @@ object RelationalQueries {
         max(col("value")).as("v_max"),
         count(lit(1)).as("n"))
 
+  /** PIVOT: long → wide over the closed `lang` domain (explicit value list,
+    * so the plan is a single pass of conditional aggregates — Spark never
+    * runs the two-phase distinct-discovery job an open pivot needs). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** UNPIVOT (melt): wide → long, the inverse reshape — n_tokens-ish doc
+    * measures as (doc_id, metric, value) rows. Map-only. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_space_tokens"))
+      .unpivot(Array(col("doc_id")), Array(col("n_chars"), col("n_space_tokens")),
+        "metric", "value")
+
   /** Quantile SKETCH next to the exact answer — the distributed-quantile
     * pattern at 100 TB (exact percentile is holistic: it buffers each
     * group's values; the GK sketch is bounded-memory and mergeable
