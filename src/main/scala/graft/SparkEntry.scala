@@ -15,12 +15,17 @@ import graft.lin.{HistOp, Linearizability}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY §2 that is SQL-expressible carries a DuckDB
-  * oracle in [[oracleSql]] with *identical output column names and types*
-  * (money math in DECIMAL(18,2) cast to double at the boundary; BIGINT casts
-  * where DuckDB would widen to HUGEINT; no raw timestamp columns — epoch
-  * millis only). Non-SQL-expressible operators (LSH, ANN, linearizability)
-  * are rows-only here and differentially tested in ScalaTest instead.
+  * EVERY registered query carries a DuckDB oracle in [[oracleSql]] with
+  * *identical output column names and types* (money math in DECIMAL(18,2)
+  * cast to double at the boundary; BIGINT casts where DuckDB would widen to
+  * HUGEINT; no raw timestamp columns — epoch millis only). Operators whose
+  * raw output is engine-specific get oracles through a different door:
+  * LSH/ANN are verified against exact recomputations (candidate generation
+  * may be approximate, verification makes the OUTPUT exact), sketches
+  * assert their documented error envelope per engine, SimHash/FNV are
+  * recomputed bit-exactly in SQL (HUGEINT wraparound arithmetic), and the
+  * linearizability checker answers planted-verdict tables. ScalaTest covers
+  * what SQL cannot (plan shapes, streaming parity, chaos, concurrency).
   */
 object SparkEntry {
 
