@@ -55,7 +55,12 @@ private[plans] object TopKHeaps {
     c > 0 || (c == 0 && tieCmp.compare(a._2, b._2) < 0)
   }
 
-  /** Consume a partition, retaining at most k best entries per key. */
+  /** Consume a partition, retaining at most k best entries per key.
+    * Retention discipline: values `eval`ed against the LIVE row may alias
+    * its reused buffer (UTF8String, wide decimals), so they are only used
+    * for the immediate keep/drop comparison; anything RETAINED (map key,
+    * heap entry) is re-derived from a `copy()` of the row. Rows that lose
+    * the comparison are never copied. */
   def collect(it: Iterator[InternalRow], keyProj: UnsafeProjection,
               ordExpr: Expression, tieExpr: Expression, k: Int,
               isBetter: (Entry, Entry) => Boolean)
@@ -66,11 +71,22 @@ private[plans] object TopKHeaps {
       .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[Entry]]
     it.foreach { row =>
       val key = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        scala.collection.mutable.PriorityQueue.empty[Entry](heapOrd))
-      val e: Entry = (ordExpr.eval(row), tieExpr.eval(row), row.copy())
-      if (heap.size < k) heap.enqueue(e)
-      else if (isBetter(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = scala.collection.mutable.PriorityQueue.empty[Entry](heapOrd)
+          heaps.put(key.copy(), h)
+          h
+      }
+      def retained: Entry = {
+        val c = row.copy()
+        (ordExpr.eval(c), tieExpr.eval(c), c)
+      }
+      if (heap.size < k) heap.enqueue(retained)
+      else {
+        val transient: Entry = (ordExpr.eval(row), tieExpr.eval(row), row)
+        if (isBetter(transient, heap.head)) { heap.dequeue(); heap.enqueue(retained) }
+      }
     }
     heaps
   }

@@ -50,6 +50,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(shuffled < 10000L)
   }
 
+  test("string order column: retained values must not alias the reused row buffer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // zero-padded strings: lexicographic == numeric order; thousands of rows
+    // per partition force UnsafeRow reuse, so any buffer-aliased retained
+    // value would be clobbered by later rows
+    val df = Seq.fill(6000)((rnd.nextInt(10), f"s${rnd.nextInt(100000)}%06d", rnd.nextInt(1 << 20)))
+      .toDF("key", "name", "id").repartition(3)
+    val got = TopK.perKey(df, Seq("key"), "name", "id", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(3)) -> (r.getString(1), r.getInt(2))).toMap
+    val w = Window.partitionBy(col("key")).orderBy(col("name").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .collect().map(r => (r.getInt(0), r.getInt(3).toLong) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got == want)
+  }
+
   test("ties resolve deterministically (lower tie id wins the better rank)") {
     import spark.implicits._
     val df = Seq((1, 50, 9), (1, 50, 2), (1, 50, 5), (1, 40, 1)).toDF("key", "score", "id")
