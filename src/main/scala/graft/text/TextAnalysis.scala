@@ -108,8 +108,12 @@ object TextAnalysis {
     * by (doc, gram), no window, no holistic state. */
   def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
     val tk = tokensCol(col("text"))
-    def grams(n: Int) = transform(sequence(lit(0), size(col("tk")) - n),
-      i => concat_ws(" ", slice(col("tk"), i + 1, lit(n))))
+    // guard: sequence(0, negative) throws — a doc shorter than n tokens has
+    // no n-grams (empty array; both engines then drop it from the ratios)
+    def grams(n: Int) = when(size(col("tk")) >= n,
+      transform(sequence(lit(0), size(col("tk")) - n),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), tk.as("tk"))
       .select(col("doc_id"), col("tk"),
