@@ -388,8 +388,9 @@ object Similarity {
     val centroids = trainCentroids(vecs, nlist)
     val brute = bruteForceTopK(spark, dir, numQueries, k).toDF()
       .select(col("query_id"), col("neighbor_id"))
-    // (nprobe, min matched-out-of-k for recall_ok)
-    val sweep = Seq(4 -> 1, 8 -> 3, nlist -> k)
+    // (nprobe, min matched-out-of-k for recall_ok); drop intermediate probe
+    // widths that collide with nlist so no sweep row duplicates
+    val sweep = Seq(4 -> 1, 8 -> 3).filter(_._1 < nlist) :+ (nlist -> k)
     val ivfAll = sweep.map { case (np, _) =>
       ivfTopK(spark, dir, numQueries, k, nlist, np, trained = Some(centroids)).toDF()
         .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
