@@ -111,6 +111,9 @@ object SparkEntry {
     // the keep-list: exact-dup + jaccard near-dup edges, connected
     // components via iterative min-label propagation, canonical = min id
     "dedup_components" -> ((s: SparkSession, d: String) => Dedup.nearDupComponents(s, d)),
+    // winnowing-fingerprint containment: pairs sharing >= 2 sparse
+    // rolling-hash fingerprints; oracle recomputes fnv64 over shingles
+    "dedup_fp_overlap" -> ((s: SparkSession, d: String) => Dedup.fingerprintOverlap(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -560,6 +563,27 @@ object SparkEntry {
             FROM cand CROSS JOIN (SELECT CAST(power(2, unnest(range(0, 64))) AS HUGEINT) AS p) p
             GROUP BY d1, d2)
           SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3""",
+    // full winnowing recomputation: 5-token shingles of the lowered token
+    // stream, fnv64 in HUGEINT (same arithmetic as dedup_simhash's oracle),
+    // keep h % 4 == 0, distinct per doc, pairs sharing >= 2 fingerprints
+    "dedup_fp_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          sh AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+                 FROM t, unnest(generate_series(1, len(tk) - 4)) AS u(i)),
+          vocab AS (SELECT DISTINCT shingle FROM sh),
+          hashed AS (SELECT shingle,
+              list_reduce(
+                list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                  list_transform(range(1, length(shingle) + 1), i -> CAST(ascii(shingle[i]) AS HUGEINT))),
+                (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                           * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+            FROM vocab),
+          fp AS (SELECT DISTINCT sh.doc_id, hashed.h
+                 FROM sh JOIN hashed USING (shingle) WHERE hashed.h % 4 = 0),
+          pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+                    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT d1, d2, n_shared FROM pairs WHERE n_shared >= 2""",
     // independent recomputation of BOTH edge sets and the components: the
     // same jaccard pipeline as dedup_token_jaccard, exact-text pairs, then
     // min-label connectivity as a recursive CTE — grounds the iterative

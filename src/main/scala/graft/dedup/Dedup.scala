@@ -405,6 +405,23 @@ object Dedup {
 
   final case class DocFp(doc_id: Long, fps: Array[Long])
 
+  /** Oracle surface of [[shingleFingerprints]]: document pairs sharing at
+    * least `minShared` fingerprints — the containment/overlap detector the
+    * sparse signatures exist for. One explode + self-join on the fingerprint
+    * value (equi-key, linear shuffle — identical scale shape to the LSH
+    * band join; fingerprints are ~1/keepMod of shingles, so the joined
+    * relation is a fraction of the corpus). */
+  def fingerprintOverlap(spark: SparkSession, dir: String,
+                         minShared: Int = 2): DataFrame = {
+    val fps = shingleFingerprints(spark, dir).toDF()
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    fps.select(col("fp"), col("doc_id").as("d1"))
+      .join(fps.select(col("fp"), col("doc_id").as("d2")).hint("shuffle_merge"), "fp")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Karp-Rabin winnowing-style fingerprints: rolling FNV over w-shingles,
     * keep hashes ≡ 0 (mod keepMod) — a sparse, alignment-robust signature for
     * containment/overlap detection (cf. winnowing, Schleimer et al. 2003). */
