@@ -165,12 +165,22 @@ object Sharding {
       // eager checkpoint: breaks lineage so the overwrite below can't race
       // its own input (Spark refuses to overwrite a path it is reading)
       .localCheckpoint(true)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    retagged.write.mode("overwrite").partitionBy("gid").parquet(path)
-    // GC: a gid that owns no shards after the change writes no partition
-    // above, so its stale directory must be removed explicitly
-    val ownedAfter = to.shards.toSet
-    affectedGids.filterNot(ownedAfter).foreach { g =>
+    retagged.write
+      // per-write option, not a session conf mutation: later
+      // mode("overwrite").partitionBy writes in this session keep their own
+      // semantics
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("gid").parquet(path)
+    // GC: dynamic overwrite only replaces partitions PRESENT in the output,
+    // so any affected gid that ends up with zero rows — whether it lost all
+    // its shards, or still owns shards but every row it held moved away —
+    // keeps a stale directory (its rows now duplicated under the new gid).
+    // The emptied set is exactly affectedGids minus the gids the retagged
+    // output actually wrote; retagged is checkpointed, so the distinct is a
+    // cheap bounded scan.
+    val writtenGids = retagged.select(col("gid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    affectedGids.filterNot(writtenGids).foreach { g =>
       val dir = new org.apache.hadoop.fs.Path(path, s"gid=$g")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(dir, true)

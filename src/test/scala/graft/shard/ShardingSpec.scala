@@ -145,6 +145,58 @@ class ShardingSpec extends AnyFunSuite {
     assert(got == Seq(2))
   }
 
+  test("migrateTable GCs an affected gid emptied of rows even if it still owns shards") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("shardstate3").toString + "/state"
+    // gid 1 owns shards {0,1}; gid 2 owns the rest. Data exists only in
+    // shard 0 (for gid 1) and shard 2 (for gid 2). Moving shard 0 to gid 2
+    // leaves gid 1 still OWNING shard 1 but holding ZERO rows: dynamic
+    // overwrite writes no gid=1 partition, and ownership-keyed GC would
+    // skip it — the moved rows would read back under BOTH gids.
+    val from = ShardConfig(1, Vector(1, 1, 2, 2, 2, 2, 2, 2, 2, 2),
+      Map(1 -> Seq("a"), 2 -> Seq("b")))
+    val to = move(from, 0, 2)
+
+    def keyFor(shard: Int, i: Int): String = {
+      val c = (('A' to 'z') ++ ('0' to '9')).find(ch => ch.toInt % 10 == shard).get
+      s"$c-$i"
+    }
+    val rows = (0 until 4).flatMap(i => Seq(
+      (keyFor(0, i), s"a$i", 0), (keyFor(2, i), s"b$i", 2)))
+    rows.toDF("key", "value", "shard")
+      .withColumn("gid", gidCol(from, col("shard")))
+      .write.partitionBy("gid").parquet(path)
+    assert(new java.io.File(path, "gid=1").exists())
+
+    migrateTable(spark, path, from, to)
+
+    // no duplicates: exactly the original rows, all under gid 2
+    val after = spark.read.parquet(path).collect()
+    assert(after.length == rows.length,
+      s"expected ${rows.length} rows, got ${after.length} (stale gid=1 partition left behind?)")
+    assert(after.forall(_.getAs[Int]("gid") == 2))
+    assert(!new java.io.File(path, "gid=1").exists(), "emptied affected gid dir must be GC'd")
+  }
+
+  test("migrateTable does not leak partitionOverwriteMode into the session") {
+    val spark = graft.SparkTestSession.spark
+    val prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    assert(prior.equalsIgnoreCase("static"),
+      s"precondition: session default should be static, was $prior")
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("shardstate4").toString + "/state"
+    val from = join(join(initial, Map(1 -> Seq("a"))), Map(2 -> Seq("b")))
+    val to = join(from, Map(3 -> Seq("c")))
+    val rows = for (d <- 0 to 9) yield (s"${d}z", s"v$d", key2shard(s"${d}z"))
+    rows.toDF("key", "value", "shard")
+      .withColumn("gid", gidCol(from, col("shard")))
+      .write.partitionBy("gid").parquet(path)
+    migrateTable(spark, path, from, to)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode").equalsIgnoreCase(prior),
+      "migrateTable must not mutate session partitionOverwriteMode")
+  }
+
   test("migration plan lists exactly the changed shards") {
     val a = join(initial, Map(1 -> Seq("a")))
     val b = join(a, Map(2 -> Seq("b")))
