@@ -328,11 +328,10 @@ object Dedup {
     * real corpus can produce. Each round is two shuffle joins + one
     * partial-aggregated groupBy over the (small) label table, and the
     * frontier is `localCheckpoint`ed so the plan stays flat across
-    * iterations. At 100 TB the edge table would be a bucketed table on
-    * `src` so the per-round join reuses one physical partitioning instead
-    * of re-exchanging edges (checkpointed RDD partitioning is invisible to
-    * Catalyst — a known trade of checkpoint-based iteration; GraphFrames
-    * pays the same).
+    * iterations. This variant keeps the edges in memory and re-exchanges
+    * them each round (checkpointed RDD partitioning is invisible to
+    * Catalyst); [[connectedComponentsBucketed]] is the at-scale shape that
+    * eliminates the per-round edge exchange.
     *
     * `edges` needs columns (d1, d2), undirected, any orientation; `nodes`
     * one column `node` covering at least every endpoint — isolated nodes
@@ -347,9 +346,58 @@ object Dedup {
     // checkpoint truncates lineage each round instead; the retained blocks
     // are one tiny label table per round (|nodes| rows), reclaimed by the
     // ContextCleaner once the frame references are GC'd.
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+    val sym = symmetrize(edges).localCheckpoint(true)
+    ccIterate(sym, nodes, maxIter, mergeHint = false)
+  }
+
+  /** [[connectedComponents]] over a BUCKETED edge table: the symmetrized
+    * edges are written once as a managed table bucketed (and bucket-sorted)
+    * by `src`, so EVERY propagation round's neighbor join reads
+    * pre-partitioned buckets and plans no Exchange on the edge side — only
+    * the (label-table-sized) side shuffles. A checkpointed frontier's RDD
+    * partitioning is invisible to Catalyst, so the plain variant re-exchanges
+    * the edge relation every round; baking the partitioning into the file
+    * layout is the at-rest fix, and at 100 TB it is the difference between
+    * shuffling the edge corpus O(log d) times and once. The labels join side
+    * carries a shuffle_merge hint: at scale labels is |V|-sized, and letting
+    * AQE broadcast it would both be wrong at 100 TB and silently discard the
+    * bucket partitioning advantage being asserted here.
+    *
+    * The table is dropped before returning — safe because every round's
+    * labels are eagerly checkpointed, so the returned frame references only
+    * `nodes` and the final (materialized) label table. */
+  def connectedComponentsBucketed(edges: DataFrame, nodes: DataFrame,
+                                  buckets: Int = 32, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val table = "graft_cc_edges_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // repartition by the bucket key first so each task writes only its own
+    // buckets (one file per bucket, which also lets SortMergeJoin skip the
+    // per-partition sort — the files are bucket-sorted)
+    symmetrize(edges).repartition(buckets, col("src"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+    try ccIterate(spark.table(table), nodes, maxIter, mergeHint = true)
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint(true)
+
+  /** One round's neighbor join, exposed for the plan-shape spec: labels
+    * renamed to the edge key and joined on `src`. With a bucketed `sym` this
+    * must plan exactly one Exchange (the labels side). */
+  private[dedup] def neighborJoin(sym: DataFrame, labels: DataFrame,
+                                  mergeHint: Boolean): DataFrame = {
+    val l = labels.withColumnRenamed("node", "src")
+    sym.join(if (mergeHint) l.hint("shuffle_merge") else l, "src")
+      .select(col("dst").as("node"), col("label"))
+  }
+
+  private def ccIterate(sym: DataFrame, nodes: DataFrame, maxIter: Int,
+                        mergeHint: Boolean): DataFrame = {
     // only nodes that appear in an edge can ever change label — iterate over
     // those (typically a small fraction of the corpus) and fold the isolated
     // majority back in at the end with label = self
@@ -359,8 +407,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
+      val nbr = neighborJoin(sym, labels, mergeHint)
       val minned = labels.unionAll(nbr)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true) // computed once, read by both join sides
@@ -395,7 +442,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("d1"), collect_set(col("doc_id")).as("ids"))
       .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") =!= col("d2"))
-    val labels = connectedComponents(jac.unionAll(exEdges),
+    val labels = connectedComponentsBucketed(jac.unionAll(exEdges),
       docs.select(col("doc_id").as("node")))
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"),
       (col("node") === col("label")).as("keep"))
