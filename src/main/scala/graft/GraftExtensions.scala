@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv32Expr, MinHashSigExpr, MinHashTokensExpr}
+import graft.functions.{Fnv32Expr, FingerprintTokensExpr, MinHashSigExpr, MinHashTokensExpr, SimHashTokensExpr}
 
 /** Session-extensions entry point: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -17,6 +17,9 @@ import graft.functions.{Fnv32Expr, MinHashSigExpr, MinHashTokensExpr}
   *   - graft_fnv32(string): the reference's bucket router hash
   *   - graft_minhash_sig(array<string>): MinHash signature of shingles
   *   - graft_minhash_tokens(array<string>): fused shingle+MinHash from tokens
+  *   - graft_simhash_tokens(array<string>): 64-bit SimHash of the token multiset
+  *   - graft_fingerprint_tokens(array<string>): winnowing-style w=5 mod-4
+  *     rolling-hash fingerprints
   *
   * Injected rules:
   *   - [[graft.plans.AsOfJoinRule]]: expands the [[graft.plans.AsOfJoinPlan]]
@@ -44,5 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_tokens"),
       info("graft_minhash_tokens", "graft_minhash_tokens(tokens) - fused 3-shingle MinHash signature."),
       (children: Seq[Expression]) => MinHashTokensExpr(children.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_tokens"),
+      info("graft_simhash_tokens", "graft_simhash_tokens(tokens) - 64-bit SimHash (char-FNV per token, per-bit majority)."),
+      (children: Seq[Expression]) => SimHashTokensExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint_tokens"),
+      info("graft_fingerprint_tokens", "graft_fingerprint_tokens(tokens) - rolling char-FNV 5-shingle fingerprints kept at hash % 4 == 0, distinct+sorted."),
+      (children: Seq[Expression]) => FingerprintTokensExpr(children.head, 5, 4)))
   }
 }

@@ -250,12 +250,17 @@ object Dedup {
   final case class DocSim(doc_id: Long, sim: Long)
   final case class SimPair(d1: Long, d2: Long, hamming: Int)
 
+  /** Per-document SimHash via the native codegen expression
+    * ([[graft.functions.TextHash.simhashTokensCol]]) — one static JVM call per
+    * row inside whole-stage codegen; [[simhash]] is the scalar twin the spec
+    * checks it against. */
   def simhashes(spark: SparkSession, dir: String): Dataset[DocSim] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokensCol(lower(col("text"))).as("toks"))
-      .as[(Long, Seq[String])]
-      .map { case (id, toks) => DocSim(id, simhash(toks)) }
+      .select(col("doc_id"),
+        graft.functions.TextHash.simhashTokensCol(
+          TextAnalysis.tokensCol(lower(col("text")))).as("sim"))
+      .as[DocSim]
   }
 
   /** Pigeonhole candidate pairs over precomputed simhashes — the testable
@@ -476,14 +481,17 @@ object Dedup {
                           keepMod: Int = 4): Dataset[DocFp] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokensCol(lower(col("text"))).as("toks"))
-      .as[(Long, Seq[String])]
-      .map { case (id, toks) =>
-        val hs = toks.sliding(w).filter(_.nonEmpty)
-          .map(sh => fnv64(sh.mkString(" ")))
-          .filter(h => (h & (keepMod - 1)) == 0)
-          .toArray.distinct.sorted
-        DocFp(id, hs)
-      }
+      .select(col("doc_id"),
+        graft.functions.TextHash.fingerprintTokensCol(
+          TextAnalysis.tokensCol(lower(col("text"))), w, keepMod).as("fps"))
+      .as[DocFp]
   }
+
+  /** Scalar twin of the [[graft.functions.FingerprintTokensExpr]] fused form,
+    * kept as the spec's independent re-derivation. */
+  private[graft] def fingerprintsScalar(toks: Seq[String], w: Int, keepMod: Int): Array[Long] =
+    toks.sliding(w).filter(_.nonEmpty)
+      .map(sh => fnv64(sh.mkString(" ")))
+      .filter(h => (h & (keepMod - 1)) == 0)
+      .toArray.distinct.sorted
 }

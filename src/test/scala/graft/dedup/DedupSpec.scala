@@ -225,4 +225,20 @@ class DedupSpec extends AnyFunSuite {
       assert(ids.map(fps).distinct.size == 1)
     }
   }
+
+  test("native simhash/fingerprint expressions equal the scalar twins on the corpus") {
+    import org.apache.spark.sql.functions.lower
+    // the scalar re-derivation, driver-side, over the same tokenization
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokensCol(lower(col("text"))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks.nonEmpty)
+    val sims = Dedup.simhashes(spark, sf).collect()
+    assert(sims.length == toks.size)
+    sims.foreach(d => assert(d.sim == Dedup.simhash(toks(d.doc_id)), s"doc ${d.doc_id}"))
+    val fps = Dedup.shingleFingerprints(spark, sf).collect()
+    fps.foreach(f => assert(f.fps.toSeq ==
+      Dedup.fingerprintsScalar(toks(f.doc_id), 5, 4).toSeq, s"doc ${f.doc_id}"))
+  }
 }
