@@ -206,6 +206,16 @@ object Dedup {
     * 100 TB path AND lets a SQL oracle check it row-for-row against the
     * all-pairs computation at test scale.
     *
+    * The signature estimate is NOT thrown away: candidates are pre-filtered
+    * at `est_jaccard >= threshold - estMargin` before the exact verify join,
+    * so only pairs the signatures consider plausible pay for shingle-array
+    * transport and intersection. At the default margin 0.3 (cutoff 0.5 for
+    * t=0.8) a TRUE pair at jaccard exactly t is rejected only if its 64-hash
+    * estimate falls >= 0.3 below its mean — a binomial(64, 0.8) tail at
+    * <= 32/64, P ~ 4e-8 — negligible next to the banding miss itself
+    * (~2e-4, below), while random bucket-cohabitants (est ≈ their true
+    * jaccard ≈ 0.1-0.3) mostly drop out of the verify join.
+    *
     * Residual oracle risk, accepted deliberately: the sf0.01/sf0.1 fixtures
     * contain a qualifying pair at exactly jaccard 0.8, where the per-pair
     * banding miss probability is ~2e-4. The miss is DETERMINISTIC per
@@ -214,8 +224,9 @@ object Dedup {
     * verified fact, not a per-run gamble. A corpus regeneration would
     * re-roll that 2e-4 die once. */
   def minhashLshVerified(spark: SparkSession, dir: String, threshold: Double = 0.8,
-                         maxBucket: Int = 2000): DataFrame = {
-    val cand = minhashLsh(spark, dir, threshold = 0.0, maxBucket = maxBucket)
+                         maxBucket: Int = 2000, estMargin: Double = 0.3): DataFrame = {
+    val cand = minhashLsh(spark, dir,
+        threshold = math.max(0.0, threshold - estMargin), maxBucket = maxBucket)
       .select(col("d1"), col("d2"))
     val sh = Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -372,19 +383,48 @@ object Dedup {
     * labels are eagerly checkpointed, so the returned frame references only
     * `nodes` and the final (materialized) label table. */
   def connectedComponentsBucketed(edges: DataFrame, nodes: DataFrame,
-                                  buckets: Int = 32, maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
+                                  buckets: Int = 32, maxIter: Int = 20): DataFrame =
+    ccBucketedFromSym(symmetrize(edges), nodes, buckets, maxIter)
+
+  private def ccBucketedFromSym(sym: DataFrame, nodes: DataFrame,
+                                buckets: Int, maxIter: Int): DataFrame = {
+    val spark = sym.sparkSession
     val table = "graft_cc_edges_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // repartition by the bucket key first so each task writes only its own
     // buckets (one file per bucket, which also lets SortMergeJoin skip the
     // per-partition sort — the files are bucket-sorted)
-    symmetrize(edges).repartition(buckets, col("src"))
+    sym.repartition(buckets, col("src"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(table)
     try ccIterate(spark.table(table), nodes, maxIter, mergeHint = true)
     finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  /** Edge-count cutover between the two component variants. Measured on the
+    * real dedup edge set (tools/CcBench, interleaved A/B): below ~10^6 sym
+    * rows the bucketed table's fixed costs (write + per-round parquet scan +
+    * metastore round-trips) cost MORE than just re-exchanging the tiny edge
+    * relation each round (best 2.9 s plain vs 5.2 s bucketed at sf0.1's 12k
+    * sym rows); above it, re-shuffling the edge corpus O(log d) times
+    * dominates and the one-time bucketed write wins — at 100 TB it is the
+    * only sane plan. The cutover is deliberately conservative (a 10^6-row
+    * edge table re-exchanges in milliseconds either way). */
+  val BucketedEdgeCutover: Long = 1L << 20
+
+  /** [[connectedComponents]] with the edge-layout decision made FROM THE
+    * DATA: symmetrize + materialize the edges once (localCheckpoint), count
+    * them (free on the checkpointed blocks), and run the plain in-memory
+    * iteration below [[BucketedEdgeCutover]] sym rows, the bucketed-table
+    * iteration above it. The same adaptive shape AQE applies to join
+    * strategies, applied to iteration-invariant layout. */
+  def connectedComponentsAuto(edges: DataFrame, nodes: DataFrame,
+                              buckets: Int = 32, maxIter: Int = 20,
+                              cutover: Long = BucketedEdgeCutover): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true)
+    if (sym.count() < cutover) ccIterate(sym, nodes, maxIter, mergeHint = false)
+    else ccBucketedFromSym(sym, nodes, buckets, maxIter)
   }
 
   private def symmetrize(edges: DataFrame): DataFrame =
@@ -447,7 +487,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("d1"), collect_set(col("doc_id")).as("ids"))
       .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") =!= col("d2"))
-    val labels = connectedComponentsBucketed(jac.unionAll(exEdges),
+    val labels = connectedComponentsAuto(jac.unionAll(exEdges),
       docs.select(col("doc_id").as("node")))
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"),
       (col("node") === col("label")).as("keep"))

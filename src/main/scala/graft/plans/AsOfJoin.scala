@@ -60,12 +60,22 @@ class AsOfJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           lit(0).as("__graft_side"), lit(null).cast(lType).as("__graft_l"),
           rStruct.as("__graft_r")))
 
-      // ordering the frame by the right struct itself makes the same-instant
-      // winner deterministic (greatest right tuple) with zero extra shuffle;
-      // left rows carry null __graft_r, which sorts first within their
-      // (__graft_t, side=1) group and never affects which right row is last
+      // ordering the frame by the right tuple makes the same-instant winner
+      // deterministic (greatest right tuple) with zero extra shuffle; left
+      // rows carry null __graft_r, which sorts first within their
+      // (__graft_t, side=1) group and never affects which right row is last.
+      // Only ORDERABLE right fields participate (a map-typed column would
+      // fail analysis inside a sort order); rows identical on every orderable
+      // field are genuinely interchangeable, so determinism survives. With no
+      // orderable right field at all the tie stays arbitrary — nothing
+      // observable can order it.
+      val orderableR = r.output.filter(a =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
+      val tieKeys: Seq[org.apache.spark.sql.Column] =
+        if (orderableR.isEmpty) Nil
+        else Seq(struct(orderableR.map(a => col(s"__graft_r.${a.name}")): _*))
       val w = Window.partitionBy(col("__graft_k"))
-        .orderBy(col("__graft_t"), col("__graft_side"), col("__graft_r"))
+        .orderBy(col("__graft_t") +: col("__graft_side") +: tieKeys: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val res = tagged
         .withColumn("__graft_rlast", last(col("__graft_r"), ignoreNulls = true).over(w))

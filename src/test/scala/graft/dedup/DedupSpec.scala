@@ -171,6 +171,16 @@ class DedupSpec extends AnyFunSuite {
     assert(bucketed == plain)
     // the working table was dropped on exit
     assert(!spark.catalog.listTables().collect().exists(_.name.startsWith("graft_cc_edges_")))
+    // the auto variant agrees through BOTH sides of its cutover: forced-plain
+    // (cutover above the edge count) and forced-bucketed (cutover 0)
+    val autoPlain = Dedup.connectedComponentsAuto(edges.toDF("d1", "d2"), nodes,
+      buckets = 8, cutover = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val autoBucketed = Dedup.connectedComponentsAuto(edges.toDF("d1", "d2"), nodes,
+      buckets = 8, cutover = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(autoPlain == plain)
+    assert(autoBucketed == plain)
   }
 
   test("bucketed edges: per-round neighbor join plans no Exchange on the edge side") {
