@@ -387,7 +387,8 @@ object Dedup {
     ccBucketedFromSym(symmetrize(edges), nodes, buckets, maxIter)
 
   private def ccBucketedFromSym(sym: DataFrame, nodes: DataFrame,
-                                buckets: Int, maxIter: Int): DataFrame = {
+                                buckets: Int, maxIter: Int,
+                                afterWrite: () => Unit = () => ()): DataFrame = {
     val spark = sym.sparkSession
     val table = "graft_cc_edges_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -398,9 +399,24 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(table)
+    afterWrite() // the bucketed table now holds the edges; release sym blocks
     try ccIterate(spark.table(table), nodes, maxIter, mergeHint = true)
     finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  /** Unpersist the block set behind an eager `localCheckpoint(true)` frame.
+    * `Dataset.unpersist` only talks to the CacheManager and a checkpointed
+    * frame is not registered there; the blocks belong to the `LogicalRDD`
+    * leaf the checkpoint left in the plan. Used to release superseded CC
+    * frontiers and, on the bucketed branch, the pre-write edge frame — at
+    * 100 TB those are corpus-sized non-fault-tolerant blocks that must not
+    * stay pinned for the whole iteration. */
+  private[dedup] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Edge-count cutover between the two component variants. Measured on the
     * real dedup edge set (tools/CcBench, interleaved A/B): below ~10^6 sym
@@ -424,7 +440,11 @@ object Dedup {
                               cutover: Long = BucketedEdgeCutover): DataFrame = {
     val sym = symmetrize(edges).localCheckpoint(true)
     if (sym.count() < cutover) ccIterate(sym, nodes, maxIter, mergeHint = false)
-    else ccBucketedFromSym(sym, nodes, buckets, maxIter)
+    // bucketed branch: once the edges are written to the bucketed table the
+    // checkpoint blocks are dead weight — corpus-sized, non-fault-tolerant,
+    // and otherwise pinned on executors for the whole iteration
+    else ccBucketedFromSym(sym, nodes, buckets, maxIter,
+      afterWrite = () => releaseLocalCheckpoint(sym))
   }
 
   private def symmetrize(edges: DataFrame): DataFrame =
