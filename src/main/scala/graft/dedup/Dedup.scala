@@ -407,15 +407,25 @@ object Dedup {
   /** Unpersist the block set behind an eager `localCheckpoint(true)` frame.
     * `Dataset.unpersist` only talks to the CacheManager and a checkpointed
     * frame is not registered there; the blocks belong to the `LogicalRDD`
-    * leaf the checkpoint left in the plan. Used to release superseded CC
-    * frontiers and, on the bucketed branch, the pre-write edge frame — at
-    * 100 TB those are corpus-sized non-fault-tolerant blocks that must not
-    * stay pinned for the whole iteration. */
+    * leaf the checkpoint left in the plan. Callers: [[ccIterate]] releases
+    * each superseded frontier/min table once the next round's frontier is
+    * materialized, and [[connectedComponentsAuto]]'s bucketed branch releases
+    * the pre-write edge frame — at 100 TB those are corpus- or |V|-sized
+    * non-fault-tolerant blocks that must not stay pinned for the whole
+    * iteration.
+    *
+    * PRECONDITION: `df` must be exactly the frame an eager localCheckpoint
+    * returned — its analyzed plan a single `LogicalRDD` leaf. Anything
+    * derived from MULTIPLE checkpointed inputs is rejected rather than
+    * risk unpersisting non-recomputable blocks a sibling frame still needs
+    * ("Checkpoint block not found" much later, far from the cause). */
   private[dedup] def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "releaseLocalCheckpoint expects a frame whose plan is a single " +
+          s"LogicalRDD checkpoint leaf, got: ${other.nodeName}")
     }
 
   /** Edge-count cutover between the two component variants. Measured on the
@@ -484,6 +494,12 @@ object Dedup {
       val next = jumped.localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).count()
+      // `next` is materialized and `changed` counted: the previous frontier
+      // and this round's min table are now dead blocks — release them
+      // eagerly instead of waiting for the ContextCleaner (at 100 TB each is
+      // a |V|-row pinned block set per round)
+      releaseLocalCheckpoint(minned)
+      releaseLocalCheckpoint(labels)
       labels = next
       converged = changed == 0
       it += 1

@@ -9,6 +9,22 @@ import graft.SparkTestSession
 class TopKPerKeySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** `SparkPlan.collect` stops at AQE / query-stage leaves; walk through
+    * them so assertions see the plan that actually ran. */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    val here = pf.lift(p).toSeq
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedSubqueryExec => Seq(r.child)
+      case other => other.children
+    }
+    here ++ through.flatMap(deepCollect(_)(pf))
+  }
+
   private def skewed = {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
@@ -44,10 +60,26 @@ class TopKPerKeySpec extends AnyFunSuite {
       "expected Final -> Exchange -> Partial order")
     // the partial phase must have shed almost everything before the shuffle:
     // <= keys x k x partitions = 40*3*8 = 960 of 10000 input rows
-    val partial = plan.collect { case p: TopKPartialExec => p }
+    // (deepCollect: under AQE a plain collect sees nothing and the bound
+    // would hold vacuously on an empty sum)
+    val partial = deepCollect(plan) { case p: TopKPartialExec => p }
+    assert(partial.nonEmpty, "TopKPartialExec not found in executed plan")
     val shuffled = partial.map(_.metrics("numOutputRows").value).sum
+    assert(shuffled > 0L)
     assert(shuffled <= 40L * 3 * 8, s"partial let $shuffled rows through")
-    assert(shuffled < 10000L)
+  }
+
+  test("partial phase participates in WholeStageCodegen, fused with the scan") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val out = TopK.perKey(skewed, Seq("key"), "score", "id", 3)
+    out.collect()
+    val stages = deepCollect(out.queryExecution.executedPlan) {
+      case w: WholeStageCodegenExec => w
+    }
+    // the partial heap must sit INSIDE a codegen stage (SortExec-style
+    // blocking operator), not behind an InputAdapter iterator boundary
+    assert(stages.exists(_.collect { case p: TopKPartialExec => p }.nonEmpty),
+      out.queryExecution.executedPlan.toString.take(2000))
   }
 
   test("string order column: retained values must not alias the reused row buffer") {
