@@ -64,12 +64,17 @@ object Dedup {
         .hint("shuffle_merge"), Seq("lang", "source", "word"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).dropDuplicates("d1", "d2")
-    val arr = docs.select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    // Verification: each doc's token set is sorted ONCE (amortized over all
+    // its candidate pairs), every pair scored by the allocation-free merge
+    // `sorted_intersect_count` instead of a per-pair hash set — see SetOps.
+    val arr = docs.select(col("doc_id"), array_sort(col("toks")).as("toks"),
+      size(col("toks")).as("n"))
     cand
       .join(arr.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
       .join(arr.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("t1"), col("t2"))).as("c"), col("n1"), col("n2"))
+        graft.functions.SetOps.sortedIntersectCountCol(col("t1"), col("t2")).as("c"),
+        col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -228,14 +233,23 @@ object Dedup {
     val cand = minhashLsh(spark, dir,
         threshold = math.max(0.0, threshold - estMargin), maxBucket = maxBucket)
       .select(col("d1"), col("d2"))
+    // Exact verify WITHOUT materializing shingle strings: the distinct
+    // shingle set is represented by its sorted FNV64 hash array (one fused
+    // codegen call per document — the interpreted-HOF string shingling it
+    // replaces measured 10-50× slower), and each pair is scored by the
+    // allocation-free sorted merge. |A∩B| and the set sizes are identical to
+    // the string computation absent an in-pair hash collision (see
+    // TextHash.shingleHashesCol), so the string-based SQL oracle still
+    // checks this row-for-row.
     val sh = Tables.documents(spark, dir).select(
       col("doc_id"),
-      array_distinct(shinglesCol(TextAnalysis.tokensCol(lower(col("text"))))).as("sh"))
+      graft.functions.TextHash.shingleHashesCol(
+        TextAnalysis.tokensCol(lower(col("text")))).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("s1"), col("s2"))).as("c"),
+        graft.functions.SetOps.sortedIntersectCountCol(col("s1"), col("s2")).as("c"),
         size(col("s1")).as("n1"), size(col("s2")).as("n2"))
       .select(col("d1"), col("d2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
@@ -408,7 +422,7 @@ object Dedup {
     * `Dataset.unpersist` only talks to the CacheManager and a checkpointed
     * frame is not registered there; the blocks belong to the `LogicalRDD`
     * leaf the checkpoint left in the plan. Callers: [[ccIterate]] releases
-    * each superseded frontier/min table once the next round's frontier is
+    * each superseded frontier once the next round's frontier is
     * materialized, and [[connectedComponentsAuto]]'s bucketed branch releases
     * the pre-write edge frame — at 100 TB those are corpus- or |V|-sized
     * non-fault-tolerant blocks that must not stay pinned for the whole
@@ -476,31 +490,42 @@ object Dedup {
     // only nodes that appear in an edge can ever change label — iterate over
     // those (typically a small fraction of the corpus) and fold the isolated
     // majority back in at the end with label = self
-    var labels = sym.select(col("src").as("node")).distinct()
+    var chk = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    var labels = chk
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val nbr = neighborJoin(sym, labels, mergeHint)
-      val minned = labels.unionAll(nbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true) // computed once, read by both join sides
+      // The round's ONE materialization: the old label rides through the
+      // min-aggregation as `prev` (each node contributes exactly one non-null
+      // prev row, so max() recovers it), which makes the convergence check a
+      // shuffle-free scan of the checkpointed frame instead of a join back
+      // against the previous frontier — one action + two exchanges fewer per
+      // round than checkpointing `minned` and `next` separately.
+      val minned = labels.select(col("node"), col("label"), col("label").as("prev"))
+        .unionAll(nbr.select(col("node"), col("label"),
+          lit(null).cast("long").as("prev")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
       // pointer jump: follow the label's own label (it is always a node of
-      // the same component); toDF mints fresh attribute ids for the self-join
+      // the same component). `minned` is deliberately NOT checkpointed: both
+      // join sides shuffle the identical union-agg subplan, so ReuseExchange
+      // materializes it once and only the cheap post-shuffle agg runs twice.
       val jumped = minned
-        .join(minned.toDF("jn", "jl"), col("label") === col("jn"), "left")
-        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+        .join(minned.select(col("node").as("jn"), col("label").as("jl")),
+          col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"),
+          col("prev"))
       val next = jumped.localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
+      val changed = next.filter(col("label") =!= col("prev")).count()
       // `next` is materialized and `changed` counted: the previous frontier
-      // and this round's min table are now dead blocks — release them
-      // eagerly instead of waiting for the ContextCleaner (at 100 TB each is
-      // a |V|-row pinned block set per round)
-      releaseLocalCheckpoint(minned)
-      releaseLocalCheckpoint(labels)
-      labels = next
+      // is now a dead block set — release it eagerly instead of waiting for
+      // the ContextCleaner (at 100 TB it is a |V|-row pinned set per round)
+      releaseLocalCheckpoint(chk)
+      chk = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       it += 1
     }

@@ -59,6 +59,51 @@ object TextHash {
     out
   }
 
+  /** `shingle_hashes(array<string>) -> array<bigint>`: the DISTINCT SORTED
+    * char-FNV64 hashes of ALL w-shingles — the hashed twin of
+    * `Dedup.shingles(tokens)` (n < w, including n = 0, collapses to one
+    * whole-doc shingle, exactly like the string form). Exists so exact
+    * near-dup verification can intersect shingle SETS without ever
+    * materializing shingle strings: the string formulation
+    * (`transform`+`concat_ws`+`slice` HOFs) is interpreted — it measured
+    * 10-50× the cost of this one codegen'd static call per row — and
+    * `|A∩B|` over distinct 64-bit shingle hashes equals `|A∩B|` over the
+    * shingle strings absent an FNV64 collision inside one document pair
+    * (deterministic per fixture; the oracle's green rows pin it, the same
+    * acceptance the banding-miss note below makes). Output is sorted, so
+    * pairs score with [[SetOps.intersectCountLong]]'s allocation-free merge. */
+  def shingleHashesCol(c: Column, w: Int = 3): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), w))
+
+  /** Hot-path entry referenced from generated code for [[shingleHashesCol]]. */
+  def shingleHashesFromTokens(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nWindows = if (n < w) 1 else n - w + 1 // n = 0 → one empty shingle ""
+    var s = 0
+    while (s < nWindows) {
+      val until = math.min(s + w, n)
+      var h = FnvOffset
+      var j = s
+      while (j < until) {
+        if (j > s) { h ^= 0x20L; h *= FnvPrime }
+        val t = toks(j)
+        var k = 0
+        while (k < t.length) { h ^= t.charAt(k).toLong; h *= FnvPrime; k += 1 }
+        j += 1
+      }
+      out += h
+      s += 1
+    }
+    new GenericArrayData(out.toArray.distinct.sorted)
+  }
+
   /** Hot-path entry referenced from generated code: the fused
     * tokens→fingerprints form. Window semantics match
     * `toks.sliding(w)`: no windows on an empty input, one whole-doc window
@@ -111,6 +156,25 @@ case class SimHashTokensExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHashTokensExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash_tokens"
+}
+
+/** `graft_shingle_hashes(array<string>) -> array<bigint>` — see
+  * [[TextHash.shingleHashesCol]]. */
+case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string> and w >= 1, got $other, w=$w")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashesFromTokens(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashesFromTokens($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
 }
 
 /** `graft_fingerprint_tokens(array<string>) -> array<bigint>` — see

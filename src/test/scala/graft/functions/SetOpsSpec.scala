@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SetOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("sorted_intersect_count(string) == |A ∩ B| for random sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toString).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toString).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val rows = cases.toDF("a", "b", "want")
+      .select(SetOps.sortedIntersectCountCol(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("sorted_intersect_count(bigint) == |A ∩ B|, including negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 20L).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 20L).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size)
+    }
+    val rows = cases.toDF("a", "b", "want")
+      .select(SetOps.sortedIntersectCountCol(col("a"), col("b")).as("got"), col("want"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("string order agrees with array_sort: merge == size(array_intersect)") {
+    import spark.implicits._
+    // non-ASCII + prefixes exercise UTF8String binary comparison vs array_sort
+    val pool = Seq("a", "ab", "abc", "b", "ß", "日本", "日本語", "z", "Z", "0", "")
+    val rnd = new scala.util.Random(13)
+    val cases = (1 to 100).map { _ =>
+      (Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).distinct,
+        Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).distinct)
+    }
+    val rows = cases.toDF("a", "b")
+      .select(
+        SetOps.sortedIntersectCountCol(array_sort(col("a")), array_sort(col("b"))).as("got"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("sorted_intersect_count stays inside whole-stage codegen") {
+    import spark.implicits._
+    val df = spark.range(100).select(
+      SetOps.sortedIntersectCountCol(
+        array($"id", $"id" + 50), array($"id" + 50, $"id" + 100)).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.collect().forall(_.getInt(0) == 1))
+  }
+
+  test("shingle_hashes == sorted distinct fnv64 of the string shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      Seq("the", "quick", "brown", "fox", "jumps"),
+      Seq("a", "b"),            // n < w → one whole-doc shingle
+      Seq("solo"),              // single token
+      Seq.empty[String],        // n = 0 → one empty shingle (matches shingles())
+      Seq("x", "x", "x", "x")   // duplicate shingles collapse
+    ).toDF("toks")
+    val got = docs.select(TextHash.shingleHashesCol(col("toks")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val want = Seq(
+      graft.dedup.Dedup.shingles(Seq("the", "quick", "brown", "fox", "jumps")),
+      graft.dedup.Dedup.shingles(Seq("a", "b")),
+      graft.dedup.Dedup.shingles(Seq("solo")),
+      graft.dedup.Dedup.shingles(Seq.empty),
+      graft.dedup.Dedup.shingles(Seq("x", "x", "x", "x"))
+    ).map(_.map(graft.dedup.Dedup.fnv64).toSeq.sorted)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+}
