@@ -78,26 +78,31 @@ object Similarity {
   /** Trained IVF codebook: a few distributed Lloyd iterations of spherical
     * k-means (assign by max cosine; new centroid = element-wise mean — the
     * cosine argmax is scale-invariant, so the mean needs no renormalizing).
-    * Each iteration is one map-side-combined pass: every partition folds its
-    * rows into nlist local (sum, count) accumulators, so only
-    * O(partitions × nlist × dim) crosses the wire — the 100 TB-safe k-means
-    * shape. Init is a deterministic seeded sample (order by xxhash64 of
-    * vec_id), not the first nlist ids. Empty clusters keep their previous
-    * centroid. */
+    * Each iteration is one `treeAggregate` pass: every partition folds its
+    * rows into nlist local (sum, count) accumulators and the accumulators
+    * combine PAIRWISE up a tree, so the driver receives exactly ONE
+    * nlist × dim accumulator — strictly tighter than shipping
+    * O(partitions × nlist × dim) partials through a shuffle, at 10k
+    * partitions the difference between kilobytes and gigabytes at the
+    * driver. Locally it also removes one shuffle stage per iteration.
+    * Addition order within a (partition, centroid) cell is the iterator
+    * order and cross-partition combining is index-aligned, so the result is
+    * deterministic for a fixed partitioning. Init is a deterministic seeded
+    * sample (order by xxhash64 of vec_id), not the first nlist ids. Empty
+    * clusters keep their previous centroid. */
   def trainCentroids(vecs: Dataset[Vec], nlist: Int, iters: Int = 4): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     var centroids: Array[Array[Float]] = vecs.toDF()
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nlist).as[Vec].collect().map(_.embedding)
+    val dim = if (centroids.isEmpty) 0 else centroids(0).length
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val partials: Dataset[(Int, Array[Double], Long)] = vecs.mapPartitions { it =>
-        val cs = bc.value
-        val dim = if (cs.isEmpty) 0 else cs(0).length
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
-        val counts = new Array[Long](cs.length)
-        it.foreach { v =>
+      val zero = (Array.fill(nlist)(new Array[Double](dim)), new Array[Long](nlist))
+      val (sums, counts) = vecs.rdd.treeAggregate(zero)(
+        seqOp = { case ((sums, counts), v) =>
+          val cs = bc.value
           var best = 0; var bestC = Double.NegativeInfinity
           var i = 0
           while (i < cs.length) {
@@ -108,17 +113,21 @@ object Similarity {
           counts(best) += 1
           var d = 0
           while (d < dim) { sums(best)(d) += v.embedding(d).toDouble; d += 1 }
-        }
-        cs.indices.iterator.filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+          (sums, counts)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < nlist) {
+            var d = 0
+            while (d < dim) { s1(i)(d) += s2(i)(d); d += 1 }
+            c1(i) += c2(i)
+            i += 1
+          }
+          (s1, c1)
+        })
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) > 0) sums(i).map(x => (x / counts(i)).toFloat) else old
       }
-      val agg = partials.groupByKey(_._1).reduceGroups { (a, b) =>
-        val s = new Array[Double](a._2.length)
-        var d = 0
-        while (d < s.length) { s(d) = a._2(d) + b._2(d); d += 1 }
-        (a._1, s, a._3 + b._3)
-      }.map(_._2).collect()
-        .map { case (cid, sum, n) => cid -> sum.map(x => (x / n).toFloat) }.toMap
-      centroids = centroids.zipWithIndex.map { case (old, i) => agg.getOrElse(i, old) }
       bc.unpersist()
     }
     centroids
