@@ -58,11 +58,22 @@ object Dedup {
     val prefixes = w.join(dfreq, Seq("lang", "source", "word"))
       .withColumn("rank", row_number().over(W.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("word"))))
       .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("lang"), col("source"), col("word"), col("doc_id"))
-    val cand = prefixes.select(col("lang"), col("source"), col("word"), col("doc_id").as("d1"))
-      .join(prefixes.select(col("lang"), col("source"), col("word"), col("doc_id").as("d2"))
+      .select(col("lang"), col("source"), col("word"), col("doc_id"), col("n"))
+    // LENGTH FILTERING on top of the prefix filter (also Chaudhuri ICDE'06),
+    // equally lossless: J(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+    // (c <= min and c >= t(|A|+|B|)/(1+t) combine to it), so size-mismatched
+    // bucket cohabitants drop BEFORE the verify join ever sees them. The
+    // 1e-9 slack only loosens the bound (never drops a qualifying pair); it
+    // absorbs double rounding of t*n at integer boundary cases like
+    // 0.8 * 5 = 4.000000000000000222.
+    val cand = prefixes.select(col("lang"), col("source"), col("word"),
+        col("doc_id").as("d1"), col("n").as("na"))
+      .join(prefixes.select(col("lang"), col("source"), col("word"),
+          col("doc_id").as("d2"), col("n").as("nb"))
         .hint("shuffle_merge"), Seq("lang", "source", "word"))
-      .filter(col("d1") < col("d2"))
+      .filter(col("d1") < col("d2") &&
+        col("nb") >= col("na") * threshold - 1e-9 &&
+        col("na") >= col("nb") * threshold - 1e-9)
       .select(col("d1"), col("d2")).dropDuplicates("d1", "d2")
     // Verification: each doc's token set is sorted ONCE (amortized over all
     // its candidate pairs), every pair scored by the allocation-free merge
@@ -544,7 +555,10 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val jac = tokenJaccard(spark, dir, threshold).select(col("d1"), col("d2"))
-    val exEdges = docs.groupBy(col("text"))
+    // group on md5(text), not text: the exact-dup shuffle then carries
+    // 16-byte digests instead of whole documents — same trade dedup_exact
+    // makes, and the same collision acceptance (deterministic per fixture)
+    val exEdges = docs.groupBy(md5(col("text")))
       .agg(min(col("doc_id")).as("d1"), collect_set(col("doc_id")).as("ids"))
       .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") =!= col("d2"))

@@ -61,11 +61,19 @@ object RelationalQueries {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir)
     val li   = Tables.lineitem(spark, dir)
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .groupBy(col("o_orderkey"))
+    // EAGER AGGREGATION below the join: the group key (o_orderkey) IS the
+    // join key, so summing lineitem per l_orderkey BEFORE the join is the
+    // complete aggregate (orderkey is unique in orders) and the orderkey
+    // exchange ships one pre-agged row per order instead of every lineitem —
+    // map-side combine does the collapsing. Catalyst doesn't push aggregates
+    // below joins itself; declaring it this way keeps the same result and
+    // lets the agg exchange and the join exchange share the same key.
+    val liAgg = li.groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+        .as("rev"))
+    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("rev").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -79,14 +87,21 @@ object RelationalQueries {
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // Eager per-orderkey pre-aggregation (same shape as q3): lineitem ⋈
+    // orders is N:1 on orderkey, so sum/count per l_orderkey below the join
+    // is exact — decimal partial sums re-sum exactly in the final n_name
+    // agg — and the only fact-fact shuffle carries one row per order.
+    val liAgg = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .as("rev"),
+        count(lit(1)).as("items"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-        .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        sum(col("items")).as("n_items"))
   }
 
   /** Semi/anti join semantics (EXISTS / NOT EXISTS): customers that do vs
