@@ -90,6 +90,9 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_langid" -> TextAnalysis.langId _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    // corpus-wide TF-IDF top-5 terms per document (ranked on the rounded
+    // score — ln is the one non-IEEE-exact op, see tfidfTop)
+    "text_tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     // Gopher/C4 repetition + shape filters with a combined verdict column
     "text_gopher_filters" -> TextAnalysis.gopherFilters _,
     // deterministic hash-bucket sampling: language-mixture downsampling and
@@ -114,6 +117,9 @@ object SparkEntry {
     // winnowing-fingerprint containment: pairs sharing >= 2 sparse
     // rolling-hash fingerprints; oracle recomputes fnv64 over shingles
     "dedup_fp_overlap" -> ((s: SparkSession, d: String) => Dedup.fingerprintOverlap(s, d)),
+    // train/eval 5-gram decontamination: eval n-grams broadcast, train side
+    // scanned map-only; oracle recomputes the n-gram join on strings
+    "decontam_overlap" -> ((s: SparkSession, d: String) => Dedup.decontamOverlap(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -517,6 +523,39 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
+    // train/eval decontamination re-derived on n-gram STRINGS (the engine
+    // joins on their fnv64 hashes — equal counts absent a collision)
+    "decontam_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                 ELSE list_distinct(list_transform(generate_series(1, len(tk)-4),
+                   i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) END AS sh FROM t),
+          w AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          sz AS (SELECT doc_id, len(sh) AS n FROM s),
+          p AS (SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS c
+                FROM (SELECT * FROM w WHERE doc_id % 50 <> 0) tr
+                JOIN (SELECT * FROM w WHERE doc_id % 50 = 0) ev USING (g)
+                GROUP BY 1, 2)
+          SELECT train_id, eval_id, c AS n_shared,
+            CAST(c AS DOUBLE) / sz.n AS contamination
+          FROM p JOIN sz ON eval_id = sz.doc_id
+          WHERE c >= 1""",
+    // TF-IDF re-derived end-to-end; ranking compares the ROUNDED score so
+    // the one non-IEEE-exact op (ln, faithful to ~1 ulp in both engines)
+    // cannot flip an order
+    "text_tfidf_top" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          w AS (SELECT doc_id, unnest(tk) AS word FROM t),
+          tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+          df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          s AS (SELECT doc_id, word, tf, df,
+                  ROUND(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                FROM tf JOIN df USING (word) CROSS JOIN n),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+                FROM s)
+          SELECT doc_id, word, tf, df, score, CAST(rnk AS INT) AS rnk
+          FROM r WHERE rnk <= 5""",
     // all-pairs exact distinct-3-shingle jaccard — the quadratic ground
     // truth the LSH+verify pipeline must reproduce
     "dedup_minhash_lsh" ->

@@ -568,6 +568,43 @@ object Dedup {
       (col("node") === col("label")).as("keep"))
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Train/eval DECONTAMINATION: which training documents share word
+    * n-grams with the held-out eval split — the standard pre-training check
+    * that benchmark text has not leaked into the training corpus (long
+    * n-grams, here w = 5, so chance collisions are negligible and any hit is
+    * real overlap). The eval split is carved deterministically
+    * (doc_id % evalMod == 0) so the oracle can re-derive it.
+    *
+    * Scale shape — the asymmetry IS the design: the eval set is tiny and
+    * fixed (benchmarks), so its exploded n-gram set is BROADCAST and the
+    * 100 TB training corpus is scanned map-only — shingle-hash (fused
+    * codegen expression, no n-gram strings), hash-join against the
+    * broadcast, and one partial-aggregated groupBy on the (train, eval)
+    * hits, which are a vanishing fraction of the corpus. No shuffle of the
+    * train side ever happens. Output: one row per contaminated
+    * (train, eval) pair with the shared-gram count and the contaminated
+    * fraction of the eval doc (exact IEEE division of exact integers). */
+  def decontamOverlap(spark: SparkSession, dir: String, w: Int = 5,
+                      evalMod: Long = 50, minShared: Int = 1): DataFrame = {
+    val sh = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.TextHash.shingleHashesCol(
+        TextAnalysis.tokensCol(lower(col("text"))), w).as("sh"))
+    val train = sh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
+    val ev = sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), size(col("sh")).as("n_eval_grams"),
+        explode(col("sh")).as("g"))
+    train.join(broadcast(ev), "g")
+      .groupBy(col("train_id"), col("eval_id"), col("n_eval_grams"))
+      .agg(count(lit(1)).as("n_shared")) // both gram sets distinct → |A∩B|
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_eval_grams")).as("contamination"))
+  }
+
   // ---------------------------------------------- rolling-hash fingerprints
 
   final case class DocFp(doc_id: Long, fps: Array[Long])

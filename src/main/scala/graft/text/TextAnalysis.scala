@@ -69,6 +69,38 @@ object TextAnalysis {
          lit(0.5) * distinctRatio)).as("quality_score"))
   }
 
+  /** TF-IDF top terms per document: tf = term occurrences in the doc,
+    * idf = ln(N / df) over the whole corpus, top-k terms per doc by the
+    * 6-decimal-rounded score with a deterministic word tie-break.
+    *
+    * Scale shape: ONE exchange of the exploded corpus (the (doc, word)
+    * group — map-side combined), after which the df table is vocabulary-
+    * sized (Zipf-small) and AQE broadcasts it back; N rides along as a
+    * broadcast one-row cross join, so no driver-side action computes it.
+    * The per-doc top-k window repartitions only the (doc, word, tf) counts,
+    * a fraction of the token stream. Ranking compares the ROUNDED score:
+    * +, *, / are IEEE-exact across engines but ln is only faithful to
+    * ~1 ulp, so the rounded value is the cross-engine-stable sort key (the
+    * same acceptance the cosine queries make for ROUND itself). */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("doc_id"), explode(tokensCol(lower(col("text")))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rnk", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Language-ID heuristic: marker-word hit counts per language, argmax with
     * deterministic alphabetical tie-break (de < en < es < fr < zh). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
