@@ -99,6 +99,10 @@ object SparkEntry {
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
     "sample_split" -> graft.sample.Sampling.split _,
+    // concat-and-chunk sequence packing: global token offsets via a
+    // two-phase prefix sum (range partition + broadcast offsets), never a
+    // single-task global window; oracle recomputes with a windowed cumsum
+    "pack_sequences" -> ((s: SparkSession, d: String) => graft.sample.Packing.packSequences(s, d)),
     // dedup family
     "dedup_exact" -> Dedup.exact _,
     "dedup_token_jaccard" -> ((s: SparkSession, d: String) => Dedup.tokenJaccard(s, d)),
@@ -766,6 +770,20 @@ object SparkEntry {
           SELECT doc_id, lang, bucket,
             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
           FROM b""",
+    // the windowed-cumsum twin of the engine's two-phase prefix sum
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+                FROM t)
+          SELECT doc_id, n_tokens, token_start,
+            CAST(token_start // 512 AS BIGINT) AS first_chunk,
+            CAST(CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+                 ELSE token_start // 512 END AS BIGINT) AS last_chunk,
+            (CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+                 ELSE token_start // 512 END) <> (token_start // 512) AS crosses_boundary
+          FROM c""",
     // the payload is ASCII (strlen == byte length), so VARCHAR substring md5
     // equals Spark's binary-slice md5 byte-for-byte
     "mm_frame_sample" ->
