@@ -500,9 +500,13 @@ object Dedup {
                         mergeHint: Boolean): DataFrame = {
     // only nodes that appear in an edge can ever change label — iterate over
     // those (typically a small fraction of the corpus) and fold the isolated
-    // majority back in at the end with label = self
-    var chk = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // majority back in at the end with label = self. The node list needs one
+    // exchange by src anyway, so the same aggregation folds in the first
+    // min-neighbor step for free: labels start at min(self, neighbors)
+    // instead of self, one whole propagation round ahead.
+    var chk = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint(true)
     var labels = chk
     var converged = false

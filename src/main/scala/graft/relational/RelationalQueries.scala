@@ -61,19 +61,20 @@ object RelationalQueries {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir)
     val li   = Tables.lineitem(spark, dir)
-    // EAGER AGGREGATION below the join: the group key (o_orderkey) IS the
-    // join key, so summing lineitem per l_orderkey BEFORE the join is the
-    // complete aggregate (orderkey is unique in orders) and the orderkey
-    // exchange ships one pre-agged row per order instead of every lineitem —
-    // map-side combine does the collapsing. Catalyst doesn't push aggregates
-    // below joins itself; declaring it this way keeps the same result and
-    // lets the agg exchange and the join exchange share the same key.
-    val liAgg = li.groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-        .as("rev"))
-    liAgg.join(ord, liAgg("l_orderkey") === ord("o_orderkey"))
+    // JOIN-FIRST, not eager pre-aggregation — deliberately the opposite of
+    // q5's shape, because here the dimension filter is SELECTIVE (~1/5 of
+    // customers): joining first lets the (orders ⋈ BUILDING-customers)
+    // side collapse — AQE broadcasts it when small, so lineitem reaches the
+    // final agg without a raw shuffle — and the group-by then aggregates
+    // only the surviving fifth of lineitem, with map-side combine on the
+    // one exchange it does pay. Pre-aggregating per orderkey first (q5's
+    // trick) would compute 5× more groups than survive and pin a full
+    // lineitem-wide exchange into the plan regardless of what AQE learns.
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .select(col("o_orderkey"), col("rev").cast("double").as("revenue"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -87,10 +88,14 @@ object RelationalQueries {
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
-    // Eager per-orderkey pre-aggregation (same shape as q3): lineitem ⋈
-    // orders is N:1 on orderkey, so sum/count per l_orderkey below the join
-    // is exact — decimal partial sums re-sum exactly in the final n_name
-    // agg — and the only fact-fact shuffle carries one row per order.
+    // EAGER per-orderkey pre-aggregation below the join — the right shape
+    // here (and deliberately NOT q3's): this query has no selective filter,
+    // every order survives, so the join cannot reduce the data and the only
+    // question is what the fact-fact exchange carries. lineitem ⋈ orders is
+    // N:1 on orderkey, so sum/count per l_orderkey below the join is exact
+    // — decimal partial sums re-sum exactly in the final n_name agg — and
+    // the orderkey exchange ships one pre-agged row per order instead of
+    // every lineitem. Catalyst doesn't push aggregates below joins itself.
     val liAgg = li.groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
         .as("rev"),
