@@ -104,6 +104,66 @@ object TextHash {
     new GenericArrayData(out.toArray.distinct.sorted)
   }
 
+  /** `gram_stats(array<string>) -> array<bigint>` of
+    * `[g2_max, g2_n, g3_n, g3_d]`: max bigram multiplicity, bigram count,
+    * trigram count, DISTINCT trigram count — exactly the per-document
+    * statistics the Gopher repetition filters consume. They are per-row
+    * facts, so computing them in one fused call makes the whole filter
+    * query MAP-ONLY: the previous formulation exploded interpreted-HOF
+    * n-gram strings into two groupBy pipelines — at 100 TB that shuffles
+    * the entire n-gram stream twice to compute numbers each row already
+    * owns. Grams are identified by their streaming char-FNV64 (same
+    * function as [[shingleHashesFromTokens]], no gram strings
+    * materialized); two grams of ONE document colliding in 64 bits is the
+    * same negligible, fixture-deterministic acceptance the other hashed
+    * verifiers make. */
+  def gramStatsCol(c: Column): Column =
+    ColumnBridge.column(GramStatsExpr(ColumnBridge.expression(c)))
+
+  /** Hot-path entry referenced from generated code for [[gramStatsCol]]. */
+  def gramStatsFromTokens(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    @inline def gramHash(from: Int, w: Int): Long = {
+      var h = FnvOffset
+      var j = from
+      while (j < from + w) {
+        if (j > from) { h ^= 0x20L; h *= FnvPrime }
+        val t = toks(j)
+        var k = 0
+        while (k < t.length) { h ^= t.charAt(k).toLong; h *= FnvPrime; k += 1 }
+        j += 1
+      }
+      h
+    }
+    var g2max = 0L; var g2n = 0L; var g3n = 0L; var g3d = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[Long, Long]()
+      var s = 0
+      while (s <= n - 2) {
+        val c = counts.merge(gramHash(s, 2), 1L, (a, b) => a + b)
+        if (c > g2max) g2max = c
+        s += 1
+      }
+      g2n = n - 1
+    }
+    if (n >= 3) {
+      val seen = new java.util.HashSet[Long]()
+      var s = 0
+      while (s <= n - 3) {
+        if (seen.add(gramHash(s, 3))) g3d += 1
+        s += 1
+      }
+      g3n = n - 2
+    }
+    new GenericArrayData(Array(g2max, g2n, g3n, g3d))
+  }
+
   /** Hot-path entry referenced from generated code: the fused
     * tokens→fingerprints form. Window semantics match
     * `toks.sliding(w)`: no windows on an empty input, one whole-doc window
@@ -175,6 +235,25 @@ case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `graft_gram_stats(array<string>) -> array<bigint>` — see
+  * [[TextHash.gramStatsCol]]. */
+case class GramStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_stats requires array<string>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.gramStatsFromTokens(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.gramStatsFromTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): GramStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_stats"
 }
 
 /** `graft_fingerprint_tokens(array<string>) -> array<bigint>` — see

@@ -226,16 +226,40 @@ object Similarity {
     }
     val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v))
       .persist() // consumed by the radius agg + up to two scan passes
-    // per-list angular radius via min member-to-centroid cosine (tiny agg)
-    val radius: Map[Int, Double] = assigned
-      .map { case (l, v) => (l, cosine(v.embedding, bcCent.value(l))) }
-      .groupByKey(_._1).mapGroups((l, it) => (l, it.map(_._2).min))
-      .collect().map { case (l, cmin) => l -> math.acos(math.max(-1.0, math.min(1.0, cmin))) }
-      .toMap
+    val radius = listRadii(assigned.rdd.map { case (l, v) => (l, v.embedding) },
+      bcCent, nlist)
     val queries = vecs.filter(_.vec_id < numQueries).collect()
     val out = exactScanMerge(spark, _ => assigned, centroids, radius, queries, k, nprobe)
     assigned.unpersist()
     out
+  }
+
+  /** Per-list angular radius r(l) = max angle(member, centroid), as one
+    * treeAggregate fold into an nlist-sized min-cosine accumulator — the
+    * driver receives nlist doubles, not per-partition groups (same shape
+    * argument as [[trainCentroids]]). Lists absent from the data are absent
+    * from the map. */
+  private def listRadii(assigned: org.apache.spark.rdd.RDD[(Int, Array[Float])],
+                        bcCent: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+                        nlist: Int): Map[Int, Double] = {
+    val mins = assigned.treeAggregate(Array.fill(nlist)(Double.NaN))(
+      seqOp = { (acc, lv) =>
+        val (l, e) = lv
+        val c = cosine(e, bcCent.value(l))
+        if (acc(l).isNaN || c < acc(l)) acc(l) = c
+        acc
+      },
+      combOp = { (a, b) =>
+        var i = 0
+        while (i < nlist) {
+          if (a(i).isNaN || (!b(i).isNaN && b(i) < a(i))) a(i) = b(i)
+          i += 1
+        }
+        a
+      })
+    mins.zipWithIndex.collect { case (cmin, l) if !cmin.isNaN =>
+      l -> math.acos(math.max(-1.0, math.min(1.0, cmin)))
+    }.toMap
   }
 
   /** Shared two-phase exact IVF search over any (list, vector) source —
@@ -345,12 +369,10 @@ object Similarity {
     val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v.vec_id, v.embedding))
       .toDF("list_id", "vec_id", "embedding").persist()
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    val radius: Map[Int, Double] = assigned
-      .select(col("list_id"), col("embedding")).as[(Int, Array[Float])]
-      .map { case (l, e) => (l, cosine(e, bcCent.value(l))) }
-      .groupByKey(_._1).mapGroups((l, it) => (l, it.map(_._2).min))
-      .collect().map { case (l, cmin) => l -> math.acos(math.max(-1.0, math.min(1.0, cmin))) }
-      .toMap
+    val radius = listRadii(
+      assigned.select(col("list_id"), col("embedding")).as[(Int, Array[Float])]
+        .rdd.map { case (l, e) => (l, e) },
+      bcCent, nlist)
     assigned.unpersist()
     IvfIndex(path, centroids, radius)
   }

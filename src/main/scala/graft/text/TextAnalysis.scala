@@ -139,30 +139,26 @@ object TextAnalysis {
     * pipelines joined back on doc_id — at 100 TB each is one shuffle keyed
     * by (doc, gram), no window, no holistic state. */
   def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
-    val tk = tokensCol(col("text"))
-    // guard: sequence(0, negative) throws — a doc shorter than n tokens has
-    // no n-grams (empty array; both engines then drop it from the ratios)
-    def grams(n: Int) = when(size(col("tk")) >= n,
-      transform(sequence(lit(0), size(col("tk")) - n),
-        i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), tk.as("tk"))
-      .select(col("doc_id"), col("tk"),
+    // MAP-ONLY: every statistic here is a fact about one document, so the
+    // fused `gram_stats` expression computes the bigram/trigram repetition
+    // numbers in the same codegen'd pass as the token stats — zero
+    // exchanges, nothing but the scan at any scale. (The previous
+    // formulation exploded interpreted-HOF n-gram strings into two
+    // groupBy pipelines — shuffling the n-gram stream to compute per-row
+    // facts.) Docs with fewer than 3 tokens have no trigrams and are
+    // dropped, matching the oracle's inner joins.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
         size(col("tk")).cast("bigint").as("n_words"),
         (aggregate(transform(col("tk"), t => length(t).cast("bigint")),
           lit(0L), (acc, x) => acc + x).cast("double") / size(col("tk")))
-          .as("mean_word_len"))
-    def gramStats(n: Int, prefix: String) =
-      base.select(col("doc_id"), explode(grams(n)).as("gram"))
-        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(
-          max(col("c")).as(s"${prefix}_max"),
-          sum(col("c")).as(s"${prefix}_n"),
-          count(lit(1)).as(s"${prefix}_d"))
-    base.select(col("doc_id"), col("n_words"), col("mean_word_len"))
-      .join(gramStats(2, "g2"), "doc_id")
-      .join(gramStats(3, "g3"), "doc_id")
+          .as("mean_word_len"),
+        graft.functions.TextHash.gramStatsCol(col("tk")).as("gs"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("gs")(0).as("g2_max"), col("gs")(1).as("g2_n"),
+        col("gs")(2).as("g3_n"), col("gs")(3).as("g3_d"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         (col("g2_max").cast("double") / col("g2_n")).as("top_bigram_frac"),
         ((col("g3_n") - col("g3_d")).cast("double") / col("g3_n")).as("dup_trigram_frac"),

@@ -62,6 +62,23 @@ class SetOpsSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getInt(0) == 1))
   }
 
+  test("gram_stats == string-gram recomputation on random token arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
+    val docs = (1 to 120).map(_ => Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val got = docs.toDF("tk")
+      .select(TextHash.gramStatsCol(col("tk")).as("gs"))
+      .collect().map(_.getSeq[Long](0))
+    docs.zip(got).foreach { case (tk, gs) =>
+      val bi = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tri = tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val g2max = if (bi.isEmpty) 0L else bi.groupBy(identity).values.map(_.length).max.toLong
+      assert(gs == Seq(g2max, bi.length.toLong, tri.length.toLong, tri.distinct.length.toLong),
+        s"tokens=$tk")
+    }
+  }
+
   test("shingle_hashes == sorted distinct fnv64 of the string shingles") {
     import spark.implicits._
     val docs = Seq(
