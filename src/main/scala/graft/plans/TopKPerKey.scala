@@ -127,7 +127,8 @@ final case class TopKCollectorFactory(boundKeys: Seq[Expression], boundOrd: Expr
   * ≤ keys×k survivors to the parent. */
 final case class TopKPartialExec(keyExprs: Seq[Expression], orderExpr: Expression,
                                  tieExpr: Expression, k: Int, child: SparkPlan)
-    extends UnaryExecNode with CodegenSupport {
+    extends UnaryExecNode
+    with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
   override def output: Seq[Attribute] = child.output
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -154,10 +155,14 @@ final case class TopKPartialExec(keyExprs: Seq[Expression], orderExpr: Expressio
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
 
-  // emitted rows are collector-owned copies, never a reused buffer
-  override def needCopyResult: Boolean = false
-  // the collector materializes everything before producing; no early-out
-  override def needStopCheck: Boolean = false
+  // BlockingOperatorWithCodegen declares what this node IS — a buffer-
+  // everything-then-produce operator (the SortExec shape): it supplies
+  // needCopyResult=false (emitted rows are collector-owned copies),
+  // needStopCheck=false (the input loop must run to completion), resets
+  // limitNotReachedChecks for the child pipeline, and licenses the
+  // limitNotReachedCond test in the produce loop (a non-blocking node
+  // using it trips Spark's "[BUG]" warning — or an assertion under
+  // spark.testing).
 
   private var collectorTerm: String = _
 
