@@ -48,6 +48,11 @@ object SparkEntry {
     "q_unpivot" -> RelationalQueries.qUnpivot _,
     "ev_hourly_agg" -> RelationalQueries.evHourlyAgg _,
     "ev_sessionize" -> RelationalQueries.evSessionize _,
+    // funnel: strictly-ordered view → click → purchase, stage per user —
+    // three min-aggs chained on one user_id partitioning, no per-user sort
+    "ev_funnel" -> RelationalQueries.evFunnel _,
+    // cohort retention matrix (signup-day cohorts × day offset)
+    "ev_retention" -> RelationalQueries.evRetention _,
     "q_asof_join" -> RelationalQueries.qAsofJoin _,
     // same query through the custom AsOfJoinPlan operator + resolution rule
     // (requires the GraftExtensions session Verify/Bench build) — checked
@@ -300,6 +305,29 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+         v AS (SELECT user_id, MIN(ms) AS view_ms FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(ms) AS click_ms FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ms > view_ms GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(ms) AS purchase_ms FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ms > click_ms GROUP BY 1)
+         SELECT u.user_id, view_ms, click_ms, purchase_ms,
+           CASE WHEN purchase_ms IS NOT NULL THEN 3
+                WHEN click_ms IS NOT NULL THEN 2
+                WHEN view_ms IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day FROM events),
+         cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+                    WHERE event_type = 'signup' GROUP BY 1),
+         active AS (SELECT DISTINCT user_id, day FROM e)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM active JOIN cohort USING (user_id)
+         WHERE day >= cohort_day GROUP BY 1, 2""",
     "ev_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id FROM events),
          g AS (SELECT user_id, ms, event_id,

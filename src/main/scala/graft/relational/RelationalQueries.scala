@@ -209,6 +209,56 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** FUNNEL analysis: how far each user got through the strictly-ordered
+    * view → click → purchase sequence (each stage's FIRST qualifying event
+    * must be strictly after the previous stage's). The classic product-
+    * analytics query, expressed without a per-user sort or a quadratic
+    * self-join: each stage is a filter + min-aggregation keyed on user_id,
+    * chained through joins on that same key — so all three aggregations and
+    * joins share one user_id partitioning (exchange reuse), and each
+    * stage's input shrinks to the users still in the funnel. Millisecond
+    * integers only; no timestamps cross the oracle boundary. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), Tables.eventMs.as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("view_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ms") > col("view_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("click_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ms") > col("click_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ms"), col("click_ms"), col("purchase_ms"),
+        when(col("purchase_ms").isNotNull, 3)
+          .when(col("click_ms").isNotNull, 2)
+          .when(col("view_ms").isNotNull, 1)
+          .otherwise(0).as("stage"))
+  }
+
+  /** COHORT RETENTION: users bucketed by their signup day, counted as
+    * retained on each later day they produced any event. One distinct pass
+    * over (user, day) plus a cohort join on user_id — the (cohort_day,
+    * day_offset) matrix is the output, day arithmetic all integer
+    * epoch-day. The activity `distinct` is the only corpus-sized exchange;
+    * the cohort table is users-sized and joins on the same user_id key. */
+  def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts DIV 1000000 DIV 86400000") // exact integer epoch-day
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), day.as("day"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.select(col("user_id"), col("day")).distinct()
+      .join(cohort, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** As-of join: for every `purchase` event, the most recent `view` event of
     * the same user at or before the purchase time.
     *
