@@ -146,6 +146,9 @@ object SparkEntry {
     // exactly recall 1.0 by construction (full probe ≡ brute force), the
     // intermediate thresholds are documented fixture floors with margin
     "sim_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallSweep(s, d)),
+    // int8 scalar quantization report: per-vector SQ8 scale + exact
+    // reconstruction error — IEEE-only arithmetic, bit-exact vs the oracle
+    "sim_quantize_sq8" -> ((s: SparkSession, d: String) => Similarity.quantizeSq8(s, d)),
     // multimodal plumbing
     "mm_summary" -> Multimodal.mediaSummary _,
     // scalar-bin form: raw integer byte-histogram counts (the Array[Float]
@@ -738,6 +741,24 @@ object SparkEntry {
            CAST(10 AS BIGINT) AS n_hits, TRUE AS recall_ok
          FROM (VALUES (4),(8),(16)) AS a(np),
               (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
+    // SQ8 re-derived with the identical IEEE ops and the same explicit
+    // left-fold sum order — all three doubles compare bit-exact
+    "sim_quantize_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         s AS (SELECT vec_id, x,
+                 list_reduce(list_transform(x, v -> abs(v)), (a, b) -> greatest(a, b)) / 127.0 AS scale
+               FROM e),
+         r AS (SELECT vec_id, scale,
+                 CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0.0 AS DOUBLE))
+                      ELSE list_transform(generate_series(1, len(x)),
+                             i -> x[i] - floor(x[i]/scale + 0.5) * scale) END AS err
+               FROM s)
+         SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_reduce(list_transform(err, v -> v*v), (a, b) -> a + b) / len(err) END AS mse,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_reduce(list_transform(err, v -> abs(v)), (a, b) -> greatest(a, b)) END AS max_err
+         FROM r""",
     "dedup_token_jaccard" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
            (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),

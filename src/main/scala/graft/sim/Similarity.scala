@@ -437,6 +437,20 @@ object Similarity {
         (coalesce(col("n_matched"), lit(0L)) >= thr).as("recall_ok"))
   }
 
+  /** Scalar int8 quantization report over the embedding corpus: per vector
+    * the SQ8 scale and reconstruction error (see
+    * [[graft.functions.Quantize]]), plus the corpus decision row a storage
+    * engine acts on. Map-only — the whole point of SQ8 at 100 TB is that a
+    * linear scan re-encodes the index at 4× smaller with bounded error. */
+  def quantizeSq8(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      graft.functions.Quantize.sq8StatsCol(col("embedding")).as("s"))
+      .select(col("vec_id"), col("s")(0).as("scale"),
+        col("s")(1).as("mse"), col("s")(2).as("max_err"))
+  }
+
   final case class EmbDup(d1: Long, d2: Long, cosine: Double)
 
   /** Cosine rounded to 6 decimals (HALF_UP): the oracle-boundary form — a

@@ -62,6 +62,31 @@ class SetOpsSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getInt(0) == 1))
   }
 
+  test("sq8_stats: quantized values fit int8, error bounded by scale/2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (1 to 100).map(_ => Array.fill(64)((rnd.nextFloat() - 0.5f) * 20f)) :+
+      Array.fill(64)(0.0f) // all-zero edge: scale 0, zero error
+    val rows = vecs.toDF("x")
+      .select(Quantize.sq8StatsCol(col("x")).as("s")).collect()
+      .map(_.getSeq[Double](0))
+    vecs.zip(rows).foreach { case (x, Seq(scale, mse, maxErr)) =>
+      val wantScale = x.map(v => math.abs(v.toDouble)).max / 127.0
+      assert(scale == wantScale)
+      if (scale == 0.0) { assert(mse == 0.0 && maxErr == 0.0) }
+      else {
+        // round-half-up quantization error is at most scale/2 per element
+        assert(maxErr <= scale / 2 + 1e-15, s"maxErr=$maxErr scale=$scale")
+        assert(mse <= maxErr * maxErr + 1e-15)
+        // quantized codes stay in [-127, 127]
+        x.foreach { v =>
+          val q = math.floor(v / scale + 0.5)
+          assert(q >= -127 && q <= 127)
+        }
+      }
+    }
+  }
+
   test("gram_stats == string-gram recomputation on random token arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
