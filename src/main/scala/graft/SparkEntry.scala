@@ -149,6 +149,9 @@ object SparkEntry {
     // int8 scalar quantization report: per-vector SQ8 scale + exact
     // reconstruction error — IEEE-only arithmetic, bit-exact vs the oracle
     "sim_quantize_sq8" -> ((s: SparkSession, d: String) => Similarity.quantizeSq8(s, d)),
+    // top-k searched through the int8 index with an error-ball exact
+    // rescan: recall 1.0 by construction → the same brute-force oracle
+    "sim_topk_sq8" -> ((s: SparkSession, d: String) => Similarity.sq8TopK(s, d).toDF()),
     // multimodal plumbing
     "mm_summary" -> Multimodal.mediaSummary _,
     // scalar-bin form: raw integer byte-histogram counts (the Array[Float]
@@ -710,6 +713,20 @@ object SparkEntry {
     // ball-pruned IVF returns the exact top-k, so its oracle is the same
     // all-pairs truth as sim_topk_brute
     "sim_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
+    // the SQ8-searched top-k is exact by its error-ball rescan: identical
+    // all-pairs truth again
+    "sim_topk_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
          c AS (SELECT query_id, v.vec_id AS neighbor_id,

@@ -451,6 +451,147 @@ object Similarity {
         col("s")(1).as("mse"), col("s")(2).as("max_err"))
   }
 
+  // --------------------------------------------- SQ8-searched exact top-k
+
+  final case class SqVec(vec_id: Long, scale: Double, q: Array[Byte])
+
+  /** The compressed at-rest index [[sq8TopK]] searches: int8 codes + scale,
+    * 4× smaller than the float32 corpus (same arithmetic as
+    * [[graft.functions.Quantize.sq8Stats]]). */
+  def sq8Index(vecs: Dataset[Vec]): Dataset[SqVec] = {
+    import vecs.sparkSession.implicits._
+    vecs.map { v =>
+      val x = v.embedding
+      var maxAbs = 0.0
+      var i = 0
+      while (i < x.length) { val a = math.abs(x(i).toDouble); if (a > maxAbs) maxAbs = a; i += 1 }
+      val scale = maxAbs / 127.0
+      val q = new Array[Byte](x.length)
+      if (scale != 0.0) {
+        i = 0
+        while (i < x.length) { q(i) = math.floor(x(i) / scale + 0.5).toByte; i += 1 }
+      }
+      SqVec(v.vec_id, scale, q)
+    }
+  }
+
+  /** EXACT top-k searched through the QUANTIZED index — recall 1.0 by
+    * construction, like [[ivfTopKExact]] but with an error-ball instead of
+    * a centroid-ball:
+    *
+    *   1. Scan the int8 index, scoring every vector by the cosine of its
+    *      DEQUANTIZED form, with the provable per-vector bound
+    *      |approx − exact| <= sqrt(d)·scale / |b~|  (each coordinate's
+    *      dequantization error is <= scale/2, so ||e|| <= sqrt(d)·scale/2,
+    *      and normalizing perturbs a unit dot by <= 2||e||/|b~|).
+    *   2. Exact-rerank the approx top-k (a Q×k join against the float
+    *      corpus) → τ = each query's k-th best EXACT cosine.
+    *   3. Rescan the index: any vector with approx + bound >= τ could
+    *      still belong in the top-k — exact-score exactly those (another
+    *      bounded join); everything excluded provably scores < τ.
+    *
+    * The float corpus is touched only for the (small) rerank joins; both
+    * full scans read the 4× smaller index — the actual economics of SQ8 at
+    * 100 TB. Output equals [[bruteForceTopK]] row-for-row (ties at τ are
+    * INCLUDED by the >= filter, so the final (-cos, id) sort reproduces
+    * brute force's tie-break exactly); the oracle is the same brute-force
+    * SQL. A 1e-6 slack on the bound absorbs the float rounding of the
+    * dequantized coordinates (half-ulp each, ~6e-8 normalized worst case)
+    * and the double arithmetic of the scoring — three orders of magnitude
+    * of margin, still ~10⁴× below the bound itself. */
+  def sq8TopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+              k: Int = 10): Dataset[Hit] = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val idx = sq8Index(vecs).persist()
+
+    // one dequantize + per-query scoring pass; emits per-partition heaps so
+    // only Q×k rows leave each partition
+    val approxTopK: Dataset[(Long, Long, Double)] =
+      idx.mapPartitions { it =>
+        val qs = bcQ.value
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+        it.foreach { sv =>
+          val d = sv.q.length
+          val deq = new Array[Float](d)
+          var i = 0
+          while (i < d) { deq(i) = (sv.q(i) * sv.scale).toFloat; i += 1 }
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            if (sv.vec_id != q.vec_id) {
+              val c = cosine(q.embedding, deq)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, sv.vec_id))
+              else if (c > h.head._1 || (c == h.head._1 && sv.vec_id < h.head._2)) {
+                h.dequeue(); h.enqueue((c, sv.vec_id))
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case (q, h) =>
+          h.iterator.map { case (c, id) => (q.vec_id, id, c) }
+        }
+      }
+
+    // exact cosines for a bounded (qid, vec_id) candidate set, via a join
+    // against the float corpus — the only touches of the uncompressed data
+    def exactScores(cands: Dataset[(Long, Long)]): Dataset[(Long, Long, Double)] =
+      cands.toDF("qid", "vec_id")
+        .join(vecs.toDF().select(col("vec_id"), col("embedding")), "vec_id")
+        .as[(Long, Long, Array[Float])]
+        .map { case (vid, qid, emb) =>
+          val q = bcQ.value.find(_.vec_id == qid).get
+          (qid, vid, cosine(q.embedding, emb))
+        }
+
+    // phase 1: approx top-k, exact-reranked → τ per query
+    val phase1 = approxTopK
+      .groupByKey(_._1).flatMapGroups { (qid, it) =>
+        it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
+          .iterator.map { case (_, id, _) => (qid, id) }
+      }.persist()
+    val p1Exact = exactScores(phase1).persist()
+    val tau: Map[Long, Double] = p1Exact.groupByKey(_._1).mapGroups { (qid, it) =>
+      val top = it.map(_._3).toArray.sorted(Ordering.Double.TotalOrdering.reverse)
+      (qid, if (top.length >= k) top(k - 1) else Double.NegativeInfinity)
+    }.collect().toMap
+    val bcTau = spark.sparkContext.broadcast(tau)
+    val p1Ids: Map[Long, Set[Long]] = phase1.collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val bcP1 = spark.sparkContext.broadcast(p1Ids)
+
+    // phase 2: every vector whose error ball reaches τ and wasn't reranked
+    val survivors = idx.flatMap { sv =>
+      val qs = bcQ.value
+      val d = sv.q.length
+      val deq = new Array[Float](d)
+      var i = 0
+      while (i < d) { deq(i) = (sv.q(i) * sv.scale).toFloat; i += 1 }
+      val nrm = norm(deq)
+      val bound = if (sv.scale == 0.0 || nrm == 0.0) 0.0
+        else math.sqrt(d.toDouble) * sv.scale / nrm + 1e-6
+      qs.iterator.filter { q =>
+        sv.vec_id != q.vec_id &&
+          !bcP1.value.getOrElse(q.vec_id, Set.empty).contains(sv.vec_id) &&
+          cosine(q.embedding, deq) + bound >= bcTau.value.getOrElse(q.vec_id, Double.NegativeInfinity)
+      }.map(q => (q.vec_id, sv.vec_id))
+    }
+    val all = p1Exact.union(exactScores(survivors))
+    val out = all.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
+        .iterator.zipWithIndex.map { case ((_, id, c), r) =>
+          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
+    }.persist()
+    out.count() // materialize before releasing the intermediates
+    phase1.unpersist(); p1Exact.unpersist(); idx.unpersist()
+    out
+  }
+
   final case class EmbDup(d1: Long, d2: Long, cosine: Double)
 
   /** Cosine rounded to 6 decimals (HALF_UP): the oracle-boundary form — a

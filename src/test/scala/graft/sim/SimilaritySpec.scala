@@ -50,6 +50,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall $mean")
   }
 
+  test("SQ8-searched top-k equals brute force exactly (error-ball rescan)") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    val sq8 = Similarity.sq8TopK(spark, sf).collect()
+      .map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    assert(sq8 == brute)
+  }
+
+  test("sq8Index codes are int8-ranged and reconstruct within scale/2 per coord") {
+    import spark.implicits._
+    val idx = Similarity.sq8Index(Similarity.vectors(spark, sf)).collect()
+    val orig = all.map(v => v.vec_id -> v.embedding).toMap
+    idx.foreach { sv =>
+      val x = orig(sv.vec_id)
+      sv.q.zip(x).foreach { case (q, xi) =>
+        assert(q >= -127 && q <= 127)
+        if (sv.scale != 0.0)
+          assert(math.abs(xi.toDouble - q * sv.scale) <= sv.scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("embedding near-dups are symmetric-free (d1 < d2) and above threshold") {
     val dups = Similarity.embeddingNearDups(spark, sf, threshold = 0.3).collect()
     assert(dups.nonEmpty)
