@@ -139,6 +139,69 @@ object EventStreams {
       }
   }
 
+  final case class FunIn(user_id: Long, event_type: String, ms: Long,
+                         ts_ts: java.sql.Timestamp)
+  final case class FunnelState(view: Long, click: Long, purchase: Long,
+                               last: Long)
+  final case class FunnelRow(user_id: Long, view_ms: Option[Long],
+                             click_ms: Option[Long], purchase_ms: Option[Long],
+                             stage: Int)
+
+  /** Streaming twin of
+    * [[graft.relational.RelationalQueries.evFunnel]]: per-user funnel stage
+    * held in `flatMapGroupsWithState`, the final row emitted when the
+    * watermark passes the user's last activity + `quietMs` (event-time
+    * timeout — the same end-of-funnel mechanics as [[sessionize]]'s session
+    * close). Within a micro-batch events fold in ms order, and the stage
+    * updates are min-monotone (a lower view can only LOWER the qualifying
+    * click, never invalidate it), so in-batch disorder is handled exactly;
+    * ACROSS batches the fold assumes the watermark contract every stateful
+    * op here shares — an event older than already-folded state (late beyond
+    * the watermark) is dropped by the engine, and a qualifying stage event
+    * that was skipped because its predecessor stage arrived in a later
+    * batch is the deterministic cost of that contract. */
+  def funnelStream(events: Dataset[FunIn],
+                   quietMs: Long = 30L * 60 * 1000): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts_ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunIn], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove() // a later event starts a fresh funnel era
+            def opt(v: Long) = if (v < 0) None else Some(v)
+            val stage = if (st.purchase >= 0) 3 else if (st.click >= 0) 2
+              else if (st.view >= 0) 1 else 0
+            Iterator.single(FunnelRow(user, opt(st.view), opt(st.click),
+              opt(st.purchase), stage))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1, -1, -1, -1))
+            rows.toArray.sortBy(_.ms).foreach { e =>
+              e.event_type match {
+                case "view" if st.view < 0 || e.ms < st.view =>
+                  st = st.copy(view = e.ms)
+                case "click" if st.view >= 0 && e.ms > st.view &&
+                    (st.click < 0 || e.ms < st.click) =>
+                  st = st.copy(click = e.ms)
+                case "purchase" if st.click >= 0 && e.ms > st.click &&
+                    (st.purchase < 0 || e.ms < st.purchase) =>
+                  st = st.copy(purchase = e.ms)
+                case _ => ()
+              }
+              st = st.copy(last = math.max(st.last, e.ms))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.last + quietMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact deduplication — the streaming twin of
     * [[graft.dedup.Dedup.exact]] for a training-data ingest pipeline where
     * the same document (or event) may be delivered more than once, across

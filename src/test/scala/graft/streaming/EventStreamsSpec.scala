@@ -168,6 +168,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming funnel (flatMapGroupsWithState + event-time timeout) equals batch") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("funin").toString
+    val out = java.nio.file.Files.createTempDirectory("funout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("funckpt").toString
+
+    val real = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), graft.Tables.eventMs.as("ms"))
+      .select(col("user_id"), col("event_type"), col("ms"),
+        timestamp_millis(col("ms")).as("ts_ts"))
+      .as[EventStreams.FunIn]
+    val maxMs = real.agg(max(col("ms"))).collect()(0).getLong(0)
+    // sentinel far in the future: watermark passes every user's last + quiet
+    val sentinel = Seq(EventStreams.FunIn(-1L, "view", maxMs + 86400000L,
+      new java.sql.Timestamp(maxMs + 86400000L))).toDS()
+    real.unionAll(sentinel).write.mode("overwrite").parquet(in)
+
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.FunIn].schema
+    val q = EventStreams.funnelStream(
+        spark.readStream.schema(schema).parquet(in).as[EventStreams.FunIn]).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    def optAt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val streamed = spark.read.parquet(out).filter(col("user_id") >= 0)
+      .collect().map(r => r.getLong(0) -> (optAt(r, 1), optAt(r, 2), optAt(r, 3), r.getInt(4))).toMap
+    val batch = graft.relational.RelationalQueries.evFunnel(spark, sf)
+      .collect().map(r => r.getLong(0) -> (optAt(r, 1), optAt(r, 2), optAt(r, 3), r.getInt(4))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming KV store dedups retried ops across the stream") {
     import spark.implicits._
     // one batch containing retries: duplicates of (clientId, seq) fold once
