@@ -609,6 +609,30 @@ object Dedup {
         (col("n_shared").cast("double") / col("n_eval_grams")).as("contamination"))
   }
 
+  /** The eval split's DISTINCT n-gram hash set, sorted — the driver-side
+    * artifact [[decontamStreamCol]] embeds. Bounded by the eval corpus
+    * (benchmarks are small and fixed; that asymmetry is the whole design
+    * of this family). */
+  def evalGramSet(spark: SparkSession, dir: String, w: Int = 5,
+                  evalMod: Long = 50): Array[Long] =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % evalMod === 0)
+      .select(explode(graft.functions.TextHash.shingleHashesCol(
+        TextAnalysis.tokensCol(lower(col("text"))), w)).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** INGEST-TIME decontamination column: `n_shared` of a document's n-gram
+    * set against a fixed eval gram set — the streaming/ingest twin of
+    * [[decontamOverlap]]. The eval grams ride along as a sorted array
+    * literal and each incoming document is scored by the same fused
+    * shingle-hash + sorted-merge pair as the batch query: stateless,
+    * shuffle-free, watermark-free — usable identically on a static frame
+    * or a `readStream` source, which the parity spec exercises. */
+  def decontamStreamCol(text: Column, evalGrams: Array[Long], w: Int = 5): Column =
+    graft.functions.SetOps.sortedIntersectCountCol(
+      graft.functions.TextHash.shingleHashesCol(TextAnalysis.tokensCol(lower(text)), w),
+      lit(evalGrams))
+
   // ---------------------------------------------- rolling-hash fingerprints
 
   final case class DocFp(doc_id: Long, fps: Array[Long])

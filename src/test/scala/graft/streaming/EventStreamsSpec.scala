@@ -205,6 +205,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("ingest-time decontamination column: streaming == batch == local recomputation") {
+    import spark.implicits._
+    val evalGrams = graft.dedup.Dedup.evalGramSet(spark, sf)
+    assert(evalGrams.nonEmpty && evalGrams.sameElements(evalGrams.sorted))
+
+    val batch = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.dedup.Dedup.decontamStreamCol(col("text"), evalGrams).as("n_shared"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // same column over a readStream source: stateless, append-mode, no
+    // watermark — the ingest-gate shape
+    val out = java.nio.file.Files.createTempDirectory("decout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("decckpt").toString
+    val schema = graft.Tables.documents(spark, sf).schema
+    // the fixture is a single parquet FILE; the file stream source wants a dir
+    val docsDir = java.nio.file.Files.createTempDirectory("decin")
+    java.nio.file.Files.copy(
+      new java.io.File(sf, "documents.parquet").toPath,
+      docsDir.resolve("documents.parquet"))
+    val q = spark.readStream.schema(schema).parquet(docsDir.toString)
+      .select(col("doc_id"),
+        graft.dedup.Dedup.decontamStreamCol(col("text"), evalGrams).as("n_shared"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+
+    // independent local recomputation on string shingles
+    val evalSet = evalGrams.toSet
+    val local = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split("[^\\p{L}]+").toSeq.filter(_.nonEmpty)
+        val grams = graft.dedup.Dedup.shingles(toks, w = 5).map(graft.dedup.Dedup.fnv64)
+        r.getLong(0) -> grams.count(evalSet.contains)
+      }.toMap
+    assert(batch == local)
+  }
+
   test("streaming KV store dedups retried ops across the stream") {
     import spark.implicits._
     // one batch containing retries: duplicates of (clientId, seq) fold once
