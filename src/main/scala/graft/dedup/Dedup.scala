@@ -533,8 +533,18 @@ object Dedup {
           col("label") === col("jn"), "left")
         .select(col("node"), coalesce(col("jl"), col("label")).as("label"),
           col("prev"))
-      val next = jumped.localCheckpoint(true)
-      val changed = next.filter(col("label") =!= col("prev")).count()
+      // convergence metric OBSERVED inside the checkpoint job itself — the
+      // round runs exactly one action. Task retries can only over-count an
+      // observed metric, which at worst buys one extra (no-op) round; a
+      // true zero stays zero, so convergence remains exact.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
+      val next = jumped
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      val changed = obs.get.get("changed") match {
+        case Some(n: Long) => n
+        case _ => 0L // empty frontier: sum over zero rows is null
+      }
       // `next` is materialized and `changed` counted: the previous frontier
       // is now a dead block set — release it eagerly instead of waiting for
       // the ContextCleaner (at 100 TB it is a |V|-row pinned set per round)
