@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv32Expr, FingerprintTokensExpr, MinHashSigExpr, MinHashTokensExpr, SimHashTokensExpr}
+import graft.functions.{Fnv32Expr, FingerprintTokensExpr, GramStatsExpr, MinHashSigExpr, MinHashTokensExpr, ShingleHashesExpr, SimHashTokensExpr, SortedIntersectCountExpr, Sq8StatsExpr}
 
 /** Session-extensions entry point: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -20,6 +20,14 @@ import graft.functions.{Fnv32Expr, FingerprintTokensExpr, MinHashSigExpr, MinHas
   *   - graft_simhash_tokens(array<string>): 64-bit SimHash of the token multiset
   *   - graft_fingerprint_tokens(array<string>): winnowing-style w=5 mod-4
   *     rolling-hash fingerprints
+  *   - graft_shingle_hashes(array<string>): sorted distinct char-FNV64
+  *     3-shingle hashes (the hashed shingle-set form the verifiers use)
+  *   - graft_sorted_intersect_count(array, array): |A ∩ B| of two sorted
+  *     duplicate-free arrays (string or bigint) by two-pointer merge
+  *   - graft_gram_stats(array<string>): [g2_max, g2_n, g3_n, g3_d]
+  *     repetition statistics (Gopher filters' per-document facts)
+  *   - graft_sq8_stats(array<float|double>): [scale, mse, max_err] of the
+  *     int8 scalar quantization of an embedding
   *
   * Injected rules:
   *   - [[graft.plans.AsOfJoinRule]]: expands the [[graft.plans.AsOfJoinPlan]]
@@ -55,5 +63,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint_tokens"),
       info("graft_fingerprint_tokens", "graft_fingerprint_tokens(tokens) - rolling char-FNV 5-shingle fingerprints kept at hash % 4 == 0, distinct+sorted."),
       (children: Seq[Expression]) => FingerprintTokensExpr(children.head, 5, 4)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(tokens) - sorted distinct char-FNV64 hashes of all 3-shingles."),
+      (children: Seq[Expression]) => ShingleHashesExpr(children.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count", "graft_sorted_intersect_count(a, b) - |A ∩ B| of two ascending duplicate-free arrays."),
+      (children: Seq[Expression]) => SortedIntersectCountExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_stats"),
+      info("graft_gram_stats", "graft_gram_stats(tokens) - [g2_max, g2_n, g3_n, g3_d] bigram/trigram repetition stats."),
+      (children: Seq[Expression]) => GramStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_stats"),
+      info("graft_sq8_stats", "graft_sq8_stats(embedding) - [scale, mse, max_err] of int8 scalar quantization."),
+      (children: Seq[Expression]) => Sq8StatsExpr(children.head)))
   }
 }

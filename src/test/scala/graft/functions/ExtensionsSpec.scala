@@ -31,6 +31,20 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(3) == graft.dedup.Dedup.simhash(Seq("a", "b", "c", "d")))
       assert(r.getSeq[Long](4) ==
         graft.dedup.Dedup.fingerprintsScalar(Seq("a", "b", "c", "d", "e", "f", "g"), 5, 4).toSeq)
+      val r2 = spark.sql(
+        """SELECT graft_shingle_hashes(array('a','b','c','d')) AS sh,
+                  graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c,
+                  graft_gram_stats(array('a','b','a','b')) AS gs,
+                  graft_sq8_stats(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS sq""")
+        .collect()(0)
+      assert(r2.getSeq[Long](0) ==
+        graft.dedup.Dedup.shingles(Seq("a", "b", "c", "d"))
+          .map(graft.dedup.Dedup.fnv64).toSeq.sorted)
+      assert(r2.getInt(1) == 2)
+      // grams of (a b a b): bigrams [ab, ba, ab] -> max mult 2, n 3;
+      // trigrams [aba, bab] -> n 2, distinct 2
+      assert(r2.getSeq[Long](2) == Seq(2L, 3L, 2L, 2L))
+      assert(r2.getSeq[Double](3)(0) == 2.0 / 127.0)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
