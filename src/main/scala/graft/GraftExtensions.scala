@@ -39,6 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Wrong argument count must be a clean analysis error, not an
+    * IndexOutOfBoundsException out of the builder. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children =>
+      if (children.size == n) build(children)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new graft.plans.AsOfJoinRule(session))
     // physical tier: TopKPerKeyPlan → TopKFinalExec(TopKPartialExec(...))
@@ -46,38 +58,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_fnv32"),
       info("graft_fnv32", "graft_fnv32(str) - FNV-1a 32-bit hash masked to 31 bits."),
-      (children: Seq[Expression]) => Fnv32Expr(children.head)))
+      arity("graft_fnv32", 1)(c => Fnv32Expr(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(shingles) - 64-perm MinHash signature."),
-      (children: Seq[Expression]) => MinHashSigExpr(children.head)))
+      arity("graft_minhash_sig", 1)(c => MinHashSigExpr(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_tokens"),
       info("graft_minhash_tokens", "graft_minhash_tokens(tokens) - fused 3-shingle MinHash signature."),
-      (children: Seq[Expression]) => MinHashTokensExpr(children.head, 3)))
+      arity("graft_minhash_tokens", 1)(c => MinHashTokensExpr(c.head, 3))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash_tokens"),
       info("graft_simhash_tokens", "graft_simhash_tokens(tokens) - 64-bit SimHash (char-FNV per token, per-bit majority)."),
-      (children: Seq[Expression]) => SimHashTokensExpr(children.head)))
+      arity("graft_simhash_tokens", 1)(c => SimHashTokensExpr(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_fingerprint_tokens"),
       info("graft_fingerprint_tokens", "graft_fingerprint_tokens(tokens) - rolling char-FNV 5-shingle fingerprints kept at hash % 4 == 0, distinct+sorted."),
-      (children: Seq[Expression]) => FingerprintTokensExpr(children.head, 5, 4)))
+      arity("graft_fingerprint_tokens", 1)(c => FingerprintTokensExpr(c.head, 5, 4))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(tokens) - sorted distinct char-FNV64 hashes of all 3-shingles."),
-      (children: Seq[Expression]) => ShingleHashesExpr(children.head, 3)))
+      arity("graft_shingle_hashes", 1)(c => ShingleHashesExpr(c.head, 3))))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect_count"),
       info("graft_sorted_intersect_count", "graft_sorted_intersect_count(a, b) - |A ∩ B| of two ascending duplicate-free arrays."),
-      (children: Seq[Expression]) => SortedIntersectCountExpr(children(0), children(1))))
+      arity("graft_sorted_intersect_count", 2)(c => SortedIntersectCountExpr(c(0), c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_stats"),
       info("graft_gram_stats", "graft_gram_stats(tokens) - [g2_max, g2_n, g3_n, g3_d] bigram/trigram repetition stats."),
-      (children: Seq[Expression]) => GramStatsExpr(children.head)))
+      arity("graft_gram_stats", 1)(c => GramStatsExpr(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_sq8_stats"),
       info("graft_sq8_stats", "graft_sq8_stats(embedding) - [scale, mse, max_err] of int8 scalar quantization."),
-      (children: Seq[Expression]) => Sq8StatsExpr(children.head)))
+      arity("graft_sq8_stats", 1)(c => Sq8StatsExpr(c.head))))
   }
 }

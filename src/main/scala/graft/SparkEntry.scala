@@ -760,20 +760,28 @@ object SparkEntry {
               (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
     // SQ8 re-derived with the identical IEEE ops and the same explicit
     // left-fold sum order — all three doubles compare bit-exact
+    // Degenerate-input contract mirrored from Quantize.sq8Stats (not
+    // fixture-dependent): any NULL element → all three stats NULL; an empty
+    // or all-zero vector → scale 0, mse 0, max_err 0.
     "sim_quantize_sq8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         s AS (SELECT vec_id, x,
-                 list_reduce(list_transform(x, v -> abs(v)), (a, b) -> greatest(a, b)) / 127.0 AS scale
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x0 FROM embeddings),
+         g AS (SELECT vec_id,
+                 CASE WHEN len(list_filter(x0, v -> v IS NULL)) > 0 THEN NULL ELSE x0 END AS x
                FROM e),
+         s AS (SELECT vec_id, x,
+                 CASE WHEN x IS NULL THEN NULL
+                      WHEN len(x) = 0 THEN 0.0
+                      ELSE list_reduce(list_transform(x, v -> abs(v)), (a, b) -> greatest(a, b)) / 127.0 END AS scale
+               FROM g),
          r AS (SELECT vec_id, scale,
-                 CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0.0 AS DOUBLE))
+                 CASE WHEN scale IS NULL OR scale = 0 THEN NULL
                       ELSE list_transform(generate_series(1, len(x)),
                              i -> x[i] - floor(x[i]/scale + 0.5) * scale) END AS err
                FROM s)
          SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN 0.0
+           CASE WHEN scale IS NULL THEN NULL WHEN err IS NULL THEN 0.0
                 ELSE list_reduce(list_transform(err, v -> v*v), (a, b) -> a + b) / len(err) END AS mse,
-           CASE WHEN scale = 0 THEN 0.0
+           CASE WHEN scale IS NULL THEN NULL WHEN err IS NULL THEN 0.0
                 ELSE list_reduce(list_transform(err, v -> abs(v)), (a, b) -> greatest(a, b)) END AS max_err
          FROM r""",
     "dedup_token_jaccard" ->

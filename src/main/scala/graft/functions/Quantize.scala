@@ -20,21 +20,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (+, *, /, floor, abs; the error sum is an explicit LEFT fold in element
   * order), so the DuckDB oracle reproduces all three doubles bit-for-bit
   * with the same explicit folds — no rounding boundary to accept.
-  * An all-zero vector defines scale = 0, q = 0, zero error. */
+  * Degenerate inputs have a PINNED total contract (mirrored verbatim in the
+  * oracle SQL, not fixture-dependent): any NULL element → result NULL
+  * (SQL null propagation); an empty or all-zero vector defines scale = 0,
+  * q = 0, zero error → [0, 0, 0]. */
 object Quantize {
 
   def sq8StatsCol(c: Column): Column =
     ColumnBridge.column(Sq8StatsExpr(ColumnBridge.expression(c)))
 
   /** Hot-path entry referenced from generated code: array<float> (or
-    * array<double>) embedding → [scale, mse, max_err]. */
+    * array<double>) embedding → [scale, mse, max_err]; null if any element
+    * is null. */
   def sq8Stats(arr: ArrayData, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
-      x(i) = if (arr.isNullAt(i)) 0.0
-        else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (arr.isNullAt(i)) return null
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
     var maxAbs = 0.0
@@ -63,6 +67,8 @@ object Quantize {
 case class Sq8StatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null even for a non-null child: a null ELEMENT nulls the whole result
+  override def nullable: Boolean = true
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -80,7 +86,10 @@ case class Sq8StatsExpr(child: Expression) extends UnaryExpression {
     Quantize.sq8Stats(input.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Quantize.sq8Stats($c, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Quantize.sq8Stats($c, $isFloat);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Sq8StatsExpr =
     copy(child = newChild)

@@ -28,14 +28,24 @@ object Packing {
 
   def packSequences(spark: SparkSession, dir: String, seqLen: Long = 512): DataFrame = {
     import spark.implicits._
-    val counted = Tables.documents(spark, dir)
+    // The corpus is scanned exactly ONCE: the (doc_id, n_tokens) projection
+    // (16 bytes/doc — tiny even against a 100 TB corpus) is materialized by
+    // localCheckpoint BEFORE the range exchange, so the range-bounds sample
+    // job, the shuffle, and both prefix-sum phases all read checkpoint
+    // blocks, never the parquet+tokenize pipeline. (Checkpointing after the
+    // exchange would be too late: the partitioner's sample pass and the
+    // shuffle-map pass would each re-run the scan.)
+    val countedOnce = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(TextAnalysis.tokensCol(col("text"))).cast("bigint").as("n_tokens"))
+      .localCheckpoint(true)
+    val counted = countedOnce
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
+      .rdd // ONE lineage for both phases → the range shuffle stage is reused
     // phase 1: per-partition token totals — one row per partition
-    val partSums: Array[(Int, Long)] = counted.rdd
+    val partSums: Array[(Int, Long)] = counted
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
         it.foreach(s += _._2)
@@ -51,7 +61,7 @@ object Packing {
     }
     val bcOff = spark.sparkContext.broadcast(offsets)
     // phase 2: map-only — local running sum + broadcast partition offset
-    counted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    counted.mapPartitionsWithIndex { (pid, it) =>
       var cum = bcOff.value(pid)
       it.map { case (id, n) =>
         val start = cum
@@ -59,10 +69,14 @@ object Packing {
         (id, n, start)
       }
     }.toDF("doc_id", "n_tokens", "token_start")
+      // integral DIV (not double `/` + cast): exact floor division for ANY
+      // seqLen — offsets past 2^53 or a non-power-of-two seqLen would hit
+      // double-rounding boundaries with `/`
       .select(col("doc_id"), col("n_tokens"), col("token_start"),
-        (col("token_start") / seqLen).cast("bigint").as("first_chunk"),
-        (when(col("n_tokens") > 0, (col("token_start") + col("n_tokens") - 1) / seqLen)
-          .otherwise(col("token_start") / seqLen)).cast("bigint").as("last_chunk"))
+        expr(s"token_start DIV $seqLen").as("first_chunk"),
+        when(col("n_tokens") > 0,
+          expr(s"(token_start + n_tokens - 1) DIV $seqLen"))
+          .otherwise(expr(s"token_start DIV $seqLen")).as("last_chunk"))
       .withColumn("crosses_boundary", col("last_chunk") =!= col("first_chunk"))
   }
 }

@@ -45,6 +45,15 @@ class ExtensionsSpec extends AnyFunSuite {
       // trigrams [aba, bab] -> n 2, distinct 2
       assert(r2.getSeq[Long](2) == Seq(2L, 3L, 2L, 2L))
       assert(r2.getSeq[Double](3)(0) == 2.0 / 127.0)
+      // a null ELEMENT nulls the whole sq8 result (pinned degenerate contract)
+      assert(spark.sql(
+        "SELECT graft_sq8_stats(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)))")
+        .collect()(0).isNullAt(0))
+      // wrong arity is a clean analysis error, not IndexOutOfBoundsException
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_sorted_intersect_count(array(1L))").collect()
+      }
+      assert(e.getMessage.contains("graft_sorted_intersect_count"))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

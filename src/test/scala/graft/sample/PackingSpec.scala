@@ -31,6 +31,32 @@ class PackingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("non-power-of-two seqLen: DIV chunk math matches exact integer floor division") {
+    val want = localTruth(7)
+    val got = Packing.packSequences(spark, sf, seqLen = 7).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    }.toMap
+    assert(got == want)
+  }
+
+  // The operator's pitch is scan-shaped economics; this pins it. Hadoop FS
+  // statistics count only real file reads (shuffle + checkpoint blocks go
+  // through the BlockManager, not the Hadoop FS), so the packSequences
+  // delta vs a known single full scan measures parquet scans directly.
+  test("the corpus parquet is scanned exactly once") {
+    def fileBytesRead: Long =
+      org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
+    val b0 = fileBytesRead
+    Tables.documents(spark, sf).select(sum(length(col("text")))).collect()
+    val oneScan = fileBytesRead - b0
+    assert(oneScan > 0L)
+    val b1 = fileBytesRead
+    Packing.packSequences(spark, sf).collect()
+    val packScan = fileBytesRead - b1
+    assert(packScan < (oneScan * 1.5).toLong,
+      s"pack_sequences read $packScan bytes vs $oneScan for one scan — corpus scanned more than once")
+  }
+
   test("token stream is gap-free: starts are contiguous in doc_id order") {
     val rows = Packing.packSequences(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
