@@ -211,28 +211,32 @@ object RelationalQueries {
 
   /** FUNNEL analysis: how far each user got through the strictly-ordered
     * view → click → purchase sequence (each stage's FIRST qualifying event
-    * must be strictly after the previous stage's). The classic product-
-    * analytics query, expressed without a per-user sort or a quadratic
-    * self-join: each stage is a filter + min-aggregation keyed on user_id,
-    * chained through joins on that same key — so all three aggregations and
-    * joins share one user_id partitioning (exchange reuse), and each
-    * stage's input shrinks to the users still in the funnel. Millisecond
-    * integers only; no timestamps cross the oracle boundary. */
+    * must be strictly after the previous stage's). SINGLE-SCAN, single
+    * exchange: three stacked whole-partition min-windows on one user_id
+    * partitioning, each stage's predicate referencing the previous window's
+    * column (a null previous stage nulls the comparison, so the chain
+    * short-circuits exactly like the join form), then a final per-user
+    * aggregate that rides the SAME partitioning — no second shuffle. The
+    * windows have no orderBy (unbounded frame ⇒ one linear pass per group,
+    * sort on user_id only), so nothing here is the single-task global-
+    * window trap. Replaces the round-7 shape that read the events table 4×
+    * (one filtered scan per stage + distinct-users). Millisecond integers
+    * only; no timestamps cross the oracle boundary. */
   def evFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), Tables.eventMs.as("ms"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ms")).as("view_ms"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ms") > col("view_ms"))
-      .groupBy(col("user_id")).agg(min(col("ms")).as("click_ms"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ms") > col("click_ms"))
-      .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
-    ev.select(col("user_id")).distinct()
-      .join(v, Seq("user_id"), "left")
-      .join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+      .withColumn("view_ms",
+        min(when(col("event_type") === "view", col("ms"))).over(w))
+      .withColumn("click_ms",
+        min(when(col("event_type") === "click" && col("ms") > col("view_ms"),
+          col("ms"))).over(w))
+      .withColumn("purchase_ms",
+        min(when(col("event_type") === "purchase" && col("ms") > col("click_ms"),
+          col("ms"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("view_ms")).as("view_ms"), min(col("click_ms")).as("click_ms"),
+        min(col("purchase_ms")).as("purchase_ms"))
       .select(col("user_id"), col("view_ms"), col("click_ms"), col("purchase_ms"),
         when(col("purchase_ms").isNotNull, 3)
           .when(col("click_ms").isNotNull, 2)

@@ -26,6 +26,15 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("ev_funnel plans ONE corpus scan and ONE exchange (single-scan window shape)") {
+    val plan = relational.RelationalQueries.evFunnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(scans == 1, s"ev_funnel scans the events table $scans times:\n${plan.take(1500)}")
+    assert(exchanges == 1, s"ev_funnel plans $exchanges exchanges:\n${plan.take(1500)}")
+  }
+
   test("map-only operators plan ZERO exchanges (sampling, frame sampling, text filters scan side)") {
     // these are pure scan→project→filter pipelines: any Exchange in the
     // plan means a regression reintroduced a shuffle where none is needed
