@@ -10,11 +10,42 @@ import graft.Tables
   * of `mapInPandas` — one decoder instance per partition, rows streamed
   * through it).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; everything around it — schema, batch
-  * shape, partitioning, feature/frame signatures — is the real pipeline and
-  * is tested. Swapping in a real decoder changes only the stub body.
+  * Decoding is PLUGGABLE via [[Decoder]]: callers hand
+  * [[Multimodal.extractFeatures]] any implementation (a JNI image codec, an
+  * ONNX audio model, …) and the per-partition open/decode/close lifecycle,
+  * schema, partitioning and batch shape stay the same. The default shipped
+  * here is [[ByteHistogramDecoder]] — a real (if deliberately simple)
+  * decoder of the raw payload bytes, chosen because this container has no
+  * image/audio codec libraries; it is deterministic and fully specified, so
+  * it is also the oracle surface.
   */
+
+/** Per-partition media decoder. One instance serves a whole partition:
+  * [[open]] runs before the first row (codec handles, model weights, native
+  * contexts), [[decode]] streams rows through, [[close]] runs after the
+  * last row. `dim` is the feature width — Spark needs the schema statically,
+  * so it cannot depend on the payload. */
+trait Decoder extends Serializable {
+  def dim: Int
+  def open(): Unit = ()
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float]
+  def close(): Unit = ()
+}
+
+/** Default [[Decoder]]: 16-bin high-nibble byte histogram of the encoded
+  * payload, L1-normalized — shaped exactly like an embedding so every
+  * downstream op (storage, search, dedup) is exercised for real. */
+object ByteHistogramDecoder extends Decoder {
+  val dim = 16
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) { bins((bytes(i) & 0xff) >>> 4) += 1f; i += 1 }
+    if (bytes.length > 0) { var b = 0; while (b < dim) { bins(b) /= bytes.length; b += 1 } }
+    bins
+  }
+}
+
 object Multimodal {
 
   final case class Media(doc_id: Long, media_type: String, bytes: Array[Byte],
@@ -39,25 +70,25 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB decoder: a real implementation would decode image/audio bytes; the
-    * fake produces a deterministic 16-bin byte histogram, L1-normalized —
-    * shaped exactly like an embedding so downstream ops are real. */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](16)
-    var i = 0
-    while (i < bytes.length) { bins((bytes(i) & 0xff) >>> 4) += 1f; i += 1 }
-    if (bytes.length > 0) { var b = 0; while (b < 16) { bins(b) /= bytes.length; b += 1 } }
-    bins
-  }
-
-  /** Feature extraction: one pass, partition-local, no shuffle. */
-  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+  /** Feature extraction through any [[Decoder]]: one pass, partition-local,
+    * no shuffle; open/close bracket each partition exactly once. */
+  def extractFeatures(media: Dataset[Media],
+                      decoder: Decoder = ByteHistogramDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition "decoder" init happens here (codec handles, model, …)
-      it.map(m => MediaFeatures(m.doc_id, m.media_type, m.bytes.length.toLong,
-        decodeStub(m.bytes)))
+      decoder.open()
+      var closed = false
+      val mapped = it.map(m => MediaFeatures(m.doc_id, m.media_type,
+        m.bytes.length.toLong, decoder.decode(m.media_type, m.bytes)))
+      new Iterator[MediaFeatures] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h && !closed) { closed = true; decoder.close() }
+          h
+        }
+        def next(): MediaFeatures = mapped.next()
+      }
     }
   }
 
@@ -67,7 +98,8 @@ object Multimodal {
                                       b8: Long, b9: Long, b10: Long, b11: Long,
                                       b12: Long, b13: Long, b14: Long, b15: Long)
 
-  /** Driver-surface form of [[extractFeatures]]: the same 16-bin high-nibble
+  /** Driver-surface form of [[extractFeatures]] with the default
+    * [[ByteHistogramDecoder]]: the same 16-bin high-nibble
     * byte histogram as raw integer counts in scalar columns — exactly
     * comparable by the oracle harness (the L1-normalized Array[Float] form is
     * float-divided and array-typed, which the pandas canonicalizer can't

@@ -3,18 +3,43 @@ package graft.multimodal
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
+/** Test decoder: 2-wide features derived from payload + type, with
+  * instrumented lifecycle (local mode ⇒ the singleton is shared, so the
+  * atomic counters see every partition's open/close). */
+object CountingDecoder extends Decoder {
+  import java.util.concurrent.atomic.AtomicInteger
+  private val opens = new AtomicInteger(0)
+  private val closes = new AtomicInteger(0)
+  val dim = 2
+  override def open(): Unit = { opens.incrementAndGet(); () }
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float] =
+    Array(bytes.length.toFloat, mediaType.length.toFloat)
+  override def close(): Unit = { closes.incrementAndGet(); () }
+  def counts(): (Int, Int) = (opens.get, closes.get)
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.sf
 
-  test("decodeStub: deterministic, normalized 16-bin histogram") {
+  test("ByteHistogramDecoder: deterministic, normalized 16-bin histogram") {
     val bytes = "hello world".getBytes("UTF-8")
-    val f1 = Multimodal.decodeStub(bytes)
-    val f2 = Multimodal.decodeStub(bytes)
+    val f1 = ByteHistogramDecoder.decode("image", bytes)
+    val f2 = ByteHistogramDecoder.decode("image", bytes)
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.length == 16)
+    assert(f1.length == ByteHistogramDecoder.dim)
     assert(math.abs(f1.sum - 1.0f) < 1e-5)
-    assert(Multimodal.decodeStub(Array.empty[Byte]).toSeq == Seq.fill(16)(0f))
+    assert(ByteHistogramDecoder.decode("audio", Array.empty[Byte]).toSeq == Seq.fill(16)(0f))
+  }
+
+  test("a custom Decoder plugs into extractFeatures; open/close bracket each partition once") {
+    val media = Multimodal.mediaTable(spark, sf).repartition(3)
+    val feats = Multimodal.extractFeatures(media, CountingDecoder).collect()
+    assert(feats.forall(f => f.features.length == 2 &&
+      f.features(0) == f.n_bytes.toFloat && f.features(1) == f.media_type.length.toFloat))
+    val (opens, closes) = CountingDecoder.counts()
+    assert(opens == 3, s"open() ran $opens times for 3 partitions")
+    assert(closes == 3, s"close() ran $closes times for 3 partitions")
   }
 
   test("media table: binary payload + typed metadata for every document") {
