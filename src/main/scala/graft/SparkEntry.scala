@@ -9,7 +9,7 @@ import graft.kv.OpLog
 import graft.shard.Sharding
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
-import graft.sim.Similarity
+import graft.sim.{Pq, Similarity}
 import graft.multimodal.Multimodal
 import graft.lin.{HistOp, Linearizability}
 
@@ -146,6 +146,11 @@ object SparkEntry {
     // exactly recall 1.0 by construction (full probe ≡ brute force), the
     // intermediate thresholds are documented fixture floors with margin
     "sim_ivf_recall" -> ((s: SparkSession, d: String) => Similarity.ivfRecallSweep(s, d)),
+    // product quantization (32× compressed codes, ADC scan + bounded exact
+    // rerank): recall-thresholded sweep — PQ is lossy, so the honest oracle
+    // is measured recall with a rerank=corpus endpoint that is exact by
+    // construction (same contract shape as sim_ivf_recall)
+    "sim_topk_pq" -> ((s: SparkSession, d: String) => Pq.pqRecallSweep(s, d)),
     // int8 scalar quantization report: per-vector SQ8 scale + exact
     // reconstruction error — IEEE-only arithmetic, bit-exact vs the oracle
     "sim_quantize_sq8" -> ((s: SparkSession, d: String) => Similarity.quantizeSq8(s, d)),
@@ -758,6 +763,20 @@ object SparkEntry {
            CAST(10 AS BIGINT) AS n_hits, TRUE AS recall_ok
          FROM (VALUES (4),(8),(16)) AS a(np),
               (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
+    // PQ recall sweep: the engine guarantees recall_ok per (width, query) —
+    // finite widths by measured fixture floors with margin, the
+    // rerank=corpus endpoint by construction; the oracle pins the full
+    // surface TRUE, SF-independent (widths below corpus size + the corpus-
+    // size endpoint, mirroring the engine's sweep constructor)
+    "sim_topk_pq" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+         widths AS (
+           SELECT 40 AS rerank FROM n WHERE 40 < n
+           UNION ALL SELECT 160 FROM n WHERE 160 < n
+           UNION ALL SELECT CAST(n AS INT) FROM n)
+         SELECT CAST(w.rerank AS INT) AS rerank, CAST(q AS BIGINT) AS query_id,
+           CAST(10 AS BIGINT) AS n_hits, TRUE AS recall_ok
+         FROM widths w, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
     // SQ8 re-derived with the identical IEEE ops and the same explicit
     // left-fold sum order — all three doubles compare bit-exact
     // Degenerate-input contract mirrored from Quantize.sq8Stats (not

@@ -1,0 +1,61 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  lazy val vecs = Similarity.vectors(spark, sf)
+  lazy val book = Pq.train(vecs, m = 8, ksub = 16)
+
+  test("codebook: m x ksub x dsub shape, sub-norms match centroids") {
+    assert(book.m == 8 && book.dsub == 8)
+    assert(book.centroids.length == 8)
+    assert(book.centroids.forall(_.length == 16))
+    assert(book.centroids.forall(_.forall(_.length == 8)))
+    for (j <- 0 until 8; c <- 0 until 16)
+      assert(book.subNorm2(j)(c) == Similarity.dot(book.centroids(j)(c), book.centroids(j)(c)))
+  }
+
+  test("encode is deterministic and codes are in range") {
+    val c1 = Pq.encode(vecs, book).collect().sortBy(_.vec_id)
+    val c2 = Pq.encode(vecs, book).collect().sortBy(_.vec_id)
+    assert(c1.length == vecs.count())
+    c1.zip(c2).foreach { case (a, b) =>
+      assert(a.vec_id == b.vec_id && a.codes.toSeq == b.codes.toSeq)
+      assert(a.codes.forall(code => (code & 0xff) < 16))
+    }
+  }
+
+  test("rerank = corpus size reproduces brute force row-for-row (endpoint by construction)") {
+    val n = vecs.count().toInt
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    val pq = Pq.pqTopK(spark, sf, rerank = n, trained = Some(book)).collect()
+    assert(pq.length == brute.size)
+    pq.foreach { h =>
+      assert(brute((h.query_id, h.rank)) == ((h.neighbor_id, h.cosine)), h)
+    }
+  }
+
+  test("recall is monotone in rerank width and the sweep is all recall_ok") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.query_id).map { case (q, hs) => q -> hs.map(_.neighbor_id).toSet }
+    def matchedMin(rr: Int): Int = {
+      val pq = Pq.pqTopK(spark, sf, rerank = rr, trained = Some(book)).collect()
+        .groupBy(_.query_id).map { case (q, hs) => q -> hs.map(_.neighbor_id).toSet }
+      pq.map { case (q, ids) => (ids intersect brute(q)).size }.min
+    }
+    val m40 = matchedMin(40)
+    val m160 = matchedMin(160)
+    assert(m40 >= 2, s"width-40 recall floor broke: $m40")   // pinned sweep floor
+    assert(m160 >= 5, s"width-160 recall floor broke: $m160") // pinned sweep floor
+    assert(m160 >= m40, "recall not monotone in rerank width")
+    val sweep = Pq.pqRecallSweep(spark, sf).collect()
+    assert(sweep.length == 24) // 3 widths x 8 queries
+    assert(sweep.forall(_.getAs[Boolean]("recall_ok")), sweep.filterNot(_.getAs[Boolean]("recall_ok")).mkString(";"))
+    assert(sweep.forall(_.getAs[Long]("n_hits") == 10L))
+  }
+}
