@@ -9,6 +9,22 @@ sbt -batch test
 OUT=$(mktemp -d /tmp/gate_verify.XXXXXX)
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" > /dev/null
 python3 tools/check.py /root/testdata/sf0.01 "$OUT"
+# Full-set local-cluster smoke: every registered query once across REAL
+# executor child JVMs (local-cluster[2,2,2048]) — catches closure-capture /
+# classpath / codegen-visibility bugs that local[32] structurally cannot
+# (round 8 found a relative-classpath bug this way on its first run).
+# ClusterSmoke exits nonzero on any query failure; pipefail propagates it.
+CS_CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CS_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  CS_OPENS="$CS_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  java $CS_OPENS -Xmx4g -cp "$CS_CP" graft.tools.ClusterSmoke /root/testdata/sf0.001 2>/dev/null \
+  | grep '\[clustersmoke\] total'
+echo "[gate] local-cluster smoke ok"
 # Bench contract smoke: one parseable JSON line (a Bench crash would zero
 # BENCH_r{N} exactly like round 2's compile error zeroed everything)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.Bench" 2>/dev/null \
