@@ -528,6 +528,14 @@ object Dedup {
       // the same component). `minned` is deliberately NOT checkpointed: both
       // join sides shuffle the identical union-agg subplan, so ReuseExchange
       // materializes it once and only the cheap post-shuffle agg runs twice.
+      // DOUBLE jumping was measured and rejected (round 8, idle-host
+      // best-of-3 at sf0.1): rounds stayed 4 → 4 — dedup components are
+      // shallow near-cliques, so after the init min-neighbor fold the round
+      // count sits at the convergence-detection floor, not the diameter —
+      // while the extra |V|-sized self-join per round cost 4.2 s → 5.4 s.
+      // On a deep graph the jump count would matter; on THIS operator's
+      // graphs the single jump is already past the knee (the 300-deep path
+      // spec pins the asymptotic behavior).
       val jumped = minned
         .join(minned.select(col("node").as("jn"), col("label").as("jl")),
           col("label") === col("jn"), "left")
