@@ -9,7 +9,7 @@ import graft.kv.OpLog
 import graft.shard.Sharding
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
-import graft.sim.{Pq, Similarity}
+import graft.sim.{IvfPq, Pq, Similarity}
 import graft.multimodal.Multimodal
 import graft.lin.{HistOp, Linearizability}
 
@@ -151,6 +151,11 @@ object SparkEntry {
     // is measured recall with a rerank=corpus endpoint that is exact by
     // construction (same contract shape as sim_ivf_recall)
     "sim_topk_pq" -> ((s: SparkSession, d: String) => Pq.pqRecallSweep(s, d)),
+    // IVF-PQ composition (IVFADC): coarse probe pruning + residual-PQ ADC
+    // scan + bounded exact rerank — same recall-sweep contract as
+    // sim_topk_pq, (nprobe=nlist, rerank=corpus) endpoint exact by
+    // construction
+    "sim_topk_ivfpq" -> ((s: SparkSession, d: String) => IvfPq.recallSweep(s, d)),
     // int8 scalar quantization report: per-vector SQ8 scale + exact
     // reconstruction error — IEEE-only arithmetic, bit-exact vs the oracle
     "sim_quantize_sq8" -> ((s: SparkSession, d: String) => Similarity.quantizeSq8(s, d)),
@@ -777,6 +782,18 @@ object SparkEntry {
          SELECT CAST(w.rerank AS INT) AS rerank, CAST(q AS BIGINT) AS query_id,
            CAST(10 AS BIGINT) AS n_hits, TRUE AS recall_ok
          FROM widths w, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
+    // IVF-PQ recall sweep: engine-guaranteed recall_ok per operating point —
+    // the finite (nprobe, rerank) point by measured fixture floor with
+    // margin, the (nlist, corpus) endpoint by construction; SF-independent
+    // like sim_topk_pq's oracle
+    "sim_topk_ivfpq" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+         pts AS (
+           SELECT 8 AS nprobe, 160 AS rerank FROM n WHERE 160 < n
+           UNION ALL SELECT 16, CAST(n AS INT) FROM n)
+         SELECT CAST(p.nprobe AS INT) AS nprobe, CAST(p.rerank AS INT) AS rerank,
+           CAST(q AS BIGINT) AS query_id, CAST(10 AS BIGINT) AS n_hits, TRUE AS recall_ok
+         FROM pts p, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(q)""",
     // SQ8 re-derived with the identical IEEE ops and the same explicit
     // left-fold sum order — all three doubles compare bit-exact
     // Degenerate-input contract mirrored from Quantize.sq8Stats (not

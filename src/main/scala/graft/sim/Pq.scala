@@ -120,6 +120,11 @@ object Pq {
     best
   }
 
+  /** Subspace-j code of `e` under `book` — shared with [[IvfPq]]'s residual
+    * encoding. */
+  private[sim] def nearestSubCode(book: PqCodebook, e: Array[Float], j: Int): Byte =
+    nearestSub(book.centroids(j), e, j * book.dsub, book.dsub).toByte
+
   /** Map-only encode: m one-byte codes per vector. */
   def encode(vecs: Dataset[Vec], book: PqCodebook): Dataset[PqCode] = {
     val spark = vecs.sparkSession
