@@ -71,24 +71,24 @@ object Multimodal {
   }
 
   /** Feature extraction through any [[Decoder]]: one pass, partition-local,
-    * no shuffle; open/close bracket each partition exactly once. */
+    * no shuffle; open/close bracket each partition exactly once. close()
+    * rides the task-completion listener, NOT iterator exhaustion — a
+    * downstream limit() stops pulling mid-partition and a decode() failure
+    * aborts the task, and in both cases a native codec handle must still be
+    * released. */
   def extractFeatures(media: Dataset[Media],
                       decoder: Decoder = ByteHistogramDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       decoder.open()
-      var closed = false
-      val mapped = it.map(m => MediaFeatures(m.doc_id, m.media_type,
+      // mapPartitions bodies always execute inside a task; the null guard
+      // only covers exotic direct invocation, where leaking a test decoder
+      // is acceptable
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+      it.map(m => MediaFeatures(m.doc_id, m.media_type,
         m.bytes.length.toLong, decoder.decode(m.media_type, m.bytes)))
-      new Iterator[MediaFeatures] {
-        def hasNext: Boolean = {
-          val h = mapped.hasNext
-          if (!h && !closed) { closed = true; decoder.close() }
-          h
-        }
-        def next(): MediaFeatures = mapped.next()
-      }
     }
   }
 

@@ -109,18 +109,15 @@ object IvfPq {
   def topK(spark: SparkSession, dir: String, numQueries: Int = 8, k: Int = 10,
            nlist: Int = 16, m: Int = 8, ksub: Int = 16,
            nprobe: Int = 4, rerank: Int = 40,
-           trained: Option[IvfPqIndex] = None): Dataset[Hit] = {
-    import spark.implicits._
+           trained: Option[IvfPqIndex] = None,
+           codes: Option[Dataset[IvfPqCode]] = None): Dataset[Hit] = {
     val vecs = vectors(spark, dir)
     val queries = vecs.filter(_.vec_id < numQueries).collect()
     val idx = trained.getOrElse(train(vecs, nlist, m, ksub))
-    val bcQ = spark.sparkContext.broadcast(queries)
     val bcI = spark.sparkContext.broadcast(idx)
-
-    val codes = encode(vecs, idx)
-    val candidates: Dataset[(Long, Long)] = codes.mapPartitions { it =>
+    val codesDs = codes.getOrElse(encode(vecs, idx))
+    AdcSearch.topK[IvfPqCode](codesDs, _.vec_id, queries, vecs, k, rerank, qs => {
       val ix = bcI.value
-      val qs = bcQ.value
       val mm = ix.book.m
       val probes: Array[Set[Int]] = qs.map { q =>
         ix.coarse.indices.map(l => (cosine(q.embedding, ix.coarse(l)), l))
@@ -139,61 +136,33 @@ object IvfPq {
         }
       }
       val qnorms = qs.map(q => math.sqrt(dot(q.embedding, q.embedding)))
-      val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
-      val rr = math.max(1, rerank)
-      it.foreach { pc =>
-        // |x̃|² and the residual LUT sums are shared across queries probing
-        // this row's list — compute them once per row on first need
-        var norm2 = -1.0
-        var qi = 0
-        while (qi < qs.length) {
-          if (pc.vec_id != qs(qi).vec_id && probes(qi).contains(pc.list_id)) {
-            if (norm2 < 0.0) {
-              var cross2 = 0.0; var sn2 = 0.0
-              var j = 0
-              while (j < mm) {
-                val code = pc.codes(j) & 0xff
-                cross2 += ix.cross(pc.list_id)(j)(code)
-                sn2 += ix.book.subNorm2(j)(code)
-                j += 1
-              }
-              norm2 = ix.cNorm2(pc.list_id) + 2.0 * cross2 + sn2
-            }
-            var ipR = 0.0
+      // |x̃|² is query-independent; the scorer is called with all of one
+      // row's queries consecutively, so a one-row memo computes it once
+      var memoId = Long.MinValue
+      var memoNorm2 = 0.0
+      (pc: IvfPqCode, qi: Int) =>
+        if (!probes(qi).contains(pc.list_id)) Double.NaN // unprobed: skip
+        else {
+          if (pc.vec_id != memoId) {
+            var cross2 = 0.0; var sn2 = 0.0
             var j = 0
-            while (j < mm) { ipR += lutR(qi)(j)(pc.codes(j) & 0xff); j += 1 }
-            val ip = qc(qi)(pc.list_id) + ipR
-            val denom = qnorms(qi) * math.sqrt(math.max(norm2, 0.0))
-            val score = if (denom == 0.0) 0.0 else ip / denom
-            val h = heaps(qi)
-            if (h.size < rr) h.enqueue((score, pc.vec_id))
-            else if (score > h.head._1 || (score == h.head._1 && pc.vec_id < h.head._2)) {
-              h.dequeue(); h.enqueue((score, pc.vec_id))
+            while (j < mm) {
+              val code = pc.codes(j) & 0xff
+              cross2 += ix.cross(pc.list_id)(j)(code)
+              sn2 += ix.book.subNorm2(j)(code)
+              j += 1
             }
+            memoNorm2 = ix.cNorm2(pc.list_id) + 2.0 * cross2 + sn2
+            memoId = pc.vec_id
           }
-          qi += 1
+          var ipR = 0.0
+          var j = 0
+          while (j < mm) { ipR += lutR(qi)(j)(pc.codes(j) & 0xff); j += 1 }
+          val ip = qc(qi)(pc.list_id) + ipR
+          val denom = qnorms(qi) * math.sqrt(math.max(memoNorm2, 0.0))
+          if (denom == 0.0) 0.0 else ip / denom
         }
-      }
-      qs.iterator.zip(heaps.iterator).flatMap { case (q, h) =>
-        h.iterator.map { case (s, id) => (q.vec_id, id, s) }
-      }
-    }.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      it.toArray.sortBy { case (_, id, s) => (-s, id) }.take(math.max(1, rerank))
-        .iterator.map { case (_, id, _) => (qid, id) }
-    }
-    val exact = candidates.toDF("qid", "vec_id")
-      .join(vecs.toDF().select(col("vec_id"), col("embedding")), "vec_id")
-      .as[(Long, Long, Array[Float])]
-      .map { case (vid, qid, emb) =>
-        val q = bcQ.value.find(_.vec_id == qid).get
-        (qid, vid, cosine(q.embedding, emb))
-      }
-    exact.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
-        .iterator.zipWithIndex.map { case ((_, id, c), r) =>
-          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
-    }
+    })
   }
 
   /** Recall@k of IVF-PQ against brute force over (nprobe, rerank) operating
@@ -215,8 +184,12 @@ object IvfPq {
     // (same policy as the IVF and PQ sweeps); the (nlist, n) endpoint is
     // exact by construction
     val sweep = Seq((8, 16 * k, 3)).filter(p => p._1 < nlist && p._2 < n) :+ ((nlist, n, k))
+    // ONE encode pass (coarse assignment + residual PQ codes) shared by
+    // every operating point — the code table is index-determined
+    val codes = encode(vecs, idx).persist()
     val all = sweep.map { case (np, rr, _) =>
-      topK(spark, dir, numQueries, k, nlist, m, ksub, np, rr, trained = Some(idx)).toDF()
+      topK(spark, dir, numQueries, k, nlist, m, ksub, np, rr,
+        trained = Some(idx), codes = Some(codes)).toDF()
         .select(lit(np).as("nprobe"), lit(rr).as("rerank"),
           col("query_id"), col("neighbor_id"))
     }.reduce(_ unionAll _)
@@ -229,10 +202,14 @@ object IvfPq {
       case (acc, (np, rr, t)) =>
         acc.when(col("nprobe") === np && col("rerank") === rr, lit(t))
     }
-    all.groupBy(col("nprobe"), col("rerank"), col("query_id"))
+    val out = all.groupBy(col("nprobe"), col("rerank"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
       .join(matched, Seq("nprobe", "rerank", "query_id"), "left")
       .select(col("nprobe"), col("rerank"), col("query_id"), col("n_hits"),
         (coalesce(col("n_matched"), lit(0L)) >= thr).as("recall_ok"))
+      .persist()
+    out.count() // materialize (|sweep| × Q rows) so the code table can be freed
+    codes.unpersist()
+    out
   }
 }

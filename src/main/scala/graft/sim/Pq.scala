@@ -151,20 +151,17 @@ object Pq {
     * by-construction endpoint, not a scale path. */
   def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 8, k: Int = 10,
              m: Int = 8, ksub: Int = 16, rerank: Int = 40,
-             trained: Option[PqCodebook] = None): Dataset[Hit] = {
-    import spark.implicits._
+             trained: Option[PqCodebook] = None,
+             codes: Option[Dataset[PqCode]] = None): Dataset[Hit] = {
     val vecs = vectors(spark, dir)
     val queries = vecs.filter(_.vec_id < numQueries).collect()
     val book = trained.getOrElse(train(vecs, m, ksub))
-    val bcQ = spark.sparkContext.broadcast(queries)
     val bcB = spark.sparkContext.broadcast(book)
-
-    val codesDs = encode(vecs, book)
-    // ADC scan: per-query LUT of exact partial dots, built once per partition
-    val candidates: Dataset[(Long, Long)] = codesDs.mapPartitions { it =>
+    val codesDs = codes.getOrElse(encode(vecs, book))
+    AdcSearch.topK[PqCode](codesDs, _.vec_id, queries, vecs, k, rerank, qs => {
       val b = bcB.value
-      val qs = bcQ.value
-      // lut(qi)(j)(c) = q_sub_j · centroid_{j,c}; qnorm for the cosine denom
+      // per-partition LUTs of exact partial dots: lut(qi)(j)(c) =
+      // q_sub_j · centroid_{j,c}; qnorm for the cosine denominator
       val luts = qs.map { q =>
         Array.tabulate(b.m, b.centroids(0).length) { (j, c) =>
           var s = 0.0; var d = 0
@@ -173,53 +170,21 @@ object Pq {
         }
       }
       val qnorms = qs.map(q => math.sqrt(dot(q.embedding, q.embedding)))
-      val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
-      val rr = math.max(1, rerank)
-      it.foreach { pc =>
+      (pc: PqCode, qi: Int) => {
         // |v~|² from the sub-norm table — no float row touched
         var rn2 = 0.0
+        var ip = 0.0
         var j = 0
-        while (j < b.m) { rn2 += b.subNorm2(j)(pc.codes(j) & 0xff); j += 1 }
-        val rn = math.sqrt(rn2)
-        var qi = 0
-        while (qi < qs.length) {
-          if (pc.vec_id != qs(qi).vec_id) {
-            var ip = 0.0
-            j = 0
-            while (j < b.m) { ip += luts(qi)(j)(pc.codes(j) & 0xff); j += 1 }
-            val denom = qnorms(qi) * rn
-            val score = if (denom == 0.0) 0.0 else ip / denom
-            val h = heaps(qi)
-            if (h.size < rr) h.enqueue((score, pc.vec_id))
-            else if (score > h.head._1 || (score == h.head._1 && pc.vec_id < h.head._2)) {
-              h.dequeue(); h.enqueue((score, pc.vec_id))
-            }
-          }
-          qi += 1
+        while (j < b.m) {
+          val code = pc.codes(j) & 0xff
+          rn2 += b.subNorm2(j)(code)
+          ip += luts(qi)(j)(code)
+          j += 1
         }
+        val denom = qnorms(qi) * math.sqrt(rn2)
+        if (denom == 0.0) 0.0 else ip / denom
       }
-      qs.iterator.zip(heaps.iterator).flatMap { case (q, h) =>
-        h.iterator.map { case (s, id) => (q.vec_id, id, s) }
-      }
-    }.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      it.toArray.sortBy { case (_, id, s) => (-s, id) }.take(math.max(1, rerank))
-        .iterator.map { case (_, id, _) => (qid, id) }
-    }
-
-    // bounded exact rerank: Q × rerank candidate rows join the float corpus
-    val exact = candidates.toDF("qid", "vec_id")
-      .join(vecs.toDF().select(col("vec_id"), col("embedding")), "vec_id")
-      .as[(Long, Long, Array[Float])]
-      .map { case (vid, qid, emb) =>
-        val q = bcQ.value.find(_.vec_id == qid).get
-        (qid, vid, cosine(q.embedding, emb))
-      }
-    exact.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
-        .iterator.zipWithIndex.map { case ((_, id, c), r) =>
-          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
-    }
+    })
   }
 
   /** Recall@k of PQ-ADC + rerank against exact brute force, swept over the
@@ -243,8 +208,13 @@ object Pq {
     // at both — with the same margin policy as the IVF sweep; `n` is exact
     // by construction
     val sweep = Seq(4 * k -> 2, 16 * k -> 5).filter(_._1 < n) :+ (n -> k)
+    // ONE encode pass shared by every operating point — the code table is
+    // codebook-determined, so re-encoding per width would just rescan the
+    // corpus |sweep| times
+    val codes = encode(vecs, book).persist()
     val pqAll = sweep.map { case (rr, _) =>
-      pqTopK(spark, dir, numQueries, k, m, ksub, rr, trained = Some(book)).toDF()
+      pqTopK(spark, dir, numQueries, k, m, ksub, rr,
+        trained = Some(book), codes = Some(codes)).toDF()
         .select(lit(rr).as("rerank"), col("query_id"), col("neighbor_id"))
     }.reduce(_ unionAll _)
     val matched = pqAll.join(brute, Seq("query_id", "neighbor_id"))
@@ -252,9 +222,13 @@ object Pq {
     val thr = sweep.tail.foldLeft(when(col("rerank") === sweep.head._1, lit(sweep.head._2))) {
       case (acc, (rr, t)) => acc.when(col("rerank") === rr, lit(t))
     }
-    pqAll.groupBy(col("rerank"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val out = pqAll.groupBy(col("rerank"), col("query_id")).agg(count(lit(1)).as("n_hits"))
       .join(matched, Seq("rerank", "query_id"), "left")
       .select(col("rerank"), col("query_id"), col("n_hits"),
         (coalesce(col("n_matched"), lit(0L)) >= thr).as("recall_ok"))
+      .persist()
+    out.count() // materialize (|sweep| × Q rows) so the code table can be freed
+    codes.unpersist()
+    out
   }
 }

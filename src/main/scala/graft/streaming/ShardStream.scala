@@ -86,6 +86,16 @@ object ShardStream {
               st = st.copy(counts =
                 st.counts.updated(r.key, st.counts.getOrElse(r.key, 0L) + 1L))
             } else {
+              // a control message naming a config outside the known history
+              // is a control-plane bug — fail LOUDLY with the cause rather
+              // than an IndexOutOfBoundsException killing the query three
+              // stack frames away (and never silently skip: applying ops
+              // under a stale routing view is the split-brain the reference
+              // guards against)
+              if (r.config_num < 0 || r.config_num >= configs.length)
+                throw new IllegalStateException(
+                  s"config control message #${r.config_num} for shard $shard, " +
+                    s"but the config history has entries 0..${configs.length - 1}")
               val newGid = configs(r.config_num).shards(shard)
               out += SubCensus(r.config_num.toLong, shard.toLong, st.gid.toLong,
                 newGid.toLong, st.counts.size.toLong, st.counts.values.sum)

@@ -16,6 +16,7 @@ object CountingDecoder extends Decoder {
     Array(bytes.length.toFloat, mediaType.length.toFloat)
   override def close(): Unit = { closes.incrementAndGet(); () }
   def counts(): (Int, Int) = (opens.get, closes.get)
+  def reset(): Unit = { opens.set(0); closes.set(0) }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -40,6 +41,16 @@ class MultimodalSpec extends AnyFunSuite {
     val (opens, closes) = CountingDecoder.counts()
     assert(opens == 3, s"open() ran $opens times for 3 partitions")
     assert(closes == 3, s"close() ran $closes times for 3 partitions")
+  }
+
+  test("close() still runs when a limit stops consuming mid-partition") {
+    CountingDecoder.reset()
+    val media = Multimodal.mediaTable(spark, sf).repartition(3)
+    Multimodal.extractFeatures(media, CountingDecoder).limit(5).collect()
+    val (opens, closes) = CountingDecoder.counts()
+    assert(opens > 0)
+    assert(closes == opens,
+      s"decoder leaked: $opens open(s) but only $closes close(s) after a partial read")
   }
 
   test("media table: binary payload + typed metadata for every document") {
