@@ -185,7 +185,9 @@ object IvfPq {
     // exact by construction
     val sweep = Seq((8, 16 * k, 3)).filter(p => p._1 < nlist && p._2 < n) :+ ((nlist, n, k))
     // ONE encode pass (coarse assignment + residual PQ codes) shared by
-    // every operating point — the code table is index-determined
+    // every operating point — the code table is index-determined. Lazy
+    // persist: the first point's scan materializes the cache in-line; the
+    // blocks are ContextCleaner-reclaimed (see Pq.pqRecallSweep).
     val codes = encode(vecs, idx).persist()
     val all = sweep.map { case (np, rr, _) =>
       topK(spark, dir, numQueries, k, nlist, m, ksub, np, rr,
@@ -193,6 +195,10 @@ object IvfPq {
         .select(lit(np).as("nprobe"), lit(rr).as("rerank"),
           col("query_id"), col("neighbor_id"))
     }.reduce(_ unionAll _)
+      // referenced twice below (hit counts + match join): cache the tiny
+      // (|sweep| x Q x k)-row result so the expensive ADC+rerank subtree
+      // runs once per operating point, not twice
+      .persist()
     val matched = all.join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("nprobe"), col("rerank"), col("query_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -202,14 +208,10 @@ object IvfPq {
       case (acc, (np, rr, t)) =>
         acc.when(col("nprobe") === np && col("rerank") === rr, lit(t))
     }
-    val out = all.groupBy(col("nprobe"), col("rerank"), col("query_id"))
+    all.groupBy(col("nprobe"), col("rerank"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
       .join(matched, Seq("nprobe", "rerank", "query_id"), "left")
       .select(col("nprobe"), col("rerank"), col("query_id"), col("n_hits"),
         (coalesce(col("n_matched"), lit(0L)) >= thr).as("recall_ok"))
-      .persist()
-    out.count() // materialize (|sweep| × Q rows) so the code table can be freed
-    codes.unpersist()
-    out
   }
 }

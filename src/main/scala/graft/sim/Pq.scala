@@ -209,26 +209,30 @@ object Pq {
     // by construction
     val sweep = Seq(4 * k -> 2, 16 * k -> 5).filter(_._1 < n) :+ (n -> k)
     // ONE encode pass shared by every operating point — the code table is
-    // codebook-determined, so re-encoding per width would just rescan the
-    // corpus |sweep| times
+    // codebook-determined, so re-encoding per width would rescan the corpus
+    // |sweep| times at 100 TB. persist() is LAZY: the first operating
+    // point's scan job materializes the cache in-line (no extra action);
+    // the blocks (9 bytes/vector) back the returned frame and are
+    // reclaimed by the ContextCleaner when it is GC'd — the same lifecycle
+    // as pack_sequences' checkpointed projection.
     val codes = encode(vecs, book).persist()
     val pqAll = sweep.map { case (rr, _) =>
       pqTopK(spark, dir, numQueries, k, m, ksub, rr,
         trained = Some(book), codes = Some(codes)).toDF()
         .select(lit(rr).as("rerank"), col("query_id"), col("neighbor_id"))
     }.reduce(_ unionAll _)
+      // referenced twice below (hit counts + match join): cache the tiny
+      // (|sweep| x Q x k)-row result so the expensive ADC+rerank subtree
+      // runs once per operating point, not twice
+      .persist()
     val matched = pqAll.join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("rerank"), col("query_id")).agg(count(lit(1)).as("n_matched"))
     val thr = sweep.tail.foldLeft(when(col("rerank") === sweep.head._1, lit(sweep.head._2))) {
       case (acc, (rr, t)) => acc.when(col("rerank") === rr, lit(t))
     }
-    val out = pqAll.groupBy(col("rerank"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+    pqAll.groupBy(col("rerank"), col("query_id")).agg(count(lit(1)).as("n_hits"))
       .join(matched, Seq("rerank", "query_id"), "left")
       .select(col("rerank"), col("query_id"), col("n_hits"),
         (coalesce(col("n_matched"), lit(0L)) >= thr).as("recall_ok"))
-      .persist()
-    out.count() // materialize (|sweep| × Q rows) so the code table can be freed
-    codes.unpersist()
-    out
   }
 }
