@@ -69,7 +69,49 @@ object ClusterSmoke {
         println(s"[clustersmoke] FAIL $name ${root.toString.linesIterator.next().take(500)}")
       }
     }
-    println(s"[clustersmoke] total=${selected.size} failed=$failed")
+    // Streaming surface: stateful operators run their state stores and
+    // user functions ON EXECUTORS — a closure-capture bug inside a
+    // mapGroupsWithState / flatMapGroupsWithState function is invisible to
+    // local[32] for exactly the same reason as the batch cases above. One
+    // micro-batch each of the KV fold and the shard-migration control
+    // stream crosses the boundary.
+    val streamChecks: Seq[(String, () => Long)] = Seq(
+      "stream_kv" -> (() =>
+        graft.streaming.EventStreams.runKvStream(spark, sfDir).count()),
+      "stream_shard_census" -> { () =>
+        import spark.implicits._
+        import graft.streaming.ShardStream
+        val in = java.nio.file.Files.createTempDirectory("cs_shardin").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("cs_shardckpt").toString
+        ShardStream.opRows(graft.Tables.events(spark, sfDir)
+            .select(graft.Tables.eventMs.as("ms"), org.apache.spark.sql.functions.col("user_id").cast("string").as("key"))
+            .as[(Long, String)])
+          .unionAll(ShardStream.configRows(spark, 1, Long.MaxValue / 2))
+          .write.mode("append").parquet(in)
+        val schema = org.apache.spark.sql.Encoders.product[ShardStream.ShardIn].schema
+        val stream = spark.readStream.schema(schema).parquet(in).as[ShardStream.ShardIn]
+        val q = ShardStream.shardKvStream(stream, graft.shard.Sharding.configScript).toDF()
+          .writeStream.format("memory").queryName("cs_shard")
+          .option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table("cs_shard").count()
+      })
+    // skipped when a single query is selected for debugging
+    streamChecks.filter(_ => only.isEmpty).foreach { case (name, run) =>
+      try {
+        val n = run()
+        if (n > 0) println(s"[clustersmoke] ok $name")
+        else { failed += 1; println(s"[clustersmoke] FAIL $name produced 0 rows") }
+      } catch { case e: Throwable =>
+        failed += 1
+        var root: Throwable = e
+        while (root.getCause != null) root = root.getCause
+        println(s"[clustersmoke] FAIL $name ${root.toString.linesIterator.next().take(500)}")
+      }
+    }
+    val nStream = if (only.isEmpty) streamChecks.size else 0
+    println(s"[clustersmoke] total=${selected.size + nStream} failed=$failed")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
