@@ -98,6 +98,9 @@ object SparkEntry {
     // corpus-wide TF-IDF top-5 terms per document (ranked on the rounded
     // score — ln is the one non-IEEE-exact op, see tfidfTop)
     "text_tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
+    // CCNet-style bigram-LM quality score (self-trained, add-one smoothing):
+    // mean -ln P(w2|w1) per document, 6-decimal rounded oracle surface
+    "text_lm_quality" -> ((s: SparkSession, d: String) => TextAnalysis.lmQuality(s, d)),
     // Gopher/C4 repetition + shape filters with a combined verdict column
     "text_gopher_filters" -> TextAnalysis.gopherFilters _,
     // deterministic hash-bucket sampling: language-mixture downsampling and
@@ -591,6 +594,28 @@ object SparkEntry {
     // TF-IDF re-derived end-to-end; ranking compares the ROUNDED score so
     // the one non-IEEE-exact op (ln, faithful to ~1 ulp in both engines)
     // cannot flip an order
+    // bigram LM re-derived in SQL: identical integer counts, the same
+    // add-one formula, AVG over doubles rounded to 6 decimals (the ln /
+    // aggregation-order boundary argument is the TF-IDF precedent);
+    // c1 cast to BIGINT so DuckDB's HUGEINT SUM widening stays out of the
+    // double arithmetic
+    "text_lm_quality" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+          bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+                 FROM t WHERE len(t) >= 2),
+          bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+          c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bb GROUP BY 1, 2),
+          c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          v AS (SELECT COUNT(DISTINCT word) AS v FROM
+                  (SELECT unnest(t.t) AS word FROM t)),
+          s AS (SELECT bb.doc_id, COUNT(*) AS n_bigrams,
+                  ROUND(AVG(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS lm_score
+                FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+                GROUP BY 1)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                 s.n_bigrams, s.lm_score
+          FROM t LEFT JOIN s ON t.doc_id = s.doc_id""",
     "text_tfidf_top" ->
       s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
           w AS (SELECT doc_id, unnest(tk) AS word FROM t),

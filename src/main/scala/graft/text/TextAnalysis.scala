@@ -178,4 +178,46 @@ object TextAnalysis {
       col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokensCol(lower(col("text"))))), " "))
         .as("fp"))
+
+  /** CCNet-style LANGUAGE-MODEL QUALITY score (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): per document, the mean negative log-likelihood of its
+    * token stream under an add-one-smoothed bigram model trained on the
+    * corpus itself — the "perplexity filter" of pretraining pipelines,
+    * self-contained (no external LM): repetitive or templated documents
+    * score LOW (predictable), lexical soup scores HIGH.
+    *
+    *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    *   score(d) = round(avg over d's bigrams of −ln P, 6)
+    *
+    * The 6-decimal rounding is the TF-IDF precedent: ln is the one
+    * non-IEEE-exact op, and aggregation order varies with partitioning, so
+    * the boundary-safe rounded value is the oracle surface. Scale shape:
+    * the bigram stream shuffles once to build the count table; the count
+    * tables are vocab²-bounded (≪ corpus) so AQE broadcasts them back onto
+    * the stream for scoring, and the per-doc aggregation is the only other
+    * corpus-sized exchange. Documents with < 2 tokens have no bigrams and
+    * score NULL (pinned in the oracle SQL). */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("t"))
+    val bi = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = docs.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bi
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 6)
+          .as("lm_score"))
+    docs.select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"))
+      .join(scored, Seq("doc_id"), "left")
+  }
 }
