@@ -199,13 +199,22 @@ object TextAnalysis {
     * corpus-sized exchange. Documents with < 2 tokens have no bigrams and
     * score NULL (pinned in the oracle SQL). */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    // the tokenized corpus feeds FOUR consumers (bigram stream for counting,
+    // bigram stream for scoring, vocab, final doc list) and Spark never
+    // dedups common subplans — without the lazy persist this query would
+    // scan the documents parquet five times (the pack_sequences defect
+    // class). Blocks back the returned frame; the ContextCleaner reclaims
+    // them when it is GC'd.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokensCol(lower(col("text"))).as("t"))
+      .persist()
     val bi = docs.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // vocab²-bounded (≪ corpus) and referenced by both c1 and the scoring
+    // join — the ideal cache candidate
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")).persist()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = docs.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))

@@ -44,4 +44,21 @@ class LmQualitySpec extends AnyFunSuite {
     // repetitive text is predictable ⇒ scores vary; sanity: all finite, positive
     got.values.foreach(r => if (!r.isNullAt(3)) assert(r.getDouble(3) > 0))
   }
+
+  // four consumers (two bigram passes, vocab, doc list) of one tokenized
+  // frame: the lazy persist must hold actual reads to ONE corpus scan —
+  // same FS-statistics measurement as PackingSpec
+  test("the corpus parquet is scanned exactly once") {
+    def fileBytesRead: Long =
+      org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file").getLong("bytesRead")
+    val b0 = fileBytesRead
+    Tables.documents(spark, sf).select(sum(length(col("text")))).collect()
+    val oneScan = fileBytesRead - b0
+    assert(oneScan > 0L)
+    val b1 = fileBytesRead
+    TextAnalysis.lmQuality(spark, sf).collect()
+    val lmScan = fileBytesRead - b1
+    assert(lmScan < (oneScan * 1.5).toLong,
+      s"text_lm_quality read $lmScan bytes vs $oneScan for one scan")
+  }
 }
