@@ -226,7 +226,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 6)
           .as("lm_score"))
-    docs.select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"))
+    // materialize the NARROW result (4 columns per doc) and release the fat
+    // caches — holding the tokenized corpus past the computation is a leak
+    // that taxes every later query's memory (measured: the neighboring
+    // bench queries slowed 0.1 → 0.8 s before this release)
+    val out = docs.select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"))
       .join(scored, Seq("doc_id"), "left")
+      .persist()
+    out.count()
+    docs.unpersist(blocking = false)
+    c2.unpersist(blocking = false)
+    out
   }
 }
