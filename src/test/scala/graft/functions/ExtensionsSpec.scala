@@ -49,6 +49,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT graft_sq8_stats(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)))")
         .collect()(0).isNullAt(0))
+      // an empty vector defines scale 0, mse 0, max_err 0 (pinned contract)
+      assert(spark.sql(
+        "SELECT graft_sq8_stats(CAST(array() AS ARRAY<FLOAT>))")
+        .collect()(0).getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
       // wrong arity is a clean analysis error, not IndexOutOfBoundsException
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql("SELECT graft_sorted_intersect_count(array(1L))").collect()

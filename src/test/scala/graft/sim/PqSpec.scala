@@ -19,6 +19,12 @@ class PqSpec extends AnyFunSuite {
       assert(book.subNorm2(j)(c) == Similarity.dot(book.centroids(j)(c), book.centroids(j)(c)))
   }
 
+  test("training is deterministic for a fixed partitioning (recall floors depend on it)") {
+    val again = Pq.train(vecs, m = 8, ksub = 16)
+    for (j <- 0 until 8; c <- 0 until 16)
+      assert(book.centroids(j)(c).toSeq == again.centroids(j)(c).toSeq, s"subspace $j centroid $c")
+  }
+
   test("encode is deterministic and codes are in range") {
     val c1 = Pq.encode(vecs, book).collect().sortBy(_.vec_id)
     val c2 = Pq.encode(vecs, book).collect().sortBy(_.vec_id)

@@ -90,4 +90,25 @@ class ShardStreamSpec extends AnyFunSuite {
         (r.getLong(3), r.getLong(4))).toMap
     assert(got7 == want7, s"census 7: got $got7 want $want7")
   }
+
+  test("a control message naming an unknown config fails with a clear error, not an index bound") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("shardbadin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shardbadckpt").toString
+    ShardStream.configRows(spark, configNum = 99, ms = 1L)
+      .write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.Encoders.product[ShardStream.ShardIn].schema
+    val stream = spark.readStream.schema(schema).parquet(in).as[ShardStream.ShardIn]
+    val q = ShardStream.shardKvStream(stream, Sharding.configScript).toDF()
+      .writeStream.format("memory").queryName("shard_bad")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("config history has entries")),
+      s"expected the clear control-plane error, got: ${messages(e).mkString(" | ")}")
+  }
 }
