@@ -107,6 +107,11 @@ object SparkEntry {
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
     "sample_split" -> graft.sample.Sampling.split _,
+    // deterministic global training shuffle: salted-hash rank -> shard +
+    // in-shard position; the identical permutation re-derived by the oracle
+    "sample_shuffle" -> ((s: SparkSession, d: String) => graft.sample.Sampling.shuffle(s, d)),
+    // quality-proportional keep decision, map-only, hash-fate deterministic
+    "sample_weighted" -> ((s: SparkSession, d: String) => graft.sample.Sampling.weightedByQuality(s, d)),
     // concat-and-chunk sequence packing: global token offsets via a
     // two-phase prefix sum (range partition + broadcast offsets), never a
     // single-task global window; oracle recomputes with a windowed cumsum
@@ -132,6 +137,9 @@ object SparkEntry {
     // train/eval 5-gram decontamination: eval n-grams broadcast, train side
     // scanned map-only; oracle recomputes the n-gram join on strings
     "decontam_overlap" -> ((s: SparkSession, d: String) => Dedup.decontamOverlap(s, d)),
+    // intra-corpus duplicated-span fractions (exact-substring-dedup
+    // approximation): one scan, two map-side-combined aggs, no all-pairs
+    "dedup_span_overlap" -> ((s: SparkSession, d: String) => Dedup.spanOverlap(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -222,14 +230,16 @@ object SparkEntry {
 
   // Shared SQL fragments for the oracle side.
   private val tokEx = "string_split_regex(text, '[^\\p{L}]+')"
-  /** FNV-1a 32-bit of an ASCII VARCHAR column, masked to 31 bits, mod 100 —
-    * the DuckDB re-derivation of [[graft.functions.Fnv32]]'s bucket (mod-2^32
-    * wraparound in HUGEINT, xor on the low byte since ASCII < 128). */
-  private def fnvBucket(s: String) =
+  /** FNV-1a 32-bit of an ASCII VARCHAR column, masked to 31 bits — the
+    * DuckDB re-derivation of [[graft.functions.Fnv32]] (mod-2^32 wraparound
+    * in HUGEINT, xor on the low byte since ASCII < 128). */
+  private def fnvFull(s: String) =
     s"""CAST(list_reduce(list_prepend(CAST(2166136261 AS HUGEINT),
         list_transform(range(1, length($s) + 1), i -> CAST(ascii(($s)[i]) AS HUGEINT))),
         (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 16777619)
-          % CAST(4294967296 AS HUGEINT)) % CAST(2147483648 AS HUGEINT) % 100 AS INT)"""
+          % CAST(4294967296 AS HUGEINT)) % CAST(2147483648 AS HUGEINT) AS INT)"""
+  /** [[fnvFull]] mod 100 — the sampling bucket. */
+  private def fnvBucket(s: String) = s"(${fnvFull(s)} % 100)"
   private def toks(src: String) = s"list_filter(string_split_regex($src, '[^\\p{L}]+'), x -> x <> '')"
   private val revenue =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
@@ -591,6 +601,20 @@ object SparkEntry {
             CAST(c AS DOUBLE) / sz.n AS contamination
           FROM p JOIN sz ON eval_id = sz.doc_id
           WHERE c >= 1""",
+    // duplicated-span fractions re-derived on gram STRINGS (the engine
+    // joins on 64-bit gram hashes — same count parity + collision
+    // acceptance as decontam_overlap: per-doc gram sets are distinct)
+    "dedup_span_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                 ELSE list_distinct(list_transform(generate_series(1, len(tk)-4),
+                   i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) END AS sh FROM t),
+          w AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams, unnest(sh) AS g FROM s),
+          d AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= 2)
+          SELECT w.doc_id, w.n_grams, COUNT(d.g) AS n_dup_grams,
+            CAST(COUNT(d.g) AS DOUBLE) / w.n_grams AS dup_frac
+          FROM w LEFT JOIN d ON w.g = d.g
+          GROUP BY 1, 2""",
     // TF-IDF re-derived end-to-end; ranking compares the ROUNDED score so
     // the one non-IEEE-exact op (ln, faithful to ~1 ulp in both engines)
     // cannot flip an order
@@ -905,6 +929,31 @@ object SparkEntry {
           SELECT doc_id, lang, bucket,
             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
           FROM b""",
+    // the identical deterministic permutation: salted full 31-bit FNV rank,
+    // shard = rank mod 8, in-shard position with the same (h, doc_id) total
+    // order
+    "sample_shuffle" ->
+      s"""WITH b AS (SELECT doc_id,
+            ${fnvFull("CAST(doc_id AS VARCHAR) || ':shuffle'")} AS h FROM documents)
+          SELECT doc_id, h, CAST(h % 8 AS INT) AS shard,
+            CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+          FROM b""",
+    // quality score re-derived (text_quality's exact arithmetic), salted
+    // bucket, and the same IEEE keep comparison
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+          s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+            CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct FROM t),
+          q AS (SELECT doc_id,
+            (CASE WHEN n_tokens < 10 THEN 0.0 ELSE 1.0 END) *
+              (0.5 * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.03 THEN 1.0
+                           ELSE CAST(n_stop AS DOUBLE) / n_tokens * 10.0 END) +
+               0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)) AS quality_score FROM s),
+          b AS (SELECT doc_id, quality_score,
+            ${fnvBucket("CAST(doc_id AS VARCHAR) || ':wq'")} AS bucket FROM q)
+          SELECT doc_id, quality_score, bucket FROM b
+          WHERE CAST(bucket AS DOUBLE) < quality_score * 100""",
     // the windowed-cumsum twin of the engine's two-phase prefix sum
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),

@@ -627,6 +627,52 @@ object Dedup {
         (col("n_shared").cast("double") / col("n_eval_grams")).as("contamination"))
   }
 
+  /** Intra-corpus duplicated-SPAN detection — the n-gram approximation of
+    * exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document, how
+    * many of its distinct w-gram spans also occur in at least one OTHER
+    * document, and the duplicated fraction. Long spans (w = 5, as in
+    * [[decontamOverlap]]) make chance collisions negligible, so a nonzero
+    * `dup_frac` is real copied text — the per-document signal a pipeline
+    * thresholds to drop boilerplate-heavy documents that pairwise near-dup
+    * detection misses (a span copied across 1 000 documents never makes any
+    * single pair similar).
+    *
+    * Scale shape: ONE corpus scan (spec-asserted), TWO linear exchanges,
+    * no join. Per-doc gram sets are distinct, so a gram's occurrence count
+    * IS its document count, and a gram counted ONCE is owned by exactly one
+    * document — so `n_dup = n_grams − n_unique` and only the SINGLETON
+    * gram groups (which carry their single owner) need to flow to the
+    * per-document rollup. A naive "join grams against the duplicated-gram
+    * table" re-scans the corpus to build the join side (the pack_sequences
+    * defect class); this shape instead appends one per-doc SENTINEL
+    * pseudo-gram so documents whose every real gram is duplicated still
+    * produce a singleton group and no second corpus read exists
+    * structurally. Both aggregations are map-side-combined hash aggs, so a
+    * boilerplate gram shared by millions of documents is pre-counted per
+    * partition — no hot-key task, no window sort, no skew cliff. Sentinel
+    * values (-doc_id−1) colliding with a real 64-bit gram hash is the same
+    * negligible, fixture-deterministic acceptance every hashed verifier
+    * here makes. */
+  def spanOverlap(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        graft.functions.TextHash.shingleHashesCol(
+          TextAnalysis.tokensCol(lower(col("text"))), w).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_grams"),
+        explode(concat(col("sh"), array(-col("doc_id") - 1))).as("g"))
+    grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("doc_id"),
+        min(col("n_grams")).as("n_grams"))
+      .filter(col("nd") === 1)
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg((count(lit(1)) - 1L).as("n_unique")) // minus the sentinel
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - col("n_unique")).as("n_dup_grams"),
+        ((col("n_grams") - col("n_unique")).cast("double") / col("n_grams"))
+          .as("dup_frac"))
+  }
+
   /** The eval split's DISTINCT n-gram hash set, sorted — the driver-side
     * artifact [[decontamStreamCol]] embeds. Bounded by the eval corpus
     * (benchmarks are small and fixed; that asymmetry is the whole design

@@ -24,6 +24,13 @@ object Sampling {
   /** Stable per-document bucket in [0, 100). */
   def bucketCol(id: Column): Column = Fnv32.fnv32(id.cast("string")) % 100
 
+  /** Salted bucket in [0, 100): `fnv32(id || salt) % 100`. A distinct salt
+    * per decision keeps fates independent — a document's train/val/test
+    * fate says nothing about its weighted-sampling fate, so composing
+    * operators never correlates their keep sets. */
+  def saltedBucketCol(id: Column, salt: String): Column =
+    Fnv32.fnv32(concat(id.cast("string"), lit(salt))) % 100
+
   /** Stratified mixture sampling — the "data mixing" step of an LLM
     * pipeline: per-language keep rates (e.g. downsample overrepresented
     * languages, upsample scarce ones), applied as `bucket < rate*100`.
@@ -51,4 +58,45 @@ object Sampling {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
+
+  /** Deterministic GLOBAL SHUFFLE — the "shuffle the corpus before
+    * training" step. Every document gets a stable pseudo-random rank (a
+    * salted FNV hash), a training shard (`rank mod nShards`) and its
+    * position within the shard, so the shuffled order is a pure function of
+    * the corpus: reproducible across re-runs, cluster sizes and engines
+    * (the oracle re-derives the identical permutation), and diffable when
+    * the corpus grows — adding documents never reorders existing shards
+    * beyond the insertion points.
+    *
+    * Scale shape: the hash/shard assignment is map-only; the only exchange
+    * is the per-shard `row_number` window, a hash partition on `shard`
+    * followed by a LOCAL sort — never a global single-task sort. `nShards`
+    * is the output-file count: at 100 TB it is chosen so a shard is a few
+    * GB (tens of thousands of shards), which also bounds the per-task sort.
+    * Ties on the 31-bit hash break by doc_id, so the order is total in
+    * both engines. */
+  def shuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":shuffle"))).as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast("bigint"))
+  }
+
+  /** QUALITY-WEIGHTED sampling — keep a document with probability equal to
+    * its [[graft.text.TextAnalysis.qualityScore]] (CCNet/DoReMi-style
+    * quality-proportional downsampling), decided by the same deterministic
+    * hash-fate primitive as [[mixture]]: keep iff
+    * `bucket(doc_id:wq) < quality * 100`. The score and the comparison are
+    * pure IEEE arithmetic re-derived exactly by the oracle, so every keep
+    * decision is cross-engine reproducible — no RNG state anywhere.
+    * Map-only: score, bucket and filter all ride the corpus scan (zero
+    * exchanges, spec-enforced). */
+  def weightedByQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"),
+        saltedBucketCol(col("doc_id"), ":wq").as("bucket"))
+      .filter(col("bucket").cast("double") < col("quality_score") * 100)
 }

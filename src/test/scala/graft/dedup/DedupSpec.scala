@@ -236,6 +236,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("span overlap: one corpus scan, two exchanges, exact dups at dup_frac 1.0") {
+    val df = Dedup.spanOverlap(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"span overlap must scan the corpus once:\n${plan.take(1500)}")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"span overlap is two map-side-combined hash aggs, no join:\n${plan.take(1500)}")
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val texts = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == texts.size, "one row per document, including clean ones")
+    // an exact duplicate's every span is duplicated
+    texts.groupBy(_._2).values.filter(_.size > 1).flatMap(_.keys).foreach { id =>
+      assert(rows(id)._3 == 1.0, s"exact-dup doc $id has dup_frac ${rows(id)._3}")
+    }
+    // fractions are consistent counts
+    rows.foreach { case (id, (n, d, f)) =>
+      assert(d >= 0 && d <= n && f == d.toDouble / n, s"doc $id inconsistent")
+    }
+  }
+
   test("native simhash/fingerprint expressions equal the scalar twins on the corpus") {
     import org.apache.spark.sql.functions.lower
     // the scalar re-derivation, driver-side, over the same tokenization
