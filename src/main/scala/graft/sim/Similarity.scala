@@ -457,7 +457,13 @@ object Similarity {
 
   /** The compressed at-rest index [[sq8TopK]] searches: int8 codes + scale,
     * 4× smaller than the float32 corpus (same arithmetic as
-    * [[graft.functions.Quantize.sq8Stats]]). */
+    * [[graft.functions.Quantize.sq8Stats]]).
+    *
+    * The scale is PER VECTOR (max |coord| / 127), so the encode is a
+    * stateless per-row map with no trained artifact — it applies unchanged
+    * to a `readStream` source as the ingest-time encode-on-arrival twin
+    * (new vectors join the compressed index without a batch re-encode;
+    * streaming == batch parity is spec-pinned in SimilaritySpec). */
   def sq8Index(vecs: Dataset[Vec]): Dataset[SqVec] = {
     import vecs.sparkSession.implicits._
     vecs.map { v =>

@@ -72,6 +72,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 encode-on-arrival: streaming encode == batch index (stateless twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val batch = Similarity.sq8Index(Similarity.vectors(spark, sf)).collect()
+      .map(sv => sv.vec_id -> ((sv.scale, sv.q.toSeq))).toMap
+    // the fixture is a single parquet FILE; the file stream source wants a dir
+    val in = java.nio.file.Files.createTempDirectory("sq8in")
+    java.nio.file.Files.copy(new java.io.File(sf, "embeddings.parquet").toPath,
+      in.resolve("embeddings.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("sq8out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sq8ckpt").toString
+    val schema = graft.Tables.embeddings(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+    val q = Similarity.sq8Index(stream).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Similarity.SqVec], _: Long) =>
+        ds.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.Encoders
+    val streamed = spark.read.schema(Encoders.product[Similarity.SqVec].schema)
+      .parquet(out).as[Similarity.SqVec].collect()
+      .map(sv => sv.vec_id -> ((sv.scale, sv.q.toSeq))).toMap
+    assert(streamed == batch)
+  }
+
   test("embedding near-dups are symmetric-free (d1 < d2) and above threshold") {
     val dups = Similarity.embeddingNearDups(spark, sf, threshold = 0.3).collect()
     assert(dups.nonEmpty)
