@@ -112,6 +112,9 @@ object SparkEntry {
     "sample_shuffle" -> ((s: SparkSession, d: String) => graft.sample.Sampling.shuffle(s, d)),
     // quality-proportional keep decision, map-only, hash-fate deterministic
     "sample_weighted" -> ((s: SparkSession, d: String) => graft.sample.Sampling.weightedByQuality(s, d)),
+    // per-source cap (domain capping) through the TopKPerKey physical
+    // operator: map-side heaps shed all but sources×k rows pre-exchange
+    "sample_source_cap" -> ((s: SparkSession, d: String) => graft.sample.Sampling.sourceCap(s, d)),
     // concat-and-chunk sequence packing: global token offsets via a
     // two-phase prefix sum (range partition + broadcast offsets), never a
     // single-task global window; oracle recomputes with a windowed cumsum
@@ -140,6 +143,9 @@ object SparkEntry {
     // intra-corpus duplicated-span fractions (exact-substring-dedup
     // approximation): one scan, two map-side-combined aggs, no all-pairs
     "dedup_span_overlap" -> ((s: SparkSession, d: String) => Dedup.spanOverlap(s, d)),
+    // per-source near-dup rate: greedy keep-first drop policy over the
+    // token-jaccard pairs, aggregated per source — dedup observability
+    "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -152,6 +158,16 @@ object SparkEntry {
     // prune parquet partitions; same exact search + oracle as sim_topk_ivf
     "sim_topk_ivf_stored" -> ((s: SparkSession, d: String) => Similarity.ivfTopKStored(
       s, d, java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index").toDF()),
+    // incremental index maintenance: codebook trained on the 80% base only,
+    // the delta assign-and-APPENDED (no retrain, base files untouched),
+    // radii max-merged so ball pruning stays sound — search over the merged
+    // index must still equal brute force over the full corpus
+    "sim_index_upsert" -> ((s: SparkSession, d: String) => Similarity.ivfTopKUpsert(
+      s, d, java.nio.file.Files.createTempDirectory("ivfups").toString + "/index").toDF()),
+    // metadata-filtered vector search: per-query same-label top-k,
+    // PRE-filtered (exact within the filtered set); the label IN (...)
+    // predicate pushes into the parquet scan
+    "sim_topk_filtered" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d).toDF()),
     // recall@k of the APPROXIMATE ivfTopK path vs brute force, swept over
     // nprobe ∈ {4, 8, 16}: monotone recall surface; the nprobe = nlist row is
     // exactly recall 1.0 by construction (full probe ≡ brute force), the
@@ -615,6 +631,24 @@ object SparkEntry {
             CAST(COUNT(d.g) AS DOUBLE) / w.n_grams AS dup_frac
           FROM w LEFT JOIN d ON w.g = d.g
           GROUP BY 1, 2""",
+    // per-source greedy near-dup rate: the token-jaccard pair CTE again
+    // (same arithmetic as dedup_token_jaccard's oracle), drop set = every
+    // d2 of a qualifying pair, aggregated per source
+    "dedup_source_rate" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
+            (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c FROM w a JOIN w b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          dropped AS (SELECT DISTINCT d2 AS doc_id FROM pairs
+            JOIN sz s1 ON pairs.d1 = s1.doc_id JOIN sz s2 ON pairs.d2 = s2.doc_id
+            WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8)
+          SELECT d.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+            ROUND(CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+          FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+          GROUP BY d.source""",
     // TF-IDF re-derived end-to-end; ranking compares the ROUNDED score so
     // the one non-IEEE-exact op (ln, faithful to ~1 ulp in both engines)
     // cannot flip an order
@@ -810,6 +844,34 @@ object SparkEntry {
                FROM c)
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10""",
+    // the incrementally maintained index is exact by the same ball-pruning
+    // argument (radii max-merged on upsert): identical all-pairs truth
+    "sim_index_upsert" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
+    // filtered search: the truth restricts candidates to the query's label
+    // BEFORE ranking (pre-filter semantics, exact within the filtered set)
+    "sim_topk_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.label = q.label AND v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
     // every (nprobe, query) row must report k hits and clear its recall
     // threshold; the nprobe=16 endpoint is a hard recall-1.0 guarantee
     "sim_ivf_recall" ->
@@ -954,6 +1016,15 @@ object SparkEntry {
             ${fnvBucket("CAST(doc_id AS VARCHAR) || ':wq'")} AS bucket FROM q)
           SELECT doc_id, quality_score, bucket FROM b
           WHERE CAST(bucket AS DOUBLE) < quality_score * 100""",
+    // the same salted-hash fate re-derived; rank semantics match the
+    // TopKPerKey operator (order desc on h, ties to the smaller doc_id)
+    "sample_source_cap" ->
+      s"""WITH b AS (SELECT doc_id, source,
+            ${fnvFull("CAST(doc_id AS VARCHAR) || ':cap'")} AS h FROM documents),
+          r AS (SELECT doc_id, source, h,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS BIGINT) AS rank
+          FROM b)
+          SELECT doc_id, source, h, rank FROM r WHERE rank <= 10""",
     // the windowed-cumsum twin of the engine's two-phase prefix sum
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),

@@ -590,6 +590,31 @@ object Dedup {
       (col("node") === col("label")).as("keep"))
   }
 
+  /** Per-source NEAR-DUPLICATE rate — dedup observability over the data
+    * mixture: which sources pump duplicates into the corpus, the per-batch
+    * health metric a 100 TB ingest dashboard recomputes continuously. A
+    * document counts as dropped iff it has a token-jaccard near-dup with a
+    * SMALLER doc_id — the one-pass greedy keep-first policy (cheap,
+    * local); the transitively-correct component keep-list is
+    * [[nearDupComponents]], which this report deliberately does not rerun:
+    * the rate needs the pair set, not canonical labels, so it costs one
+    * prefix+length-filtered pair generation plus a doc_id equi-join of the
+    * (duplicate-sized) drop set against the corpus and a map-side-combined
+    * agg on source. */
+  def sourceDupRate(spark: SparkSession, dir: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val dropped = tokenJaccard(spark, dir, threshold)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_docs"), 6).as("dup_rate"))
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Train/eval DECONTAMINATION: which training documents share word

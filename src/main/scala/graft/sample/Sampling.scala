@@ -99,4 +99,24 @@ object Sampling {
       .select(col("doc_id"), col("quality_score"),
         saltedBucketCol(col("doc_id"), ":wq").as("bucket"))
       .filter(col("bucket").cast("double") < col("quality_score") * 100)
+
+  /** PER-SOURCE CAP (domain capping) — bound each source's contribution to
+    * the mixture: keep at most `k` documents per source, chosen by the same
+    * deterministic salted-hash fate as the other samplers (top-k by
+    * `fnv32(doc_id:cap)`, ties to the smaller doc_id), so the kept set is a
+    * uniform, reproducible, engine-independent sample of each source — a
+    * source that doubles in size keeps the same cap winners plus/minus the
+    * hash order, never a different RNG draw.
+    *
+    * Rides the custom [[graft.plans.TopK]] physical operator instead of a
+    * `row_number` window: map-side bounded heaps shed everything but
+    * sources×k rows BEFORE the exchange, so at 100 TB the shuffle carries
+    * the capped output (n_sources × k rows), not the corpus — the window
+    * form would shuffle every row to sort whole sources in single tasks. */
+  def sourceCap(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":cap"))).as("h")),
+      Seq("source"), "h", "doc_id", k)
 }

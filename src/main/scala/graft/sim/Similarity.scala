@@ -353,11 +353,30 @@ object Similarity {
     * nprobe of nlist lists opens nprobe/nlist of the corpus bytes. This is
     * the storage layout the in-memory `ivfTopK*` docs promise. */
   def buildIvfIndex(spark: SparkSession, dir: String, path: String,
-                    nlist: Int = 16): IvfIndex = {
-    import spark.implicits._
-    val vecs = vectors(spark, dir)
+                    nlist: Int = 16): IvfIndex =
+    buildIvfIndexFrom(vectors(spark, dir), path, nlist)
+
+  /** [[buildIvfIndex]] over an explicit vector set — the base-corpus build
+    * step of the incremental-maintenance path ([[ivfTopKUpsert]]), which
+    * trains the codebook on the base only and folds later arrivals in via
+    * [[upsertIvfIndex]]. */
+  def buildIvfIndexFrom(vecs: Dataset[Vec], path: String,
+                        nlist: Int = 16): IvfIndex = {
+    val spark = vecs.sparkSession
     val centroids = trainCentroids(vecs, nlist)
     val bcCent = spark.sparkContext.broadcast(centroids)
+    val assigned = assignLists(vecs, bcCent).persist()
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val radius = assignedRadii(assigned, bcCent, centroids.length)
+    assigned.unpersist()
+    IvfIndex(path, centroids, radius)
+  }
+
+  /** Map-only nearest-centroid assignment, shared by build and upsert. */
+  private def assignLists(vecs: Dataset[Vec],
+                          bcCent: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+  : DataFrame = {
+    import vecs.sparkSession.implicits._
     val nearestList: (Array[Array[Float]], Array[Float]) => Int = (cs, e) => {
       var best = 0; var bestC = Double.NegativeInfinity
       var i = 0
@@ -366,15 +385,45 @@ object Similarity {
       }
       best
     }
-    val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v.vec_id, v.embedding))
-      .toDF("list_id", "vec_id", "embedding").persist()
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    val radius = listRadii(
+    vecs.map(v => (nearestList(bcCent.value, v.embedding), v.vec_id, v.embedding))
+      .toDF("list_id", "vec_id", "embedding")
+  }
+
+  private def assignedRadii(assigned: DataFrame,
+                            bcCent: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+                            nlist: Int): Map[Int, Double] = {
+    import assigned.sparkSession.implicits._
+    listRadii(
       assigned.select(col("list_id"), col("embedding")).as[(Int, Array[Float])]
         .rdd.map { case (l, e) => (l, e) },
       bcCent, nlist)
+  }
+
+  /** Incremental IVF maintenance — the INGEST path at 100 TB, where
+    * retraining and rewriting the index on every arriving batch is not an
+    * option. Each delta vector is assigned to its nearest EXISTING centroid
+    * (map-only, no Lloyd iterations) and appended to that list's parquet
+    * partition directory — base files are never rewritten (append-only
+    * economics, spec-pinned by a file-census check). The per-list angular
+    * radii are max-merged with the delta's: the radius can only grow, which
+    * keeps the ball-pruning bound SOUND — an understated radius could prune
+    * a list holding a true neighbor, an overstated one only costs an extra
+    * list scan. Search over the upserted index therefore stays EXACT
+    * (equals brute force over base ∪ delta) even though the codebook never
+    * saw the delta: codebook drift degrades list balance — cost — never
+    * correctness. Rebalancing is then a background compaction decision
+    * driven by observable list sizes, not a correctness deadline. */
+  def upsertIvfIndex(idx: IvfIndex, delta: Dataset[Vec]): IvfIndex = {
+    val spark = delta.sparkSession
+    val bcCent = spark.sparkContext.broadcast(idx.centroids)
+    val assigned = assignLists(delta, bcCent).persist()
+    assigned.write.mode("append").partitionBy("list_id").parquet(idx.path)
+    val deltaRadius = assignedRadii(assigned, bcCent, idx.centroids.length)
     assigned.unpersist()
-    IvfIndex(path, centroids, radius)
+    val merged = (idx.radius.keySet ++ deltaRadius.keySet).iterator.map { l =>
+      l -> math.max(idx.radius.getOrElse(l, -1.0), deltaRadius.getOrElse(l, -1.0))
+    }.toMap
+    IvfIndex(idx.path, idx.centroids, merged)
   }
 
   /** Reader for one probe pass over the stored index: only the requested
@@ -399,6 +448,89 @@ object Similarity {
         .as[(Int, Long, Array[Float])]
         .map { case (l, id, e) => (l, Vec(id, e)) },
       idx.centroids, idx.radius, queries, k, nprobe)
+  }
+
+  /** EXACT top-k over an INCREMENTALLY MAINTAINED stored index: the
+    * codebook is trained on the base corpus only (deterministic 80% split
+    * `vec_id % 5 != 4`), the remaining 20% arrives later and is folded in
+    * by [[upsertIvfIndex]] — assign-and-append, no retrain, no base-file
+    * rewrite. The ball-pruned search then runs over the merged index and
+    * must equal brute force over the FULL corpus (same all-pairs oracle as
+    * `sim_topk_brute`): the operator's claim is precisely that index
+    * maintenance never costs correctness. */
+  def ivfTopKUpsert(spark: SparkSession, dir: String, indexPath: String,
+                    numQueries: Int = 8, k: Int = 10,
+                    nlist: Int = 16, nprobe: Int = 4): Dataset[Hit] = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val base  = vecs.filter(_.vec_id % 5 != 4)
+    val delta = vecs.filter(_.vec_id % 5 == 4)
+    val idx = upsertIvfIndex(buildIvfIndexFrom(base, indexPath, nlist), delta)
+    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    exactScanMerge(spark,
+      lists => storedLists(spark, idx.path, lists)
+        .as[(Int, Long, Array[Float])]
+        .map { case (l, id, e) => (l, Vec(id, e)) },
+      idx.centroids, idx.radius, queries, k, nprobe)
+  }
+
+  // ---------------------------------------------- metadata-filtered top-k
+
+  final case class LVec(vec_id: Long, embedding: Array[Float], label: Int)
+
+  /** Metadata-FILTERED exact top-k: each query retrieves its k nearest
+    * neighbors among corpus vectors sharing the query's `label` — the
+    * standard filtered vector search (a WHERE clause on index metadata).
+    * PRE-filtering, not post-: the predicate restricts the corpus before
+    * scoring, so the result is exact within the filtered set by
+    * construction — post-filtering a plain top-k would under-deliver
+    * whenever fewer than k of the global neighbors carry the label.
+    *
+    * Scale shape: the query labels are known driver-side, so the scan
+    * carries `label IN (...)` — a pushable parquet predicate (row-group
+    * stats and dictionary pruning at rest; a corpus stored partitioned or
+    * bucketed by label turns it into partition pruning, the same economics
+    * as IVF probes). The scan itself is the [[bruteForceTopK]] pattern:
+    * per-partition Q bounded heaps, only Q×k candidate rows cross the
+    * wire. */
+  def filteredTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+                   k: Int = 10): Dataset[Hit] = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label")).as[LVec]
+    val queries = vecs.filter(_.vec_id < numQueries).collect() // bounded: Q rows
+    val labels = queries.map(_.label).distinct.sorted
+    val bc = spark.sparkContext.broadcast(queries)
+    val candidates = vecs
+      .filter(col("label").isin(labels.map(Int.box).toSeq: _*))
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+        it.foreach { v =>
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            if (v.label == q.label && v.vec_id != q.vec_id) {
+              val c = cosine(q.embedding, v.embedding)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, v.vec_id))
+              else if (c > h.head._1 || (c == h.head._1 && v.vec_id < h.head._2)) {
+                h.dequeue(); h.enqueue((c, v.vec_id))
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zip(heaps.iterator).flatMap { case (q, h) =>
+          h.iterator.map { case (c, id) => (q.vec_id, id, c) }
+        }
+      }
+    candidates.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
+        .iterator.zipWithIndex.map { case ((_, id, c), r) =>
+          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
+    }
   }
 
   /** Recall@k of the *approximate* IVF path against the exact brute-force

@@ -272,4 +272,22 @@ class DedupSpec extends AnyFunSuite {
     fps.foreach(f => assert(f.fps.toSeq ==
       Dedup.fingerprintsScalar(toks(f.doc_id), 5, 4).toSeq, s"doc ${f.doc_id}"))
   }
+
+  test("source dup rate: covers the corpus, drop set == greedy jaccard drops, exact rates") {
+    val out = Dedup.sourceDupRate(spark, sf).collect()
+    val rows = out.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_dropped"), r.getAs[Double]("dup_rate")))
+    // every document is counted exactly once across sources
+    assert(rows.map(_._2).sum == graft.Tables.documents(spark, sf).count())
+    // the corpus-wide drop total is the distinct set of greedy-dropped docs
+    val dropped = Dedup.tokenJaccard(spark, sf).select("d2").distinct().count()
+    assert(dropped > 0, "fixture has no near-dup pairs — rate spec degenerate")
+    assert(rows.map(_._3).sum == dropped)
+    // the published rate is exactly round(n_dropped / n_docs, 6)
+    rows.foreach { case (src, n, d, rate) =>
+      val expect = BigDecimal(d.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == expect, s"source $src")
+    }
+  }
 }

@@ -49,4 +49,32 @@ class SamplingSpec extends AnyFunSuite {
     // not the identical fate vector (salting decorrelates decisions)
     assert(b.exists(r => r.getInt(0) != r.getInt(1)))
   }
+
+  test("source cap: window-reference equal, rides the TopKPerKey physical operator") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val out = Sampling.sourceCap(spark, sf, k)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("h"), r.getAs[Long]("rank"))).toSet
+    // semantic truth: the row_number window form
+    val w = Window.partitionBy(col("source")).orderBy(col("h").desc, col("doc_id"))
+    val want = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":cap"))).as("h"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("h"), r.getAs[Long]("rank"))).toSet
+    assert(got == want)
+    // the cap binds on this fixture (25 docs/source > k) and never exceeds k
+    val bySource = got.groupBy(_._2)
+    assert(bySource.values.forall(_.size <= k))
+    assert(bySource.values.exists(_.size == k), "cap never binds — degenerate fixture")
+    // the scale claim: the custom partial/final top-k operator, not a window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"),
+      s"source cap does not ride TopKPerKey:\n${plan.take(1200)}")
+  }
 }

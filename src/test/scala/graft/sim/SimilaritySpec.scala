@@ -127,6 +127,79 @@ class SimilaritySpec extends AnyFunSuite {
       s"no partition filter on list_id in:\n$plan")
   }
 
+  test("index upsert: append-only base files, radii only grow, search stays exact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("upsertspec").toString + "/index"
+    val vecs = Similarity.vectors(spark, sf)
+    val base  = vecs.filter(_.vec_id % 5 != 4)
+    val delta = vecs.filter(_.vec_id % 5 == 4)
+    val idx0 = Similarity.buildIvfIndexFrom(base, path, nlist = 16)
+    def census(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val before = census()
+    assert(before.nonEmpty)
+    val idx = Similarity.upsertIvfIndex(idx0, delta)
+    val after = census()
+    // the ingest claim: upsert APPENDS — no base file is rewritten or lost
+    before.foreach { case (f, meta) =>
+      assert(after.get(f).contains(meta), s"base file $f rewritten by upsert")
+    }
+    assert(after.size > before.size, "delta produced no new index files")
+    assert(spark.read.parquet(path).count() == vecs.count())
+    // max-merged radii can only grow — the soundness condition for ball
+    // pruning over the merged index
+    idx0.radius.foreach { case (l, r) =>
+      assert(idx.radius(l) >= r, s"list $l radius shrank")
+    }
+    // and the search over an upserted index equals brute force end-to-end
+    val p2 = Files.createTempDirectory("upsertspec2").toString + "/index"
+    val got = Similarity.ivfTopKUpsert(spark, sf, p2, numQueries = 4, k = 5)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 4, k = 5)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    assert(got == brute, "upserted-index search must stay exact")
+  }
+
+  test("filtered top-k: exact within the query's label, predicate pushed to the scan") {
+    val k = 10
+    val labelOf = graft.Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.filteredTopK(spark, sf, numQueries = 4, k = k)
+    val byQ = out.collect().groupBy(_.query_id)
+    (0L until 4L).foreach { q =>
+      val qv = all.find(_.vec_id == q).get
+      val expected = all.filter(v => v.vec_id != q && labelOf(v.vec_id) == labelOf(q))
+        .map(v => (Similarity.cosine(qv.embedding, v.embedding), v.vec_id))
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+        .map { case (c, id) =>
+          (BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+      val got = byQ(q).sortBy(_.rank).map(h => (h.cosine, h.neighbor_id)).toSeq
+      assert(got == expected.toSeq, s"query $q")
+    }
+    // pre-filter vs post-filter is a real distinction on this fixture:
+    // restricting brute force's GLOBAL top-k to the label must lose hits
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 4, k = k)
+      .collect().groupBy(_.query_id)
+    val postFiltered = (0L until 4L).map { q =>
+      brute(q).count(h => labelOf(h.neighbor_id) == labelOf(q))
+    }
+    assert(postFiltered.exists(_ < k),
+      s"fixture degenerate: post-filtering would also deliver k ($postFiltered)")
+    // the label IN (...) predicate reaches the parquet scan
+    val plan = Similarity.filteredTopK(spark, sf, numQueries = 4, k = k)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findFirstIn(plan).isDefined,
+      s"label filter not pushed:\n${plan.take(1500)}")
+  }
+
   test("chunked near-dups on a hot label: equal to all-pairs, every task group bounded") {
     import spark.implicits._
     // ONE label with 600 vectors — the skew case that used to be a single
