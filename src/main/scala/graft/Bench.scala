@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional arg (not used by the driver): comma-separated query names,
+    // to A/B a subset locally without timing the whole set
+    val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
+    val bench = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -25,12 +29,12 @@ object Bench {
     // order (the dedup family) paying all Janino/JIT compilation and thread
     // -pool spin-up inside their timed best-of-2 — both timed runs of
     // dedup_token_jaccard measured 10x its warm cost on a contended host.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    bench.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // best-of-2 per query: the second run measures the engine (plan cache +
     // JIT warm), not Janino/JIT first-compile noise on a shared host
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
