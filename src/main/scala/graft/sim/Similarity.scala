@@ -426,6 +426,25 @@ object Similarity {
     IvfIndex(idx.path, idx.centroids, merged)
   }
 
+  /** Background COMPACTION — the third phase of the index lifecycle
+    * (build → upsert... → compact): after enough upserts drift the list
+    * balance (the codebook never saw the deltas, so hot lists grow and
+    * radii only widen), retrain on the CURRENT contents and rewrite into a
+    * fresh generation at `newPath`. Never in place: readers keep probing
+    * the old generation until the owner swaps the pointer, so compaction
+    * is a background job with zero read downtime — the decision to run it
+    * is driven by observable list sizes/radii, never by correctness (both
+    * generations answer exactly; the spec pins search-before == search-
+    * after == brute force). */
+  def compactIvfIndex(spark: SparkSession, idx: IvfIndex, newPath: String,
+                      nlist: Int = 16): IvfIndex = {
+    import spark.implicits._
+    require(newPath != idx.path, "compaction writes a new generation, never in place")
+    val current = spark.read.parquet(idx.path)
+      .select(col("vec_id"), col("embedding")).as[Vec]
+    buildIvfIndexFrom(current, newPath, nlist)
+  }
+
   /** Reader for one probe pass over the stored index: only the requested
     * lists' partition directories are opened (partition pruning on
     * `list_id` — spec-asserted via the scan's PartitionFilters). */
@@ -433,6 +452,20 @@ object Similarity {
     spark.read.parquet(indexPath)
       .filter(col("list_id").isin(lists.toSeq.map(Int.box): _*))
       .select(col("list_id"), col("vec_id"), col("embedding"))
+
+  /** EXACT ball-pruned search over an existing stored-index generation —
+    * the one read path shared by freshly built, upserted and compacted
+    * generations (they differ only in how the files and radii came to be;
+    * the soundness argument is identical). */
+  def searchStoredIndex(spark: SparkSession, idx: IvfIndex, queries: Array[Vec],
+                        k: Int = 10, nprobe: Int = 4): Dataset[Hit] = {
+    import spark.implicits._
+    exactScanMerge(spark,
+      lists => storedLists(spark, idx.path, lists)
+        .as[(Int, Long, Array[Float])]
+        .map { case (l, id, e) => (l, Vec(id, e)) },
+      idx.centroids, idx.radius, queries, k, nprobe)
+  }
 
   /** EXACT top-k over the stored index — same ball-pruned two-phase search
     * and the same brute-force oracle as [[ivfTopKExact]], but every scan
@@ -443,11 +476,7 @@ object Similarity {
     import spark.implicits._
     val idx = buildIvfIndex(spark, dir, indexPath, nlist)
     val queries = vectors(spark, dir).filter(_.vec_id < numQueries).collect()
-    exactScanMerge(spark,
-      lists => storedLists(spark, idx.path, lists)
-        .as[(Int, Long, Array[Float])]
-        .map { case (l, id, e) => (l, Vec(id, e)) },
-      idx.centroids, idx.radius, queries, k, nprobe)
+    searchStoredIndex(spark, idx, queries, k, nprobe)
   }
 
   /** EXACT top-k over an INCREMENTALLY MAINTAINED stored index: the
@@ -467,11 +496,7 @@ object Similarity {
     val delta = vecs.filter(_.vec_id % 5 == 4)
     val idx = upsertIvfIndex(buildIvfIndexFrom(base, indexPath, nlist), delta)
     val queries = vecs.filter(_.vec_id < numQueries).collect()
-    exactScanMerge(spark,
-      lists => storedLists(spark, idx.path, lists)
-        .as[(Int, Long, Array[Float])]
-        .map { case (l, id, e) => (l, Vec(id, e)) },
-      idx.centroids, idx.radius, queries, k, nprobe)
+    searchStoredIndex(spark, idx, queries, k, nprobe)
   }
 
   // ---------------------------------------------- metadata-filtered top-k

@@ -168,6 +168,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == brute, "upserted-index search must stay exact")
   }
 
+  test("compaction: new generation, old files untouched, search stays exact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val gen0 = Files.createTempDirectory("compactspec").toString + "/gen0"
+    val vecs = Similarity.vectors(spark, sf)
+    // lifecycle: build on the base, upsert the delta (drifted codebook) ...
+    val idx = Similarity.upsertIvfIndex(
+      Similarity.buildIvfIndexFrom(vecs.filter(_.vec_id % 5 != 4), gen0, nlist = 16),
+      vecs.filter(_.vec_id % 5 == 4))
+    def census(path: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val oldGen = census(gen0)
+    // ... compact into a NEW generation: retrained codebook, rewritten lists
+    val gen1 = gen0.stripSuffix("gen0") + "gen1"
+    val idx2 = Similarity.compactIvfIndex(spark, idx, gen1, nlist = 16)
+    assert(idx2.path == gen1)
+    // zero read downtime: the old generation is byte-identical post-compact
+    assert(census(gen0) == oldGen, "compaction touched the old generation")
+    // nothing lost: the new generation holds the full corpus
+    assert(spark.read.parquet(gen1).count() == vecs.count())
+    // in-place compaction is refused outright
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, idx2, gen1)
+    }
+    // both generations answer exactly: search == brute force before & after
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 4, k = 5)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    val queries = vecs.filter(_.vec_id < 4).collect()
+    def search(ix: Similarity.IvfIndex) = Similarity.searchStoredIndex(
+        spark, ix, queries, k = 5, nprobe = 4)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    assert(search(idx) == brute, "pre-compaction search drifted")
+    assert(search(idx2) == brute, "post-compaction search drifted")
+  }
+
   test("filtered top-k: exact within the query's label, predicate pushed to the scan") {
     val k = 10
     val labelOf = graft.Tables.embeddings(spark, sf).select("vec_id", "label")

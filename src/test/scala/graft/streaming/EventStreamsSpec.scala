@@ -316,7 +316,13 @@ class EventStreamsSpec extends AnyFunSuite {
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }.start()
-    try q.processAllAvailable() finally q.stop()
+    val progress = try {
+      q.processAllAvailable()
+      q.recentProgress.map(p => (p.batchId, p.numInputRows)).toSeq
+    } finally q.stop()
+    // the split really became two micro-batches, so cross-file pairs can
+    // only surface through bucket state (CapStreamSpec round-8 lesson)
+    assert(progress.count(_._2 > 0) >= 2, s"expected >=2 data batches, got $progress")
 
     val streamed = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -325,6 +331,9 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch,
       s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+    // and pairs genuinely span the file split (one even + one odd doc id)
+    assert(streamed.exists { case (d1, d2, _) => (d1 % 2) != (d2 % 2) },
+      "no cross-batch pair — the split is not exercising bucket state")
   }
 
   test("KV store client marks are bounded: idle clients evict past the dedup horizon") {
@@ -380,7 +389,14 @@ class EventStreamsSpec extends AnyFunSuite {
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         df.write.mode("append").parquet(out)
       }.start()
-    try q.processAllAvailable() finally q.stop()
+    val progress = try {
+      q.processAllAvailable()
+      q.recentProgress.map(p => (p.batchId, p.numInputRows)).toSeq
+    } finally q.stop()
+    // the redelivery really arrived in a LATER micro-batch — otherwise the
+    // spec tests within-batch dedup, not state (CapStreamSpec round-8
+    // lesson: a split that silently collapses proves nothing)
+    assert(progress.count(_._2 > 0) >= 2, s"expected >=2 data batches, got $progress")
 
     val got = spark.read.parquet(out)
     val nDistinct = ev.select("event_id").distinct().count()
