@@ -74,4 +74,48 @@ class CapStreamSpec extends AnyFunSuite {
       assert(rows.size <= 10, s"source $s gen $g emitted ${rows.size} rows")
     }
   }
+
+  test("cap winner state survives a checkpoint restart (separate queries)") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("capr_in").toString
+    val out = java.nio.file.Files.createTempDirectory("capr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("capr_ckpt").toString
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        graft.functions.Fnv32.fnv32(
+          concat(col("doc_id").cast("string"), lit(":cap"))).as("h"))
+
+    // each half runs under its OWN query instance; only the checkpoint
+    // carries the winner sets across the restart
+    def runToCompletion(): Unit = {
+      val q = CapStream.sourceCapStream(
+          spark.readStream.schema(docs.schema).parquet(in).as[CapStream.CapDoc]).toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    docs.filter(col("doc_id") < 250).coalesce(1).write.mode("append").parquet(in)
+    runToCompletion()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(in)
+    runToCompletion()
+
+    val emitted = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("h"), r.getAs[Long]("rank"), r.getAs[Long]("gen")))
+    val finalRows = emitted.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val lastGen = rows.map(_._5).max
+      rows.filter(_._5 == lastGen).toSeq
+    }.map { case (s, id, h, rank, _) => (s, id, h, rank) }.toSet
+    val batch = graft.sample.Sampling.sourceCap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("h"), r.getAs[Long]("rank"))).toSet
+    // post-restart winner sets must reflect PRE-restart arrivals: equality
+    // with the batch cap is only possible if state crossed the restart
+    assert(finalRows == batch,
+      s"stream-only=${(finalRows -- batch).take(5)} batch-only=${(batch -- finalRows).take(5)}")
+    assert(emitted.map(_._5).max == 2L, "second query did not resume group generations")
+  }
 }
