@@ -27,6 +27,20 @@ object CapStream {
   final case class CapState(members: Seq[(Int, Long)], gen: Long)
   final case class CapRow(source: String, doc_id: Long, h: Int, rank: Long, gen: Long)
 
+  /** Pure per-group transition: fold arrivals into the bounded winner set.
+    * `distinct` makes replays of the same (h, doc_id) idempotent (the file
+    * source is exactly-once, but an at-least-once upstream must not double-
+    * count a winner); the sort is the batch operator's total order, so the
+    * result is independent of arrival order and of how arrivals are split
+    * across batches — the algebraic fact the parity spec leans on, and the
+    * property spec checks directly. */
+  private[graft] def mergeWinners(prev: Seq[(Int, Long)],
+                                      arrivals: Iterator[(Int, Long)],
+                                      k: Int): Seq[(Int, Long)] =
+    (prev.iterator ++ arrivals).toSeq.distinct
+      .sortBy { case (h, id) => (-h, id) }
+      .take(k)
+
   def sourceCapStream(docs: Dataset[CapDoc], k: Int = 10): Dataset[CapRow] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
@@ -34,12 +48,7 @@ object CapStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (source: String, it: Iterator[CapDoc], state: GroupState[CapState]) =>
           val prev = state.getOption.getOrElse(CapState(Seq.empty, 0L))
-          // merge arrivals into the bounded winner set; distinct guards
-          // against at-least-once replays of the same (h, doc_id)
-          val merged = (prev.members.iterator ++ it.map(d => (d.h, d.doc_id)))
-            .toSeq.distinct
-            .sortBy { case (h, id) => (-h, id) }
-            .take(k)
+          val merged = mergeWinners(prev.members, it.map(d => (d.h, d.doc_id)), k)
           val gen = prev.gen + 1
           state.update(CapState(merged, gen))
           merged.iterator.zipWithIndex.map { case ((h, id), i) =>

@@ -133,4 +133,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  // ------------------------------------- streaming cap winner-set algebra
+
+  test("cap mergeWinners: batch-split/order/replay invariant, always bounded") {
+    import graft.streaming.CapStream.mergeWinners
+    val genDocs: Gen[(List[(Int, Long)], Int, Long)] = for {
+      n <- Gen.chooseNum(0, 60)
+      docs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 1 << 20), Gen.chooseNum(0L, 500L)))
+      k <- Gen.chooseNum(1, 12)
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (docs, k, seed)
+    forAll(genDocs, 200) { case (docs, k, seed) =>
+      val truth = docs.distinct.sortBy { case (h, id) => (-h, id) }.take(k)
+      // one-shot fold equals the truth
+      assert(mergeWinners(Seq.empty, docs.iterator, k) == truth)
+      // ANY split into micro-batches folds to the same winners
+      val rnd = new scala.util.Random(seed)
+      val batches = docs.grouped(math.max(1, rnd.nextInt(7) + 1)).toSeq
+      val folded = batches.foldLeft(Seq.empty[(Int, Long)]) { (st, b) =>
+        mergeWinners(st, b.iterator, k)
+      }
+      assert(folded == truth, s"split-invariance broke for k=$k")
+      // arrival order within the stream is irrelevant
+      val shuffled = rnd.shuffle(docs)
+      assert(mergeWinners(Seq.empty, shuffled.iterator, k) == truth)
+      // replaying an arbitrary batch is idempotent (at-least-once upstream)
+      val replayed = batches.headOption.fold(folded)(b => mergeWinners(folded, b.iterator, k))
+      assert(replayed == truth)
+      // state is never larger than the cap
+      assert(folded.size <= k)
+    }
+  }
 }
