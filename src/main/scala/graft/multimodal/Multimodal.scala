@@ -57,9 +57,17 @@ object Multimodal {
 
   /** Derive a deterministic fake media table from `documents`: the UTF-8 text
     * bytes stand in for an encoded payload; metadata derives from doc fields. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
-    import spark.implicits._
-    Tables.documents(spark, dir).select(
+  def mediaTable(spark: SparkSession, dir: String): Dataset[Media] =
+    mediaProjection(Tables.documents(spark, dir))
+
+  /** The documents→media projection on any frame with the documents schema —
+    * including a `readStream` source: every step is a stateless column
+    * expression, so the same projection (and [[extractFeatures]] behind it)
+    * is the ingest-time feature-extraction twin, parity-spec'd streaming ==
+    * batch like the SQ8 encode. */
+  def mediaProjection(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),

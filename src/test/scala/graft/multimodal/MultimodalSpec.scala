@@ -84,4 +84,30 @@ class MultimodalSpec extends AnyFunSuite {
       fs.foreach(f => assert(f.frame_bytes.length <= 32 && f.frame_bytes.nonEmpty))
     }
   }
+
+  test("feature extraction on arrival: streaming == batch (stateless ingest twin)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
+      .map(f => f.doc_id -> ((f.media_type, f.n_bytes, f.features.toSeq))).toMap
+    val in = java.nio.file.Files.createTempDirectory("mmin")
+    java.nio.file.Files.copy(new java.io.File(sf, "documents.parquet").toPath,
+      in.resolve("documents.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("mmout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mmckpt").toString
+    val schema = graft.Tables.documents(spark, sf).schema
+    // the SAME projection + mapPartitions decoder pipeline, on a stream
+    val q = Multimodal.extractFeatures(Multimodal.mediaProjection(
+        spark.readStream.schema(schema).parquet(in.toString)))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Multimodal.MediaFeatures], _: Long) =>
+        ds.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.Encoders
+    val streamed = spark.read.schema(Encoders.product[Multimodal.MediaFeatures].schema)
+      .parquet(out).as[Multimodal.MediaFeatures](Encoders.product[Multimodal.MediaFeatures]).collect()
+      .map(f => f.doc_id -> ((f.media_type, f.n_bytes, f.features.toSeq))).toMap
+    assert(streamed == batch)
+  }
 }
