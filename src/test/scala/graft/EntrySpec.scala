@@ -15,12 +15,23 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every queries entry has an oracle (no silent rows-only downgrades)") {
+    // the driver records a weaker rows-only check for oracle-less queries;
+    // this surface is fully value-oracled and must stay that way
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"query without oracle: $missing")
+  }
+
   test("every query runs at sf0.001 and returns a schema with no raw timestamps") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       import org.apache.spark.sql.types.TimestampType
       assert(!df.schema.fields.exists(_.dataType == TimestampType),
         s"$name leaks a timestamp column (oracle-hostile)")
+      // the driver's compare SORTS COLUMNS BY NAME — a duplicate name makes
+      // the hash order ambiguous across engines
+      val names = df.schema.fieldNames.toSeq
+      assert(names.distinct == names, s"$name has duplicate column names: $names")
       // cheap execution check (limit avoids heavy full runs here)
       assert(df.limit(1).collect() != null, name)
     }
