@@ -64,4 +64,36 @@ class PqSpec extends AnyFunSuite {
     assert(sweep.forall(_.getAs[Boolean]("recall_ok")), sweep.filterNot(_.getAs[Boolean]("recall_ok")).mkString(";"))
     assert(sweep.forall(_.getAs[Long]("n_hits") == 10L))
   }
+
+  test("PQ encode-on-arrival: streaming encode with a FROZEN codebook == batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.{Encoders, functions => F}
+    // codebook trained once on the at-rest corpus; ingest then encodes new
+    // arrivals with the frozen book (map-only broadcast, no state) — the
+    // codebook-refresh decision is compaction's, same as the IVF lifecycle
+    val vecs = Similarity.vectors(spark, sf)
+    val book = Pq.train(vecs, m = 8, ksub = 16)
+    val batch = Pq.encode(vecs, book).collect()
+      .map(c => c.vec_id -> c.codes.toSeq).toMap
+    val in = java.nio.file.Files.createTempDirectory("pqin")
+    java.nio.file.Files.copy(new java.io.File(sf, "embeddings.parquet").toPath,
+      in.resolve("embeddings.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("pqout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pqckpt").toString
+    val schema = graft.Tables.embeddings(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .select(F.col("vec_id"), F.col("embedding"))
+      .as[Similarity.Vec](Encoders.product[Similarity.Vec])
+    val q = Pq.encode(stream, book).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Pq.PqCode], _: Long) =>
+        ds.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.schema(Encoders.product[Pq.PqCode].schema)
+      .parquet(out).as[Pq.PqCode](Encoders.product[Pq.PqCode]).collect()
+      .map(c => c.vec_id -> c.codes.toSeq).toMap
+    assert(streamed == batch)
+  }
 }
