@@ -199,6 +199,10 @@ object SparkEntry {
     // frame sampling over the binary payload: evenly spaced fixed-size
     // windows per video row; the oracle recomputes offsets + frame md5
     "mm_frame_sample" -> Multimodal.frameSample _,
+    // payload resize to a byte budget: stride-kept bytes (content
+    // checksummed) + integer-rescaled metadata; oracle rebuilds the UTF-8
+    // byte stream and replicates the stride/DIV arithmetic
+    "mm_resize" -> Multimodal.resize _,
     // linearizability (A7): per-user append history from events (nanos call/
     // ret — unique per user, so the fold is sequential and checks in linear
     // time), with a PLANTED violation for every user_id % 7 == 0: a trailing
@@ -941,6 +945,32 @@ object SparkEntry {
           SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
           FROM pairs JOIN sz s1 ON pairs.d1 = s1.doc_id JOIN sz s2 ON pairs.d2 = s2.doc_id
           WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""",
+    // resize re-derived on the full UTF-8 byte stream: stride keep via an
+    // index lambda, order-free byte-sum checksum, integer-DIV metadata
+    // rescale — every op exact in both engines
+    "mm_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             text, CAST(n_chars % 640 AS INT) AS width, CAST(n_chars % 480 AS INT) AS height
+           FROM documents),
+         b AS (SELECT doc_id, media_type, width, height,
+             flatten(list_transform(string_split(text, ''), c -> CASE
+               WHEN unicode(c) < 128 THEN [unicode(c)]
+               WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+               WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+               ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+             END)) AS bl FROM m),
+         s AS (SELECT doc_id, media_type, width, height, bl, len(bl) AS n,
+             GREATEST(1, (len(bl) + 63) // 64) AS stride FROM b),
+         k AS (SELECT doc_id, media_type, width, height, n,
+             list_filter(bl, (x, i) -> (i - 1) % stride = 0) AS kept FROM s)
+         SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+           CAST(len(kept) AS BIGINT) AS resized_n_bytes,
+           CAST(COALESCE(list_sum(kept), 0) AS BIGINT) AS byte_sum,
+           CAST(CASE WHEN n > 0 THEN width * len(kept) // n ELSE 0 END AS INT) AS new_width,
+           CAST(CASE WHEN n > 0 THEN height * len(kept) // n ELSE 0 END AS INT) AS new_height
+         FROM k""",
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic
     "mm_features" ->

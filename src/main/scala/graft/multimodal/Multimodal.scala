@@ -143,6 +143,36 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, media_type: String, n_bytes: Long,
+                                resized_n_bytes: Long, byte_sum: Long,
+                                new_width: Int, new_height: Int)
+
+  /** RESIZE — payload thinning to a byte budget: keep every stride-th byte
+    * (stride = ceil(n / targetBytes)), rescale the typed metadata by the
+    * achieved ratio with INTEGER arithmetic (engine-independent, the
+    * pack_sequences DIV lesson). This is the shape of a media resize —
+    * bounded output size, metadata kept consistent, one map-only pass — on
+    * the opaque stand-in payload; a pixel-aware resample plugs in through
+    * the same [[Decoder]] seam as real codecs. The emitted `byte_sum` is an
+    * order-independent content checksum so the oracle value-checks the
+    * actual kept bytes, not just their count. */
+  def resizePayload(media: Dataset[Media], targetBytes: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val n = m.bytes.length
+      val stride = math.max(1, (n + targetBytes - 1) / targetBytes)
+      var i = 0; var cnt = 0L; var sum = 0L
+      while (i < n) { sum += (m.bytes(i) & 0xff); cnt += 1; i += stride }
+      val nw = if (n > 0) (m.width.toLong * cnt / n).toInt else 0
+      val nh = if (n > 0) (m.height.toLong * cnt / n).toInt else 0
+      ResizedMedia(m.doc_id, m.media_type, n.toLong, cnt, sum, nw, nh)
+    }
+  }
+
+  /** Oracle surface of [[resizePayload]] over the fixture media table. */
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    resizePayload(mediaTable(spark, dir)).toDF()
+
   /** Oracle surface of [[sampleFrames]]: frame coordinates plus the md5 of
     * each frame's bytes — value-comparable while keeping the binary payload
     * out of the compare (the payload is ASCII here, so the oracle's VARCHAR

@@ -85,6 +85,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: stride-exact kept bytes, bounded budget, integer-rescaled metadata") {
+    val target = 64
+    val media = Multimodal.mediaTable(spark, sf).collect().map(m => m.doc_id -> m).toMap
+    val out = Multimodal.resizePayload(Multimodal.mediaTable(spark, sf), target).collect()
+    assert(out.length == media.size)
+    out.foreach { r =>
+      val m = media(r.doc_id)
+      val n = m.bytes.length
+      val stride = math.max(1, (n + target - 1) / target)
+      val kept = m.bytes.indices.by(stride).map(m.bytes(_) & 0xff)
+      assert(r.n_bytes == n.toLong)
+      assert(r.resized_n_bytes == kept.length.toLong, s"doc ${r.doc_id}")
+      assert(r.byte_sum == kept.map(_.toLong).sum, s"doc ${r.doc_id} checksum")
+      assert(r.resized_n_bytes <= target, s"doc ${r.doc_id} blew the byte budget")
+      assert(r.new_width == (m.width.toLong * kept.length / n).toInt)
+      assert(r.new_height == (m.height.toLong * kept.length / n).toInt)
+    }
+    // the budget binds on this fixture (payloads larger than the target)
+    assert(out.exists(r => r.n_bytes > target && r.resized_n_bytes < r.n_bytes))
+  }
+
   test("feature extraction on arrival: streaming == batch (stateless ingest twin)") {
     import org.apache.spark.sql.streaming.OutputMode
     val batch = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
