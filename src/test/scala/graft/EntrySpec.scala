@@ -52,7 +52,8 @@ class EntrySpec extends AnyFunSuite {
     val mapOnly = Seq(
       "sample_mixture" -> sample.Sampling.mixture(spark, sf),
       "sample_split" -> sample.Sampling.split(spark, sf),
-      "mm_frame_sample" -> multimodal.Multimodal.frameSample(spark, sf))
+      "mm_frame_sample" -> multimodal.Multimodal.frameSample(spark, sf),
+      "mm_resize" -> multimodal.Multimodal.resize(spark, sf))
     mapOnly.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n${plan.take(1500)}")
