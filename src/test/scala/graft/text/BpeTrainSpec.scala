@@ -31,9 +31,10 @@ class BpeTrainSpec extends AnyFunSuite {
 
   test("hand case: learns the expected merges in order") {
     import spark.implicits._
-    // "abab", "abc" x3: round 1 merges (a,b) [count 2+3... per word "abab"
-    // has pairs (a,b),(b,a),(a,b)] — reference computes the truth; also
-    // pin the first merge explicitly
+    // 3 x {"abab", "abc"}: round 1 must merge (a,b) — it appears 3x2+3 = 9
+    // times, every other pair at most 3. Round 2 then counts pairs of the
+    // REWRITTEN words ([ab,ab] and [ab,c]) — merges building on merged
+    // symbols is exactly the data dependence the loop exists for.
     val ws = Seq.fill(3)(Seq("abab", "abc")).flatten
     val ref = referenceTrain(ws, 3)
     assert(ref.head._1 == "a" && ref.head._2 == "b", ref.toString)
