@@ -146,6 +146,10 @@ object SparkEntry {
     // per-source near-dup rate: greedy keep-first drop policy over the
     // token-jaccard pairs, aggregated per source — dedup observability
     "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
+    // incremental ingest dedup: arriving batch (top 20% of the doc_id
+    // range — the ingest watermark) vs existing corpus only — candidate
+    // generation scales with the batch, not corpus²
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.incrementalJaccard(s, d)),
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
@@ -653,6 +657,20 @@ object SparkEntry {
             ROUND(CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_rate
           FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
           GROUP BY d.source""",
+    // the same jaccard arithmetic restricted to (base, delta) pairs —
+    // delta = doc_id above the 80% watermark of the id range
+    "dedup_incremental" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
+            (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+          cut AS (SELECT MAX(doc_id) * 4 // 5 AS c FROM documents),
+          pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c FROM w a JOIN w b
+            ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+            AND a.doc_id <= (SELECT c FROM cut) AND b.doc_id > (SELECT c FROM cut)
+            GROUP BY 1, 2)
+          SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+          FROM pairs JOIN sz s1 ON pairs.d1 = s1.doc_id JOIN sz s2 ON pairs.d2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8""",
     // TF-IDF re-derived end-to-end; ranking compares the ROUNDED score so
     // the one non-IEEE-exact op (ln, faithful to ~1 ulp in both engines)
     // cannot flip an order

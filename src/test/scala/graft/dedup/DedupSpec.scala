@@ -273,6 +273,27 @@ class DedupSpec extends AnyFunSuite {
       Dedup.fingerprintsScalar(toks(f.doc_id), 5, 4).toSeq, s"doc ${f.doc_id}"))
   }
 
+  test("incremental jaccard: exactly the cross-split subset of the naive all-pairs truth") {
+    val naive = Dedup.tokenJaccardNaive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cut = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) * 4 / 5
+    // reorient the naive d1<d2 pairs to (base, delta); intra-side pairs drop
+    val want = naive.flatMap { case (a, b, j) =>
+      (a <= cut, b <= cut) match {
+        case (true, false) => Some((a, b, j)) // base, delta
+        case (false, true) => Some((b, a, j))
+        case _             => None            // both same side
+      }
+    }.toSet
+    val got = Dedup.incrementalJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture has no cross-split near-dup pairs — degenerate")
+    assert(got == want, s"got-only=${(got -- want).take(5)} want-only=${(want -- got).take(5)}")
+    // the incremental set is strictly smaller work than the full dedup
+    assert(got.size < naive.length)
+  }
+
   test("source dup rate: covers the corpus, drop set == greedy jaccard drops, exact rates") {
     val out = Dedup.sourceDupRate(spark, sf).collect()
     val rows = out.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
