@@ -53,7 +53,14 @@ class EntrySpec extends AnyFunSuite {
       "sample_mixture" -> sample.Sampling.mixture(spark, sf),
       "sample_split" -> sample.Sampling.split(spark, sf),
       "mm_frame_sample" -> multimodal.Multimodal.frameSample(spark, sf),
-      "mm_resize" -> multimodal.Multimodal.resize(spark, sf))
+      "mm_resize" -> multimodal.Multimodal.resize(spark, sf),
+      "sim_quantize_sq8" -> sim.Similarity.quantizeSq8(spark, sf),
+      "text_token_stats" -> text.TextAnalysis.tokenStats(spark, sf),
+      "text_quality" -> text.TextAnalysis.qualityScore(spark, sf),
+      "text_langid" -> text.TextAnalysis.langId(spark, sf),
+      "text_fingerprint" -> text.TextAnalysis.fingerprint(spark, sf),
+      "text_bpe_tokens" -> text.TextAnalysis.bpeTokens(spark, sf),
+      "text_gopher_filters" -> text.TextAnalysis.gopherFilters(spark, sf))
     mapOnly.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n${plan.take(1500)}")
