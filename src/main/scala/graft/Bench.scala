@@ -42,10 +42,24 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact artifact contract (round-8 lesson): the driver tail-captures
+    // only the LAST 2 KiB of stdout, and sbt appends a ~100-byte [success]
+    // line after ours — round 8's full-precision-double line ran over and
+    // lost its own FRONT (the total and the whole dedup_* family).
+    // Integer milliseconds per query keep the full 76+-query line under
+    // ~1.9 KiB, and "value" (the total) goes LAST in the object so any
+    // future front-truncation still leaves the total in the tail.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMs = math.round(results.map(_._2).sum * 1000)
+    val line =
+      s"""{"metric":"total","unit":"ms","sf":"$sfDir","queries":$qs,"value":$totalMs}"""
+    // Tail-independent copy for local A/B archaeology (driver only reads stdout).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8")
+    ) catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -663,7 +663,7 @@ object SparkEntry {
       s"""WITH w AS (SELECT DISTINCT doc_id, lang, source, word FROM
             (SELECT doc_id, lang, source, unnest($tokEx) AS word FROM documents) WHERE word <> ''),
           sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
-          cut AS (SELECT MAX(doc_id) * 4 // 5 AS c FROM documents),
+          cut AS (SELECT COALESCE(MAX(doc_id), 0) - COALESCE(MAX(doc_id), 0) // 5 AS c FROM documents),
           pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c FROM w a JOIN w b
             ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
             AND a.doc_id <= (SELECT c FROM cut) AND b.doc_id > (SELECT c FROM cut)

@@ -62,8 +62,12 @@ object Dedup {
     * corpus-wide frequency table. */
   def incrementalJaccard(spark: SparkSession, dir: String,
                          threshold: Double = 0.8): DataFrame = {
-    val cut = Tables.documents(spark, dir)
-      .agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+    // coalesce: max(doc_id) is NULL on an empty corpus (the Row's getLong
+    // would NPE); divide-first (m - m/5, not m*4/5) so the cut can't
+    // overflow for doc_id near Long.MaxValue. Oracle mirrors both forms.
+    val m = Tables.documents(spark, dir)
+      .agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+    val cut = m - m / 5
     jaccardPairs(spark, dir, threshold,
       split = Some((col("doc_id") <= cut, col("doc_id") > cut)))
   }

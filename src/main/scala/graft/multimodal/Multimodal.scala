@@ -24,7 +24,16 @@ import graft.Tables
   * [[open]] runs before the first row (codec handles, model weights, native
   * contexts), [[decode]] streams rows through, [[close]] runs after the
   * last row. `dim` is the feature width — Spark needs the schema statically,
-  * so it cannot depend on the payload. */
+  * so it cannot depend on the payload.
+  *
+  * INSTANCE LIFECYCLE CAVEAT: a Scala `object` decoder deserializes to the
+  * shared JVM singleton, so in local (and any multi-core-executor) mode
+  * concurrent partitions interleave open()/decode()/close() on ONE instance
+  * — fine for stateless decoders like [[ByteHistogramDecoder]], but a codec
+  * holding a native handle per instance would see close() from one task
+  * mid-decode of another. Decoders with per-instance state must go through
+  * [[Multimodal.extractFeaturesWith]], which constructs a FRESH instance
+  * per partition from a factory. */
 trait Decoder extends Serializable {
   def dim: Int
   def open(): Unit = ()
@@ -85,10 +94,21 @@ object Multimodal {
     * aborts the task, and in both cases a native codec handle must still be
     * released. */
   def extractFeatures(media: Dataset[Media],
-                      decoder: Decoder = ByteHistogramDecoder): Dataset[MediaFeatures] = {
+                      decoder: Decoder = ByteHistogramDecoder): Dataset[MediaFeatures] =
+    extractFeaturesWith(media, () => decoder)
+
+  /** [[extractFeatures]] with a per-partition decoder FACTORY: each partition
+    * constructs its own instance, so decoders holding per-instance native
+    * state (a codec handle, a model context) never see interleaved
+    * open/decode/close from concurrent tasks — the shared-singleton trap
+    * documented on [[Decoder]]. The factory closure is what ships to
+    * executors; keep it free of driver-side heavy state. */
+  def extractFeaturesWith(media: Dataset[Media],
+                          newDecoder: () => Decoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      val decoder = newDecoder()
       decoder.open()
       // mapPartitions bodies always execute inside a task; the null guard
       // only covers exotic direct invocation, where leaking a test decoder

@@ -61,9 +61,15 @@ private[sim] object AdcSearch {
     val exact = candidates.toDF("qid", "vec_id")
       .join(vecs.toDF().select(col("vec_id"), col("embedding")), "vec_id")
       .as[(Long, Long, Array[Float])]
-      .map { case (vid, qid, emb) =>
-        val q = bcQ.value.find(_.vec_id == qid).get
-        (qid, vid, cosine(q.embedding, emb))
+      .mapPartitions { it =>
+        // index the broadcast ONCE per partition: O(1) per candidate row
+        // instead of an O(Q) linear scan per row
+        val byId = bcQ.value.iterator.map(q => q.vec_id -> q).toMap
+        it.map { case (vid, qid, emb) =>
+          val q = byId.getOrElse(qid,
+            throw new NoSuchElementException(s"query vec_id=$qid missing from broadcast query set"))
+          (qid, vid, cosine(q.embedding, emb))
+        }
       }
     exact.groupByKey(_._1).flatMapGroups { (qid, it) =>
       it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)

@@ -197,8 +197,10 @@ object IvfPq {
     }.reduce(_ unionAll _)
       // referenced twice below (hit counts + match join): cache the tiny
       // (|sweep| x Q x k)-row result so the expensive ADC+rerank subtree
-      // runs once per operating point, not twice
+      // runs once per operating point, not twice; released together with
+      // `codes` right after the caller's action (CacheLifecycle)
       .persist()
+    graft.CacheLifecycle.releaseAfterNextAction(spark, codes, all)
     val matched = all.join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("nprobe"), col("rerank"), col("query_id"))
       .agg(count(lit(1)).as("n_matched"))

@@ -223,8 +223,11 @@ object Pq {
     }.reduce(_ unionAll _)
       // referenced twice below (hit counts + match join): cache the tiny
       // (|sweep| x Q x k)-row result so the expensive ADC+rerank subtree
-      // runs once per operating point, not twice
+      // runs once per operating point, not twice; released together with
+      // `codes` right after the caller's action (CacheLifecycle) instead of
+      // leaking until ContextCleaner GC across repeated sweep runs
       .persist()
+    graft.CacheLifecycle.releaseAfterNextAction(spark, codes, pqAll)
     val matched = pqAll.join(brute, Seq("query_id", "neighbor_id"))
       .groupBy(col("rerank"), col("query_id")).agg(count(lit(1)).as("n_matched"))
     val thr = sweep.tail.foldLeft(when(col("rerank") === sweep.head._1, lit(sweep.head._2))) {

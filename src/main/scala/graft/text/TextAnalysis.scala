@@ -203,8 +203,7 @@ object TextAnalysis {
     // bigram stream for scoring, vocab, final doc list) and Spark never
     // dedups common subplans — without the lazy persist this query would
     // scan the documents parquet five times (the pack_sequences defect
-    // class). Blocks back the returned frame; the ContextCleaner reclaims
-    // them when it is GC'd.
+    // class). Released right after the caller's action (CacheLifecycle).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokensCol(lower(col("text"))).as("t"))
       .persist()
@@ -226,16 +225,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 6)
           .as("lm_score"))
-    // materialize the NARROW result (4 columns per doc) and release the fat
-    // caches — holding the tokenized corpus past the computation is a leak
-    // that taxes every later query's memory (measured: the neighboring
-    // bench queries slowed 0.1 → 0.8 s before this release)
+    // Fully lazy, like every other query constructor: the caller's action
+    // materializes both caches in-line (a lazy persist dedups the subtree
+    // within that one action), and the one-shot listener releases them the
+    // moment the action completes — holding the tokenized corpus past the
+    // computation is a leak that taxes every later query's memory
+    // (measured: the neighboring bench queries slowed 0.1 → 0.8 s).
     val out = docs.select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"))
       .join(scored, Seq("doc_id"), "left")
-      .persist()
-    out.count()
-    docs.unpersist(blocking = false)
-    c2.unpersist(blocking = false)
+    graft.CacheLifecycle.releaseAfterNextAction(spark, docs, c2)
     out
   }
 }

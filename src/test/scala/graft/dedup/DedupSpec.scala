@@ -276,8 +276,9 @@ class DedupSpec extends AnyFunSuite {
   test("incremental jaccard: exactly the cross-split subset of the naive all-pairs truth") {
     val naive = Dedup.tokenJaccardNaive(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val cut = graft.Tables.documents(spark, sf)
-      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) * 4 / 5
+    val m = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val cut = m - m / 5 // divide-first, mirroring incrementalJaccard
     // reorient the naive d1<d2 pairs to (base, delta); intra-side pairs drop
     val want = naive.flatMap { case (a, b, j) =>
       (a <= cut, b <= cut) match {

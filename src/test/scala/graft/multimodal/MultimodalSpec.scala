@@ -19,6 +19,32 @@ object CountingDecoder extends Decoder {
   def reset(): Unit = { opens.set(0); closes.set(0) }
 }
 
+/** Per-INSTANCE-state decoder (a stand-in for a codec holding one native
+  * handle per instance): any decode outside its own open/close bracket, or a
+  * second open on the same instance, throws — exactly the failure a shared
+  * singleton produces when concurrent partitions interleave lifecycles. */
+object HandleDecoder {
+  val created = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+class HandleDecoder extends Decoder {
+  val dim = 1
+  private var opened = false
+  private var closed = false
+  override def open(): Unit = {
+    require(!opened && !closed, "open() twice on one instance — decoder shared across partitions")
+    HandleDecoder.created.incrementAndGet()
+    opened = true
+  }
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+    require(opened && !closed, "decode() outside this instance's open/close bracket")
+    Array(bytes.length.toFloat)
+  }
+  override def close(): Unit = {
+    require(opened && !closed, "close() without a live open on this instance")
+    closed = true
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = SparkTestSession.sf
@@ -51,6 +77,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(opens > 0)
     assert(closes == opens,
       s"decoder leaked: $opens open(s) but only $closes close(s) after a partial read")
+  }
+
+  test("extractFeaturesWith constructs a FRESH decoder per partition (stateful-handle safety)") {
+    HandleDecoder.created.set(0)
+    val media = Multimodal.mediaTable(spark, sf).repartition(4)
+    val n = media.count()
+    // concurrent partitions on local[*]: a shared singleton would interleave
+    // open/decode/close and trip HandleDecoder's per-instance requires
+    val feats = Multimodal.extractFeaturesWith(media, () => new HandleDecoder).collect()
+    assert(feats.length == n)
+    assert(feats.forall(f => f.features.length == 1 && f.features(0) == f.n_bytes.toFloat))
+    assert(HandleDecoder.created.get == 4,
+      s"expected 4 instances for 4 partitions, got ${HandleDecoder.created.get}")
   }
 
   test("media table: binary payload + typed metadata for every document") {
