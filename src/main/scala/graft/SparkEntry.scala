@@ -92,6 +92,11 @@ object SparkEntry {
     // text analysis
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_bpe_tokens" -> TextAnalysis.bpeTokens _,
+    // the TRAINED tokenizer applied back to the corpus: train k merges
+    // (BpeTrain), then one map-only broadcast apply — rows-only check (the
+    // merge table is learned, so no independent engine re-derives it; the
+    // spec pins apply == driver-local reference)
+    "text_bpe_apply" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeApply(s, d)),
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_langid" -> TextAnalysis.langId _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
@@ -143,6 +148,10 @@ object SparkEntry {
     // intra-corpus duplicated-span fractions (exact-substring-dedup
     // approximation): one scan, two map-side-combined aggs, no all-pairs
     "dedup_span_overlap" -> ((s: SparkSession, d: String) => Dedup.spanOverlap(s, d)),
+    // WHERE the duplication sits: maximal duplicated-span token extents per
+    // document (the cut-list a span-dedup pipeline excises), merged from
+    // runs of corpus-wide-duplicated w-grams
+    "dedup_span_extents" -> ((s: SparkSession, d: String) => Dedup.spanExtents(s, d)),
     // per-source near-dup rate: greedy keep-first drop policy over the
     // token-jaccard pairs, aggregated per source — dedup observability
     "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
@@ -639,6 +648,27 @@ object SparkEntry {
             CAST(COUNT(d.g) AS DOUBLE) / w.n_grams AS dup_frac
           FROM w LEFT JOIN d ON w.g = d.g
           GROUP BY 1, 2""",
+    // span EXTENTS re-derived positionally: gram strings stand in for the
+    // 64-bit gram hashes (equality is all either engine uses — the
+    // dedup_span_overlap acceptance), positions via a struct-list unnest,
+    // duplicated positions window-merged gaps-and-islands style with the
+    // same gap-≤-w rule and end cap as the Spark plan
+    "dedup_span_extents" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(generate_series(1, len(tk)-4),
+                   i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END AS sh FROM t),
+          o AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(sh)),
+                   i -> {'p': i - 1, 'g': sh[i]})) AS u FROM s),
+          x AS (SELECT doc_id, n, CAST(u.p AS BIGINT) AS pos, u.g AS g FROM o),
+          d AS (SELECT g FROM x GROUP BY g HAVING COUNT(*) >= 2),
+          y AS (SELECT x.doc_id, x.n, x.pos FROM x JOIN d ON x.g = d.g),
+          r AS (SELECT doc_id, n, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                 THEN 0 ELSE 1 END AS brk FROM y),
+          i AS (SELECT doc_id, n, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM r)
+          SELECT doc_id, MIN(pos) AS start_tok, LEAST(MAX(pos) + 4, MAX(n) - 1) AS end_tok,
+            COUNT(*) AS n_dup_grams
+          FROM i GROUP BY doc_id, run""",
     // per-source greedy near-dup rate: the token-jaccard pair CTE again
     // (same arithmetic as dedup_token_jaccard's oracle), drop set = every
     // d2 of a qualifying pair, aggregated per source

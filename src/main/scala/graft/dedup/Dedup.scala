@@ -75,10 +75,39 @@ object Dedup {
   private def jaccardPairs(spark: SparkSession, dir: String, threshold: Double,
                            split: Option[(org.apache.spark.sql.Column,
                              org.apache.spark.sql.Column)]): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    val docs = jaccardDocs(spark, dir)
+    val (_, _, cand) = jaccardCandidates(docs, threshold, split)
+    // Verification: each doc's token set is sorted ONCE (amortized over all
+    // its candidate pairs), every pair scored by the allocation-free merge
+    // `sorted_intersect_count` instead of a per-pair hash set — see SetOps.
+    val arr = docs.select(col("doc_id"), array_sort(col("toks")).as("toks"),
+      size(col("toks")).as("n"))
+    cand
+      .join(arr.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
+      .join(arr.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.SetOps.sortedIntersectCountCol(col("t1"), col("t2")).as("c"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Tokenized (doc_id, lang, source, token-set) projection shared by the
+    * candidate and verify sides of the jaccard family. */
+  private def jaccardDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks"))
+
+  /** The prefix+length-filtered candidate generator — (left side, right
+    * side, candidate pairs), exposed as a trio so the scale probe can count
+    * exactly what enters and leaves the candidate join. */
+  private def jaccardCandidates(docs: DataFrame, threshold: Double,
+                                split: Option[(org.apache.spark.sql.Column,
+                                  org.apache.spark.sql.Column)])
+  : (DataFrame, DataFrame, DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
     val w = docs.select(col("doc_id"), col("lang"), col("source"),
       size(col("toks")).as("n"), explode(col("toks")).as("word"))
     // Document frequency as groupBy + join, NOT a count window: the groupBy
@@ -116,20 +145,27 @@ object Dedup {
         col("nb") >= col("na") * threshold - 1e-9 &&
         col("na") >= col("nb") * threshold - 1e-9)
       .select(col("d1"), col("d2")).dropDuplicates("d1", "d2")
-    // Verification: each doc's token set is sorted ONCE (amortized over all
-    // its candidate pairs), every pair scored by the allocation-free merge
-    // `sorted_intersect_count` instead of a per-pair hash set — see SetOps.
-    val arr = docs.select(col("doc_id"), array_sort(col("toks")).as("toks"),
-      size(col("toks")).as("n"))
-    cand
-      .join(arr.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
-      .join(arr.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
-      .select(col("d1"), col("d2"),
-        graft.functions.SetOps.sortedIntersectCountCol(col("t1"), col("t2")).as("c"),
-        col("n1"), col("n2"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    (left, right, cand)
+  }
+
+  /** [[incrementalJaccard]] with an EXPLICIT watermark cut — the registered
+    * query derives its cut from the corpus max-id; a real ingest pipeline
+    * (and the scale probe) pins the batch boundary itself. */
+  private[graft] def incrementalJaccardAt(spark: SparkSession, dir: String,
+                                          cut: Long, threshold: Double = 0.8): DataFrame =
+    jaccardPairs(spark, dir, threshold,
+      split = Some((col("doc_id") <= cut, col("doc_id") > cut)))
+
+  /** Candidate-join diagnostics for the scale probe: rows entering each side
+    * of the candidate join and candidate pairs out, for either the full
+    * self-join (`cut = None`) or the incremental split. */
+  private[graft] def jaccardCandidateStats(spark: SparkSession, dir: String,
+                                           threshold: Double, cut: Option[Long])
+  : (Long, Long, Long) = {
+    val split = cut.map(c => (col("doc_id") <= c, col("doc_id") > c))
+    val (left, right, cand) =
+      jaccardCandidates(jaccardDocs(spark, dir), threshold, split)
+    (left.count(), right.count(), cand.count())
   }
 
   /** Reference implementation of [[tokenJaccard]] without prefix filtering —
@@ -737,6 +773,53 @@ object Dedup {
         (col("n_grams") - col("n_unique")).as("n_dup_grams"),
         ((col("n_grams") - col("n_unique")).cast("double") / col("n_grams"))
           .as("dup_frac"))
+  }
+
+  /** Maximal DUPLICATED-SPAN extents per document — the cut-list a
+    * Lee-et-al-style span-dedup pipeline consumes ([[spanOverlap]] measures
+    * how much of a document is duplicated; this says exactly WHERE, so the
+    * pipeline can excise the copied text instead of dropping the document).
+    *
+    * A token position is duplicated when the w-gram starting there occurs
+    * ≥ 2 times corpus-wide (across documents or repeated within one — both
+    * are copies under the span-dedup definition). Runs of duplicated gram
+    * positions whose token intervals overlap or touch (gap ≤ w) merge into
+    * one maximal span `[start_tok, end_tok]`, end capped at the document's
+    * last token (whole-doc grams of short documents never overstate).
+    *
+    * Scale shape: the occurrence stream is derived TWICE (once for the
+    * corpus-wide gram counts, once positionally) — two linear scans, by
+    * choice: caching the exploded ~w×corpus gram stream to save a re-scan
+    * is a worse trade at 100 TB than re-reading the pruned 2-column
+    * parquet (the [[spanOverlap]] sentinel trick cannot carry positions).
+    * The count side is a map-side-combined hash agg (boilerplate grams
+    * pre-reduce per partition — no hot-key task), its ≥2 survivors are the
+    * duplicated-gram table joined back on the hash (AQE broadcasts it at
+    * small SF; beyond broadcast it is one linear equi-shuffle), and the
+    * run-merge is a per-document window — one exchange on doc_id, per-doc
+    * sort bounded by document length, and the final (doc_id, run) rollup
+    * reuses the doc_id partitioning, so no further exchange. */
+  def spanExtents(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def occurrences = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokensCol(lower(col("text"))).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"),
+        posexplode(graft.functions.TextHash.positionalShingleHashesCol(col("t"), w)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("pos"), col("col").as("g"))
+    val dupGrams = occurrences.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
+    val win = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occurrences.join(dupGrams, "g")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(win) <= w, lit(0)).otherwise(lit(1)))
+      .withColumn("run", sum(col("brk")).over(win))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("pos")).as("start_tok"),
+        least(max(col("pos")) + lit(w - 1), max(col("n_tokens")) - 1).as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_dup_grams"))
   }
 
   /** The eval split's DISTINCT n-gram hash set, sorted — the driver-side

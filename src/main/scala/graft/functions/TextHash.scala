@@ -76,7 +76,25 @@ object TextHash {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), w))
 
   /** Hot-path entry referenced from generated code for [[shingleHashesCol]]. */
-  def shingleHashesFromTokens(arr: ArrayData, w: Int): ArrayData = {
+  def shingleHashesFromTokens(arr: ArrayData, w: Int): ArrayData =
+    new GenericArrayData(shingleHashesRaw(arr, w).distinct.sorted)
+
+  /** `positional_shingle_hashes(array<string>) -> array<bigint>`: the
+    * char-FNV64 of EVERY w-shingle in POSITION order — element i is the gram
+    * starting at token i (n < w, including n = 0, collapses to one whole-doc
+    * shingle, like the set form). The positional twin of
+    * [[shingleHashesCol]] for span-EXTENT extraction, where a gram's
+    * location matters as much as its identity; same fused single static
+    * call per row, no gram strings materialized. */
+  def positionalShingleHashesCol(c: Column, w: Int = 5): Column =
+    ColumnBridge.column(PositionalShingleHashesExpr(ColumnBridge.expression(c), w))
+
+  /** Hot-path entry referenced from generated code for
+    * [[positionalShingleHashesCol]]. */
+  def positionalShingleHashesFromTokens(arr: ArrayData, w: Int): ArrayData =
+    new GenericArrayData(shingleHashesRaw(arr, w))
+
+  private def shingleHashesRaw(arr: ArrayData, w: Int): Array[Long] = {
     val n = arr.numElements()
     val toks = new Array[String](n)
     var i = 0
@@ -84,8 +102,8 @@ object TextHash {
       toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     val nWindows = if (n < w) 1 else n - w + 1 // n = 0 → one empty shingle ""
+    val out = new Array[Long](nWindows)
     var s = 0
     while (s < nWindows) {
       val until = math.min(s + w, n)
@@ -98,10 +116,10 @@ object TextHash {
         while (k < t.length) { h ^= t.charAt(k).toLong; h *= FnvPrime; k += 1 }
         j += 1
       }
-      out += h
+      out(s) = h
       s += 1
     }
-    new GenericArrayData(out.toArray.distinct.sorted)
+    out
   }
 
   /** `gram_stats(array<string>) -> array<bigint>` of
@@ -235,6 +253,25 @@ case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `graft_positional_shingle_hashes(array<string>) -> array<bigint>` — see
+  * [[TextHash.positionalShingleHashesCol]]. */
+case class PositionalShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"positional_shingle_hashes requires array<string> and w >= 1, got $other, w=$w")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.positionalShingleHashesFromTokens(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.positionalShingleHashesFromTokens($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_positional_shingle_hashes"
 }
 
 /** `graft_gram_stats(array<string>) -> array<bigint>` — see

@@ -64,6 +64,51 @@ object BpeTrain {
       .as[String]
   }
 
+  /** APPLY side — close the loop from trained tokenizer back to the query
+    * surface: tokenize the corpus under the LEARNED merge table and report
+    * per-document subword statistics. Registered as the rows-only query
+    * `text_bpe_apply` (the merge table is itself trained, so no independent
+    * SQL engine can re-derive the values; the spec pins the apply against a
+    * driver-local reference instead).
+    *
+    * Scale shape: training is [[trainMerges]]'s k bounded passes; the apply
+    * is then ONE map-only pass — the merge table is tiny and broadcast, each
+    * partition rewrites its own rows, nothing shuffles. Tokens are Zipf-
+    * heavy, so each partition memoizes word → subword-count: the greedy
+    * rewrite runs once per DISTINCT word per partition, not once per
+    * occurrence. */
+  def bpeApply(spark: SparkSession, dir: String, k: Int = 8): org.apache.spark.sql.DataFrame =
+    bpeApplyWith(spark, dir, trainMerges(spark, dir, k).map(m => (m.left, m.right)))
+
+  /** [[bpeApply]] under an explicit merge table (what a production pipeline
+    * does: train once — possibly on a hash-sampled subcorpus — then apply
+    * the frozen table everywhere, batch or stream). */
+  def bpeApplyWith(spark: SparkSession, dir: String,
+                   merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(lower(col("text"))).as("t"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        it.map { case (id, toks) =>
+          var n = 0L
+          toks.foreach { w =>
+            val cached = memo.get(w)
+            val c = if (cached != null) cached.intValue
+            else {
+              val v = applyMerges(w, ms).length
+              memo.put(w, Integer.valueOf(v)); v
+            }
+            n += c
+          }
+          (id, toks.length.toLong, n)
+        }
+      }.toDF("doc_id", "n_tokens", "n_subwords")
+  }
+
   /** Learn `k` merges. Returns them in learn order with the pair count
     * that won each round. */
   def trainMerges(spark: SparkSession, dir: String, k: Int = 8): Seq[Merge] = {

@@ -273,6 +273,36 @@ class DedupSpec extends AnyFunSuite {
       Dedup.fingerprintsScalar(toks(f.doc_id), 5, 4).toSeq, s"doc ${f.doc_id}"))
   }
 
+  test("span extents: maximal duplicated-span runs equal a driver-local string-gram reference") {
+    import org.apache.spark.sql.functions.lower
+    val w = 5
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokensCol(lower(col("text"))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // positional gram STRINGS (whole-doc gram when n < w) — independent of
+    // the hashed expression under test
+    def grams(ts: Seq[String]): Seq[String] =
+      if (ts.length < w) Seq(ts.mkString(" "))
+      else ts.sliding(w).map(_.mkString(" ")).toSeq
+    val counts = toks.valuesIterator.flatMap(grams)
+      .foldLeft(Map.empty[String, Int])((m, g) => m.updated(g, m.getOrElse(g, 0) + 1))
+    val want = toks.flatMap { case (id, ts) =>
+      val ps = grams(ts).zipWithIndex.collect { case (g, p) if counts(g) >= 2 => p }
+      val runs = ps.foldLeft(List.empty[(Int, Int, Int)]) { // (start, lastPos, nGrams)
+        case ((s, last, n) :: rest, p) if p - last <= w => (s, p, n + 1) :: rest
+        case (acc, p) => (p, p, 1) :: acc
+      }.reverse
+      runs.map { case (s, last, n) =>
+        (id, s.toLong, math.min(last + w - 1, ts.length - 1).toLong, n.toLong) }
+    }.toSet
+    val got = Dedup.spanExtents(spark, sf, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "fixture has no duplicated spans — degenerate")
+    assert(want.exists(_._4 >= 2), "no multi-gram merged runs — merge logic untested")
+    assert(got == want, s"got-only=${(got -- want).take(5)} want-only=${(want -- got).take(5)}")
+  }
+
   test("incremental jaccard: exactly the cross-split subset of the naive all-pairs truth") {
     val naive = Dedup.tokenJaccardNaive(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -42,6 +42,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(ref(1) == (("ab", "ab", 3L)) || ref(1) == (("ab", "c", 3L)), ref.toString)
   }
 
+  test("bpeApply: distributed memoized apply == driver-local reference, map-only compression") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val k = 6
+    val merges = BpeTrain.trainMerges(spark, sf, k).map(m => (m.left, m.right))
+    assert(merges.nonEmpty)
+    val got = BpeTrain.bpeApplyWith(spark, sf, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver-local reference over the same tokenization
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokensCol(lower(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, toks) =>
+      val want = (toks.length.toLong,
+        toks.map(w => BpeTrain.applyMerges(w, merges).length.toLong).sum)
+      assert(got(id) == want, s"doc $id: got=${got(id)} want=$want")
+    }
+    // merges actually fired: subwords strictly below the char count somewhere
+    val chars = docs.map(_._2.map(_.length.toLong).sum).sum
+    assert(got.values.map(_._2).sum < chars, "no merge ever applied — apply untested")
+  }
+
   test("distributed training equals the driver-local reference on the full fixture") {
     val k = 6
     val got = BpeTrain.trainMerges(spark, sf, k).map(m => (m.left, m.right, m.pair_count))
