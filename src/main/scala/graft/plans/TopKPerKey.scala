@@ -17,13 +17,17 @@ import org.apache.spark.sql.types.LongType
   * [[SparkStrategy]], and a two-phase [[SparkPlan]] pair with its own
   * `doExecute`, injected via `SparkSessionExtensions`.
   *
-  * Why not a window? `row_number().over(partitionBy(key).orderBy(...))`
-  * ships EVERY row through the exchange and then fully sorts each key group
-  * just to discard all but k rows. This operator keeps a bounded heap per
-  * key on the MAP side ([[TopKPartialExec]]), so at most
-  * `keysPerPartition × k` rows reach the exchange — on a 100 TB fact table
-  * with k=2 that is the difference between shuffling the table and
-  * shuffling a rounding error. The reduce side ([[TopKFinalExec]]) declares
+  * Why not a window? Spark 3.5+ does bound the rank-filter window's shuffle
+  * itself (`InferWindowGroupLimit` plants a partial `WindowGroupLimit`
+  * below the exchange — measured by `tools/ScaleProbe`: both forms ship
+  * ≈ partitions×keys×k rows at every corpus scale), but its partial phase
+  * requires SORTED input: the map side fully sorts every partition
+  * (O(n log n) over the whole corpus) before discarding to k, and the
+  * reduce side sorts again for the `WindowExec` that recomputes the ranks.
+  * This operator keeps a bounded heap per key on the MAP side
+  * ([[TopKPartialExec]]) — O(n log k), NO map-side sort (plan-visible:
+  * no `Sort` below the exchange) — and the reduce side merges heaps and
+  * emits ranks directly, with no `WindowExec` at all. The reduce side ([[TopKFinalExec]]) declares
   * `ClusteredDistribution(keys)` (EnsureRequirements inserts the hash
   * exchange), merges the partial heaps, and emits rows with a dense `rank`
   * column. Semantics: rank by (orderCol DESC, tieCol ASC), exactly the

@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+
+/** EMPIRICAL SCALE-GROWTH PROBE — convert the two strongest 100 TB prose
+  * claims into measured exponents, on self-generated corpora at ~1×/10×/100×
+  * the bench SF's row count (the driver's testdata caps at sf0.1 and is
+  * read-only, so the probe generates its own under /tmp):
+  *
+  *  (a) `dedup_incremental` candidate-join economics: with a FIXED-SIZE
+  *      ingest batch, rows entering the batch side of the candidate join
+  *      and candidate pairs out must scale ~linearly with the corpus (the
+  *      batch side is batch-sized, the base side corpus-sized, the join
+  *      output batch×matches), never corpus² — while the full self-join's
+  *      candidate set grows super-linearly on the same data.
+  *  (b) `sample_source_cap` via the TopKPerKey physical operator: rows
+  *      crossing the exchange stay ≈ partitions×sources×k as the corpus
+  *      grows 100×. (Measured honestly against the row_number-window form:
+  *      Spark 3.5+'s WindowGroupLimit bounds that shuffle too — the probe
+  *      records both — but only after a full map-side sort of every row,
+  *      which TopKPartial's heaps never pay.)
+  *
+  * The generated corpus mirrors the fixture's shape (20 sources, 5 langs,
+  * Zipf-ish common vocabulary + per-doc rare tokens so prefix filtering has
+  * a real tail to bite on, ~5% planted near-duplicates at id-delta 20 with
+  * 5% token mutation — same (lang, source) cell by construction). All
+  * generation is seeded by doc_id: deterministic, distributed, no driver
+  * loop. Not part of the shipped library (diagnostic main, like PlanAudit).
+  */
+object ScaleProbe {
+
+  private val Sources = 20
+  private val Langs = 5
+
+  private def genText(id: Long, vocabScale: Int): String = {
+    val srcId = if (id % 10 == 9 && id >= 20) id - 20 else id // planted near-dup
+    val rnd = new scala.util.Random(srcId * 0x9e3779b97f4a7c15L + 17)
+    val n = 40 + rnd.nextInt(80)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      val u = rnd.nextDouble()
+      // 60% common Zipf-ish vocab, 37% medium tail (grows with corpus, Heaps-
+      // style), 3% near-unique rare tokens — the prefix filter's real target
+      val word =
+        if (u < 0.60) "c" + (math.pow(rnd.nextDouble(), 3.0) * 2000).toInt
+        else if (u < 0.97) "m" + rnd.nextInt(20000 * vocabScale)
+        else "r" + java.lang.Long.toHexString(rnd.nextLong())
+      sb.append(word).append(' ')
+      i += 1
+    }
+    var text = sb.toString
+    if (srcId != id) { // mutate ~5% of tokens so jaccard ≈ 0.9
+      val mrnd = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 31)
+      text = text.split(' ').map(w =>
+        if (mrnd.nextDouble() < 0.05) "x" + java.lang.Long.toHexString(mrnd.nextLong()) else w
+      ).mkString(" ")
+    }
+    text
+  }
+
+  private def genCorpus(spark: SparkSession, path: String, nDocs: Long,
+                        vocabScale: Int): Unit = {
+    val target = new java.io.File(s"$path/documents.parquet")
+    if (target.exists()) return // idempotent across probe runs
+    import spark.implicits._
+    spark.range(nDocs).select(col("id").as("doc_id")).as[Long]
+      .map { id =>
+        val text = genText(id, vocabScale)
+        (id, text, "l" + (id % Langs), "s" + (id % Sources), text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** Sum of a named metric over all nodes matching `pick`, walked through
+    * AQE stage boundaries (SparkPlan.collect stops at them). */
+  private def deepMetric(p: org.apache.spark.sql.execution.SparkPlan,
+                         metricName: String,
+                         pick: org.apache.spark.sql.execution.SparkPlan => Boolean): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here =
+      if (pick(p) && p.metrics.contains(metricName)) p.metrics(metricName).value else 0L
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here + through.map(deepMetric(_, metricName, pick)).sum
+  }
+
+  private def shuffleRecords(df: DataFrame): Long = {
+    // execute df's OWN QueryExecution — df.count() would wrap the plan in a
+    // new aggregation QueryExecution and leave these metrics untouched
+    df.queryExecution.toRdd.count()
+    deepMetric(df.queryExecution.executedPlan, "shuffleRecordsWritten",
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/scaleprobe")
+    val baseRows = 5000L // sf0.1's documents row count
+    val batch = 1000L    // FIXED ingest batch across all scales
+    val capK = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = Seq(1, 10, 100)
+    scales.foreach { m =>
+      val (_, t) = timed(genCorpus(spark, s"$root/x$m", baseRows * m, m))
+      println(f"[scaleprobe] gen x$m%-3d (${baseRows * m}%7d docs) ${t}%6.1f s")
+    }
+
+    // ---- probe (a): incremental candidate economics, fixed batch ----
+    println("[scaleprobe] (a) dedup_incremental: fixed 1000-doc batch vs growing corpus")
+    println("[scaleprobe] scale corpusRows baseSideRows batchSideRows candPairs fullCandPairs incrSec")
+    val aRows = scales.map { m =>
+      val dir = s"$root/x$m"
+      val n = baseRows * m
+      val cut = n - batch - 1 // batch = doc_id > cut, exactly `batch` docs
+      val (incStats, _) =
+        timed(graft.dedup.Dedup.jaccardCandidateStats(spark, dir, 0.8, Some(cut)))
+      // full self-join candidates for contrast (skip at 100×: its candidate
+      // set is the quadratic blow-up the incremental path exists to avoid)
+      val fullPairs =
+        if (m <= 10) graft.dedup.Dedup.jaccardCandidateStats(spark, dir, 0.8, None)._3
+        else -1L
+      val (pairs, tInc) =
+        timed(graft.dedup.Dedup.incrementalJaccardAt(spark, dir, cut).count())
+      println(f"[scaleprobe] x$m%-4d $n%9d ${incStats._1}%11d ${incStats._2}%12d ${incStats._3}%9d $fullPairs%12d $tInc%6.2f  (verified pairs=$pairs)")
+      (m, n, incStats._1, incStats._2, incStats._3, fullPairs)
+    }
+    def slope(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+      (math.log(y2) - math.log(y1)) / (math.log(x2) - math.log(x1))
+    val (m1, n1, _, b1, c1, f1) = aRows.head
+    val (m3, n3, _, b3, c3, _) = aRows.last
+    val f2 = aRows(1)._6
+    println(f"[scaleprobe] (a) exponents over 1x→100x: batchSideRows ${slope(n1.toDouble, b1.toDouble, n3.toDouble, b3.toDouble)}%.2f, candPairs ${slope(n1.toDouble, c1.toDouble, n3.toDouble, c3.toDouble)}%.2f (1.0 = linear, 2.0 = corpus²); full self-join candPairs 1x→10x ${slope(n1.toDouble, f1.toDouble, 10.0 * n1, f2.toDouble)}%.2f")
+
+    // ---- probe (b): source-cap shuffle rows vs window ----
+    println("[scaleprobe] (b) sample_source_cap: rows crossing the exchange")
+    println("[scaleprobe] scale corpusRows topkShuffleRows windowShuffleRows bound(parts*sources*k) topkSec winSec")
+    scales.foreach { m =>
+      val dir = s"$root/x$m"
+      val n = baseRows * m
+      val capped = graft.sample.Sampling.sourceCap(spark, dir, capK)
+      val (topkRows, tTopk) = timed(shuffleRecords(capped))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("h").desc, col("doc_id"))
+      val windowed = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":cap"))).as("h"))
+        .withColumn("rank", row_number().over(W)).filter(col("rank") <= capK)
+      val (winRows, tWin) = timed(shuffleRecords(windowed))
+      if (m == 1 && args.contains("--plans")) {
+        println("[scaleprobe] window executed plan:\n" +
+          windowed.queryExecution.executedPlan.toString)
+        println("[scaleprobe] topk executed plan:\n" +
+          capped.queryExecution.executedPlan.toString)
+      }
+      val parts = spark.read.parquet(s"$dir/documents.parquet").rdd.getNumPartitions
+      println(f"[scaleprobe] x$m%-4d $n%9d $topkRows%14d $winRows%16d ${parts.toLong * Sources * capK}%12d $tTopk%6.2f $tWin%6.2f")
+    }
+    spark.stop()
+  }
+}
