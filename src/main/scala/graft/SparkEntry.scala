@@ -152,6 +152,9 @@ object SparkEntry {
     // document (the cut-list a span-dedup pipeline excises), merged from
     // runs of corpus-wide-duplicated w-grams
     "dedup_span_extents" -> ((s: SparkSession, d: String) => Dedup.spanExtents(s, d)),
+    // the cut-list APPLIED: corpus with every duplicated span excised —
+    // per-doc token counts + the cleaned text itself
+    "dedup_span_clean" -> ((s: SparkSession, d: String) => Dedup.spanClean(s, d)),
     // per-source near-dup rate: greedy keep-first drop policy over the
     // token-jaccard pairs, aggregated per source — dedup observability
     "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
@@ -669,6 +672,37 @@ object SparkEntry {
           SELECT doc_id, MIN(pos) AS start_tok, LEAST(MAX(pos) + 4, MAX(n) - 1) AS end_tok,
             COUNT(*) AS n_dup_grams
           FROM i GROUP BY doc_id, run""",
+    // the cut-list applied: extents re-derived (same CTEs, islands CTE
+    // renamed to avoid the token-index alias), every token position marked
+    // by a correlated EXISTS against its doc's spans, kept tokens
+    // re-joined ORDER BY position; 0-token docs appended so both engines
+    // emit every document
+    "dedup_span_clean" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(generate_series(1, len(tk)-4),
+                   i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]) END AS sh FROM t),
+          o AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(sh)),
+                   i -> {'p': i - 1, 'g': sh[i]})) AS u FROM s),
+          x AS (SELECT doc_id, n, CAST(u.p AS BIGINT) AS pos, u.g AS g FROM o),
+          d AS (SELECT g FROM x GROUP BY g HAVING COUNT(*) >= 2),
+          y AS (SELECT x.doc_id, x.n, x.pos FROM x JOIN d ON x.g = d.g),
+          r AS (SELECT doc_id, n, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                 THEN 0 ELSE 1 END AS brk FROM y),
+          isl AS (SELECT doc_id, n, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM r),
+          e AS (SELECT doc_id, MIN(pos) AS st, LEAST(MAX(pos) + 4, MAX(n) - 1) AS en
+                FROM isl GROUP BY doc_id, run),
+          tox AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+                   unnest(list_transform(generate_series(1, len(tk)), j -> {'i': j - 1, 'w': tk[j]})) AS u FROM t),
+          a AS (SELECT doc_id, n, CAST(u.i AS BIGINT) AS i, u.w AS w FROM tox),
+          m AS (SELECT a.doc_id, a.n, a.i, a.w,
+                 EXISTS(SELECT 1 FROM e WHERE e.doc_id = a.doc_id AND a.i BETWEEN e.st AND e.en) AS dup
+                FROM a)
+          SELECT doc_id, MAX(n) AS n_tokens,
+            CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+            COALESCE(string_agg(CASE WHEN NOT dup THEN w END, ' ' ORDER BY i), '') AS clean_text
+          FROM m GROUP BY doc_id
+          UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '' FROM t WHERE len(tk) = 0""",
     // per-source greedy near-dup rate: the token-jaccard pair CTE again
     // (same arithmetic as dedup_token_jaccard's oracle), drop set = every
     // d2 of a qualifying pair, aggregated per source

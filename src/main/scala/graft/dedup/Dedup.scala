@@ -822,6 +822,41 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_dup_grams"))
   }
 
+  /** APPLY the cut-list: the corpus with every [[spanExtents]] span EXCISED
+    * — the deliverable of the Lee-et-al span-dedup step (keep the document,
+    * cut the copied text). `clean_text` is rebuilt from the shared
+    * tokenization (lowercased letter-runs joined by single spaces), the
+    * same normalization every token-level operator here scores on.
+    *
+    * Scale shape: the extents subplan (two linear scans + bounded
+    * exchanges, see [[spanExtents]]) rolls up to one bounded span-list row
+    * per AFFECTED document (`collect_list` per doc — bounded by document
+    * length, like every per-doc aggregate here), left-joined back onto the
+    * corpus (AQE broadcast while the affected set is small; linear
+    * equi-shuffle beyond) and applied by ONE fused codegen merge-walk per
+    * row ([[graft.functions.SpanOps]]) — O(tokens + spans), not the
+    * tokens×spans of an interpreted `exists()` filter. */
+  def spanClean(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val spans = spanExtents(spark, dir, w)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("start_tok"), col("end_tok")))).as("sp"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(lower(col("text"))).as("t"))
+    docs.join(spans, Seq("doc_id"), "left")
+      // the span list is tiny per doc; the interpreted transform over it is
+      // O(spans), the per-TOKEN work stays in the fused expression
+      .select(col("doc_id"), col("t"),
+        coalesce(expr("transform(sp, x -> x.start_tok)"),
+          array().cast("array<bigint>")).as("ss"),
+        coalesce(expr("transform(sp, x -> x.end_tok)"),
+          array().cast("array<bigint>")).as("ee"))
+      .select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"),
+        graft.functions.SpanOps.exciseSpansCol(col("t"), col("ss"), col("ee")).as("k"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("k"))).cast("bigint").as("n_dup_tokens"),
+        concat_ws(" ", col("k")).as("clean_text"))
+  }
+
   /** The eval split's DISTINCT n-gram hash set, sorted — the driver-side
     * artifact [[decontamStreamCol]] embeds. Bounded by the eval corpus
     * (benchmarks are small and fixed; that asymmetry is the whole design

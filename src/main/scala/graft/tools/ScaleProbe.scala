@@ -35,20 +35,46 @@ object ScaleProbe {
   private val Sources = 20
   private val Langs = 5
 
+  /** Base-26 alphabetic encoding — generated words must be ALL LETTERS:
+    * the shared tokenizer splits on `[^\p{L}]+`, so digit-suffixed words
+    * ("m144871") collapse to their letter prefix and the whole corpus
+    * degenerates to an alphabet of ~4 tokens (v1-v3 of this generator;
+    * caught when LSH signatures of visibly unrelated docs matched 64/64 —
+    * their 8-element single-letter shingle sets were identical). */
+  private def alpha(k: Long): String = {
+    var v = if (k < 0) -(k + 1) else k
+    val sb = new StringBuilder
+    while ({ sb.append(('a' + (v % 26)).toChar); v /= 26; v > 0 }) ()
+    sb.toString
+  }
+
   private def genText(id: Long, vocabScale: Int): String = {
-    val srcId = if (id % 10 == 9 && id >= 20) id - 20 else id // planted near-dup
+    // Planted near-dups in whole BLOCKS: block b = ids [20b, 20b+19) spans
+    // all 20 sources; every doc of a block with b % 20 == 19 copies the
+    // SAME-residue doc 19 blocks earlier — whose own block index is ≡ 0
+    // (mod 20), i.e. a true ORIGINAL (v2's id-20 rule chained dups onto
+    // dups, whose actual text differs from their seed text, so almost no
+    // planted pair was actually similar — caught when verified-pair counts
+    // came back near zero). Same source and lang by construction (both are
+    // id mod functions preserved at delta 380); dup rate 5%, scattered
+    // every 20 blocks, each original copied at most once (disjoint pairs,
+    // no cliques).
+    val srcId = if ((id / 20) % 20 == 19 && id >= 380) id - 380 else id
     val rnd = new scala.util.Random(srcId * 0x9e3779b97f4a7c15L + 17)
     val n = 40 + rnd.nextInt(80)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       val u = rnd.nextDouble()
-      // 60% common Zipf-ish vocab, 37% medium tail (grows with corpus, Heaps-
-      // style), 3% near-unique rare tokens — the prefix filter's real target
+      // 30% common Zipf-ish vocab (flattened: a steeper mix measured
+      // pathological — unrelated docs shared enough SHINGLES to band-collide
+      // corpus-wide, which is a generator artifact, not web-corpus shape),
+      // 60% medium tail (grows with corpus, Heaps-style), 10% near-unique
+      // rare tokens — the prefix filter's real target
       val word =
-        if (u < 0.60) "c" + (math.pow(rnd.nextDouble(), 3.0) * 2000).toInt
-        else if (u < 0.97) "m" + rnd.nextInt(20000 * vocabScale)
-        else "r" + java.lang.Long.toHexString(rnd.nextLong())
+        if (u < 0.30) "c" + alpha((math.pow(rnd.nextDouble(), 2.0) * 3000).toLong)
+        else if (u < 0.90) "m" + alpha(rnd.nextInt(20000 * vocabScale).toLong)
+        else "r" + alpha(rnd.nextLong())
       sb.append(word).append(' ')
       i += 1
     }
@@ -56,7 +82,7 @@ object ScaleProbe {
     if (srcId != id) { // mutate ~5% of tokens so jaccard ≈ 0.9
       val mrnd = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 31)
       text = text.split(' ').map(w =>
-        if (mrnd.nextDouble() < 0.05) "x" + java.lang.Long.toHexString(mrnd.nextLong()) else w
+        if (mrnd.nextDouble() < 0.05) "x" + alpha(mrnd.nextLong()) else w
       ).mkString(" ")
     }
     text
@@ -123,8 +149,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val scales = Seq(1, 10, 100)
+    // corpus dirs carry a generator version: regenerating after a generator
+    // change must never silently reuse stale data (genCorpus is idempotent)
+    def corpusDir(m: Int) = s"$root/v4x$m"
     scales.foreach { m =>
-      val (_, t) = timed(genCorpus(spark, s"$root/x$m", baseRows * m, m))
+      val (_, t) = timed(genCorpus(spark, corpusDir(m), baseRows * m, m))
       println(f"[scaleprobe] gen x$m%-3d (${baseRows * m}%7d docs) ${t}%6.1f s")
     }
 
@@ -132,7 +161,7 @@ object ScaleProbe {
     println("[scaleprobe] (a) dedup_incremental: fixed 1000-doc batch vs growing corpus")
     println("[scaleprobe] scale corpusRows baseSideRows batchSideRows candPairs fullCandPairs incrSec")
     val aRows = scales.map { m =>
-      val dir = s"$root/x$m"
+      val dir = corpusDir(m)
       val n = baseRows * m
       val cut = n - batch - 1 // batch = doc_id > cut, exactly `batch` docs
       val (incStats, _) =
@@ -154,11 +183,50 @@ object ScaleProbe {
     val f2 = aRows(1)._6
     println(f"[scaleprobe] (a) exponents over 1x→100x: batchSideRows ${slope(n1.toDouble, b1.toDouble, n3.toDouble, b3.toDouble)}%.2f, candPairs ${slope(n1.toDouble, c1.toDouble, n3.toDouble, c3.toDouble)}%.2f (1.0 = linear, 2.0 = corpus²); full self-join candPairs 1x→10x ${slope(n1.toDouble, f1.toDouble, 10.0 * n1, f2.toDouble)}%.2f")
 
+    // ---- probe (c): MinHash-LSH candidate growth through the PRODUCTION
+    // capped path. First lesson of this probe (kept for the record): an
+    // UNCAPPED band self-join on the v1 corpus went quadratic — 2.8M pairs
+    // at 5k docs, 307M at 50k (exponent ~2) — because a too-steep common
+    // vocabulary made unrelated docs share enough shingles to band-collide
+    // corpus-wide. That is exactly the degenerate-corpus cliff
+    // `minhashLsh`'s bucket cap exists for: the measured path below is the
+    // production operator's (windowed bucket_n <= maxBucket), with any
+    // shed mass observable as dropped buckets, on the v2 corpus. ----
+    println("[scaleprobe] (c) minhash LSH: capped candidate pairs vs corpus size")
+    println("[scaleprobe] scale corpusRows bandRows cappedRows candPairs droppedBuckets estKept lshSec")
+    val cRows = scales.map { m =>
+      val dir = corpusDir(m)
+      val n = baseRows * m
+      val banded = graft.dedup.Dedup.signaturesDF(spark, dir)
+        .select(col("doc_id"),
+          posexplode(graft.dedup.Dedup.bandHashesCol(col("sig"))).as(Seq("band", "bh")))
+      val byBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh"))
+      val withN = banded.withColumn("bucket_n", count(lit(1)).over(byBucket))
+      val capped = withN.filter(col("bucket_n") <= 2000)
+      val aa = capped.select(col("band"), col("bh"), col("doc_id").as("d1"))
+      val bb = capped.select(col("band"), col("bh"), col("doc_id").as("d2"))
+      val joined = aa.join(bb.hint("shuffle_merge"), Seq("band", "bh"))
+        .filter(col("d1") < col("d2"))
+      val ((bandRows, cappedRows, candPairs, dropped, estKept), tLsh) = timed {
+        (banded.count(), capped.count(),
+          joined.select(col("d1"), col("d2")).dropDuplicates("d1", "d2").count(),
+          withN.filter(col("bucket_n") > 2000)
+            .select(col("band"), col("bh")).distinct().count(),
+          // the production funnel's next stage: signature-estimate filter at
+          // the verified pipeline's default cutoff (0.8 - 0.3 margin)
+          graft.dedup.Dedup.minhashLsh(spark, dir, threshold = 0.5).count())
+      }
+      println(f"[scaleprobe] x$m%-4d $n%9d $bandRows%9d $cappedRows%10d $candPairs%9d $dropped%14d $estKept%8d $tLsh%6.2f")
+      (n, candPairs, estKept)
+    }
+    println(f"[scaleprobe] (c) exponents over 1x→100x: capped candidate pairs ${slope(cRows.head._1.toDouble, cRows.head._2.toDouble, cRows.last._1.toDouble, cRows.last._2.toDouble)}%.2f, est-filtered pairs ${slope(cRows.head._1.toDouble, cRows.head._3.toDouble, cRows.last._1.toDouble, cRows.last._3.toDouble)}%.2f (1.0 = linear)")
+
     // ---- probe (b): source-cap shuffle rows vs window ----
     println("[scaleprobe] (b) sample_source_cap: rows crossing the exchange")
     println("[scaleprobe] scale corpusRows topkShuffleRows windowShuffleRows bound(parts*sources*k) topkSec winSec")
     scales.foreach { m =>
-      val dir = s"$root/x$m"
+      val dir = corpusDir(m)
       val n = baseRows * m
       val capped = graft.sample.Sampling.sourceCap(spark, dir, capK)
       val (topkRows, tTopk) = timed(shuffleRecords(capped))

@@ -303,6 +303,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got-only=${(got -- want).take(5)} want-only=${(want -- got).take(5)}")
   }
 
+  test("span clean: excision equals driver-side cut of the (oracle-checked) extents") {
+    import org.apache.spark.sql.functions.lower
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokensCol(lower(col("text"))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val extents = Dedup.spanExtents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(x => (x._2, x._3)).sorted.toSeq }
+    val got = Dedup.spanClean(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.size == toks.size)
+    var excisedDocs = 0
+    toks.foreach { case (id, ts) =>
+      val spans = extents.getOrElse(id, Seq.empty[(Long, Long)])
+      val kept = ts.zipWithIndex.collect {
+        case (w, i) if !spans.exists(s => s._1 <= i && i <= s._2) => w
+      }
+      if (kept.length < ts.length) excisedDocs += 1
+      val want = (ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" "))
+      assert(got(id) == want, s"doc $id: got=${got(id)} want=$want")
+    }
+    assert(excisedDocs > 0, "no doc had anything excised — composition untested")
+  }
+
+  test("excise_spans expression: hand cases incl. empty, passed, and full spans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    def run(toks: Seq[String], spans: Seq[(Long, Long)]): Seq[String] =
+      Seq(toks).toDF("t").select(graft.functions.SpanOps.exciseSpansCol(col("t"),
+          array(spans.map(s => lit(s._1)): _*).cast("array<bigint>"),
+          array(spans.map(s => lit(s._2)): _*).cast("array<bigint>")).as("k"))
+        .collect().head.getSeq[String](0)
+    val t = Seq("a", "b", "c", "d", "e")
+    assert(run(t, Seq.empty) == t)                        // no spans
+    assert(run(t, Seq((1L, 2L))) == Seq("a", "d", "e"))   // interior span
+    assert(run(t, Seq((0L, 4L))) == Seq.empty)            // full coverage
+    assert(run(t, Seq((0L, -1L))) == t)                   // empty interval (n=0 doc convention)
+    assert(run(t, Seq((0L, 0L), (3L, 4L))) == Seq("b", "c")) // two disjoint spans
+    assert(run(Seq.empty[String], Seq((0L, 4L))) == Seq.empty) // empty tokens
+  }
+
   test("incremental jaccard: exactly the cross-split subset of the naive all-pairs truth") {
     val naive = Dedup.tokenJaccardNaive(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
