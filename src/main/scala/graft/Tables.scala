@@ -25,13 +25,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses as a
-    * timestamp type; read it as raw nanos (legacy long mode) and derive
-    * epoch-millis via exact integer division — no float or timestamp
-    * precision ever crosses the oracle boundary. */
+  /** `events.ts` arrives as parquet TIMESTAMP whose unit has CHANGED across
+    * fixture generations (NANOS first, now MICROS) — so this loader owns the
+    * one normalization point: whatever the physical type, downstream always
+    * sees `ts` as epoch-NANOS BIGINT and derives epoch-millis via exact
+    * integer division ([[eventMs]]) — no float or timestamp precision ever
+    * crosses the oracle boundary.
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it as a timestamp type; legacy
+    *    long mode reads the raw nanos directly.
+    *  - TIMESTAMP(MICROS) (naive → TIMESTAMP_NTZ): cast through TIMESTAMP
+    *    under the UTC session (instant-preserving), then exact
+    *    `unix_micros * 1000` — the same nanos the NANOS fixture carried. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    normalizeEventTs(apply(s, d, "events"))
+  }
+
+  /** Rewrite a raw events frame so `ts` is epoch-nanos BIGINT (see
+    * [[events]]); shared by the batch loader and the streaming source. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // already BIGINT nanos (legacy-long read of NANOS parquet)
+    }
   }
 
   /** Epoch-millis of the nanos `ts` column of [[events]] (exact: `DIV`). */

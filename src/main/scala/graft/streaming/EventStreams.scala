@@ -311,9 +311,13 @@ object EventStreams {
               outputMode: OutputMode = OutputMode.Append()): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-stream sources take a directory; filter to the events table
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // file-stream sources take a directory; filter to the events table.
+    // The same ts normalization as the batch loader (nanos BIGINT whatever
+    // the fixture's physical timestamp unit) so every downstream `ts DIV`
+    // keeps its contract on both paths.
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = build(stream).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()
