@@ -120,6 +120,10 @@ object SparkEntry {
     // per-source cap (domain capping) through the TopKPerKey physical
     // operator: map-side heaps shed all but sources×k rows pre-exchange
     "sample_source_cap" -> ((s: SparkSession, d: String) => graft.sample.Sampling.sourceCap(s, d)),
+    // temperature-scaled source mixing (p_s ∝ c_s^τ): one map-side-combined
+    // exchange to a sources-sized table, broadcast grand total, rounded-share
+    // integer budget contract
+    "sample_temperature" -> ((s: SparkSession, d: String) => graft.sample.Sampling.temperatureMixture(s, d)),
     // concat-and-chunk sequence packing: global token offsets via a
     // two-phase prefix sum (range partition + broadcast offsets), never a
     // single-task global window; oracle recomputes with a windowed cumsum
@@ -1112,6 +1116,23 @@ object SparkEntry {
           SELECT doc_id, h, CAST(h % 8 AS INT) AS shard,
             CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
           FROM b""",
+    // temperature mixing: exact integer token counts; pow/÷ are the only
+    // non-exact ops so both shares are 6-decimal rounded (the ln/TF-IDF
+    // acceptance) and budget/epochs derive from the ROUNDED share
+    "sample_temperature" ->
+      """WITH c AS (SELECT source,
+            CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                       SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS total_pow FROM c),
+          s AS (SELECT source, n_tokens,
+                  ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS raw_share,
+                  ROUND(pow(CAST(n_tokens AS DOUBLE), 0.7) / total_pow, 6) AS temp_share
+                FROM c, t)
+          SELECT source, n_tokens, raw_share, temp_share,
+            CAST(FLOOR(temp_share * 1000000) AS BIGINT) AS budget_tokens,
+            ROUND(CAST(FLOOR(temp_share * 1000000) AS BIGINT) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+          FROM s""",
     // quality score re-derived (text_quality's exact arithmetic), salted
     // bucket, and the same IEEE keep comparison
     "sample_weighted" ->

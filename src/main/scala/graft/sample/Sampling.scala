@@ -122,4 +122,48 @@ object Sampling {
         .select(col("doc_id"), col("source"),
           Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":cap"))).as("h")),
       Seq("source"), "h", "doc_id", k)
+
+  /** TEMPERATURE-SCALED SOURCE MIXING — the "how much of each source goes
+    * into the training mix" step (the multilingual-pretraining sampling rule
+    * of Lample & Conneau, "Cross-lingual Language Model Pretraining", 2019:
+    * p_s ∝ c_s^τ with τ < 1 flattening the source distribution so
+    * head sources are downsampled and tail sources upsampled).
+    *
+    * Per source: its whitespace-token count c_s, its raw corpus share, its
+    * temperature share p_s = c_s^τ / Σ_t c_t^τ, the token budget allocated
+    * to it under a total budget B (floor(p_s·B) on the ROUNDED share — the
+    * integer contract), and the implied epoch count budget/c_s (>1 means
+    * the source repeats — the signal a mixture designer actually reads).
+    *
+    * Scale shape: token counting is map-only arithmetic fused into the
+    * scan; ONE map-side-combined exchange produces the sources-sized count
+    * table, and that is the ONLY corpus-sized work in the plan. The grand
+    * totals are a global window over the already-aggregated sources-sized
+    * table — O(sources) rows through one partition, safe at any corpus
+    * size, and it keeps the plan to a SINGLE corpus scan (the broadcast-
+    * total cross-join form recomputes the scan on the broadcast side:
+    * Catalyst only dedupes identical exchanges, not different aggregations
+    * over one subtree — caught by this operator's plan-shape spec).
+    *
+    * Cross-engine surface: c_s is exact integer; pow/÷ are the non-exact
+    * ops, so shares are 6-decimal rounded (the ln/TF-IDF acceptance) and
+    * everything downstream derives from the rounded share. */
+  def temperatureMixture(spark: SparkSession, dir: String,
+                         tau: Double = 0.7, budget: Long = 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(array_remove(org.apache.spark.sql.functions.split(col("text"), "\\s+"), ""))
+          .cast("bigint").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("total_pow", sum(pow(col("n_tokens").cast("double"), tau)).over(w))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("raw_share"),
+        round(pow(col("n_tokens").cast("double"), tau) / col("total_pow"), 6).as("temp_share"))
+      .select(col("source"), col("n_tokens"), col("raw_share"), col("temp_share"),
+        floor(col("temp_share") * budget).cast("bigint").as("budget_tokens"))
+      .withColumn("epochs", round(col("budget_tokens").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -77,4 +77,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"),
       s"source cap does not ride TopKPerKey:\n${plan.take(1200)}")
   }
+
+  test("temperature mixing flattens the mixture and allocates the budget") {
+    val rows = Sampling.temperatureMixture(spark, sf, tau = 0.7, budget = 1000000L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("raw_share"), r.getAs[Double]("temp_share"),
+        r.getAs[Long]("budget_tokens"), r.getAs[Double]("epochs")))
+    assert(rows.length == 20, "one row per source")
+    // shares are distributions (up to 6-decimal rounding of each term)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 2e-5)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 2e-5)
+    // τ<1 FLATTENS: every above-average source is downsampled, every
+    // below-average source upsampled — the defining property of the rule
+    val meanRaw = rows.map(_._3).sum / rows.length
+    rows.foreach { case (src, _, raw, temp, _, _) =>
+      if (raw > meanRaw + 1e-6) assert(temp < raw, s"$src: head source not flattened")
+      if (raw < meanRaw - 1e-6) assert(temp > raw, s"$src: tail source not boosted")
+    }
+    // order is preserved (monotone transform): bigger source, bigger share
+    val byTok = rows.sortBy(_._2)
+    assert(byTok.map(_._4).toSeq == byTok.map(_._4).sorted.toSeq)
+    // the budget column is the integer contract floor(share*B), epochs = B_s/c_s
+    rows.foreach { case (_, c, _, temp, b, ep) =>
+      assert(b == math.floor(temp * 1000000L).toLong)
+      assert(ep == BigDecimal(b.toDouble / c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // scale shape: ONE corpus scan (the broadcast-total form scans twice —
+    // Catalyst won't dedupe two different aggs over one subtree); the
+    // global window runs over the SOURCES-SIZED agg output, after the
+    // map-side-combined exchange
+    val plan = Sampling.temperatureMixture(spark, sf).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"plan:\n${plan.take(1500)}")
+    assert(plan.contains("Window"), "totals should be the post-agg window")
+    assert(plan.indexOf("HashAggregate") > plan.indexOf("Window"),
+      "window must sit ABOVE the aggregation (sources-sized input), not over the corpus")
+  }
 }
