@@ -108,6 +108,11 @@ object SparkEntry {
     "text_lm_quality" -> ((s: SparkSession, d: String) => TextAnalysis.lmQuality(s, d)),
     // Gopher/C4 repetition + shape filters with a combined verdict column
     "text_gopher_filters" -> TextAnalysis.gopherFilters _,
+    // C4-style wordlist filter + scrub (map-only; the redaction mechanics)
+    "text_blocklist" -> ((s: SparkSession, d: String) => TextAnalysis.blocklist(s, d)),
+    // corpus heavy hitters: exact top-k bigrams via per-partition heaps
+    // (TakeOrderedAndProject), never a global sort
+    "text_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
     // deterministic hash-bucket sampling: language-mixture downsampling and
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
@@ -162,6 +167,13 @@ object SparkEntry {
     // per-source near-dup rate: greedy keep-first drop policy over the
     // token-jaccard pairs, aggregated per source — dedup observability
     "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
+    // random-hyperplane LSH in embedding space (Charikar): banded sign
+    // bits → linear equi-shuffle candidates → exact cosine verify; the
+    // no-blocking-key scale path for embedding near-dup
+    "dedup_lsh_pairs" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.pairs(s, d)),
+    // the band/width tuning dashboard: candidates, found, truth, recall,
+    // candidate fraction per configuration
+    "dedup_lsh_sweep" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.sweep(s, d)),
     // incremental ingest dedup: arriving batch (top 20% of the doc_id
     // range — the ingest watermark) vs existing corpus only — candidate
     // generation scales with the batch, not corpus²
@@ -621,6 +633,27 @@ object SparkEntry {
              AND CAST(g2_max AS DOUBLE) / g2_n <= 0.1
              AND CAST(g3_n - g3_d AS DOUBLE) / g3_n <= 0.05) AS gopher_ok
           FROM base b JOIN g2s USING (doc_id) JOIN g3s USING (doc_id)""",
+    // wordlist filter: same token mechanics, same IEEE integer-ratio and
+    // same scrub join — the verdict threshold compares the exact double
+    "text_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+          s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(tk, x -> x IN ('slow','big','bad'))) AS BIGINT) AS n_blocked,
+                  array_to_string(list_filter(tk, x -> x NOT IN ('slow','big','bad')), ' ') AS scrubbed
+                FROM t)
+          SELECT doc_id, n_tokens, n_blocked,
+            CAST(n_blocked AS DOUBLE) / n_tokens AS blocked_frac,
+            (CAST(n_blocked AS DOUBLE) / n_tokens > 0.05) AS blocked, scrubbed
+          FROM s""",
+    // heavy hitters: exact counts, the (n desc, gram asc) tie-break makes
+    // the k-set deterministic across engines
+    "text_top_ngrams" ->
+      s"""WITH t AS (SELECT ${toks("text")} AS tk FROM documents),
+          g AS (SELECT tk[i] || ' ' || tk[i+1] AS gram
+                FROM t, unnest(generate_series(1, len(tk)-1)) AS u(i)
+                WHERE len(tk) >= 2)
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
+          GROUP BY 1 ORDER BY n DESC, gram LIMIT 25""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
@@ -874,6 +907,11 @@ object SparkEntry {
       """SELECT CAST(NULL AS VARCHAR) AS family, CAST(NULL AS INT) AS band,
            CAST(NULL AS VARCHAR) AS bucket, CAST(NULL AS BIGINT) AS bucket_n
          WHERE 1 = 0""",
+    // hyperplane-LSH pairs and tuning sweep: the oracle re-derives the
+    // signatures from the SAME ±1 plane literals the engine projects onto
+    // (interpolated from one Scala constant — zero duplication)
+    "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql,
+    "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql,
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

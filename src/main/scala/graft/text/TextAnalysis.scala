@@ -236,4 +236,52 @@ object TextAnalysis {
     graft.CacheLifecycle.releaseAfterNextAction(spark, docs, c2)
     out
   }
+
+  /** C4-style WORDLIST FILTER (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020,
+    * §2.2 — the "bad words" screen of web-corpus pipelines): per document,
+    * blocklist-token occurrences, the blocked fraction, the keep/drop
+    * verdict, and the scrubbed text with those tokens removed (redaction —
+    * the same machinery a PII scrub runs with regex-shaped lists). The list
+    * here is a fixture-visible stand-in (the langId-marker acceptance: the
+    * operator under test is the list mechanics, not the list itself).
+    *
+    * Scale shape: MAP-ONLY — filter/join over the token array fused into
+    * the scan, zero exchanges at any corpus size (plan-spec-pinned). The
+    * blocklist travels inside the codegen'd expression; a list too large
+    * for that (millions of phrases) would switch to the broadcast-join form
+    * decontamination already demonstrates. */
+  def blocklist(spark: SparkSession, dir: String,
+                blocked: Seq[String] = Seq("slow", "big", "bad")): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nTok = size(toks).cast("bigint")
+    val nBlocked = size(filter(toks, t => t.isInCollection(blocked))).cast("bigint")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nBlocked.as("n_blocked"),
+      (nBlocked.cast("double") / nTok).as("blocked_frac"),
+      (nBlocked.cast("double") / nTok > 0.05).as("blocked"),
+      array_join(filter(toks, t => !t.isInCollection(blocked)), " ").as("scrubbed"))
+  }
+
+  /** Corpus-wide HEAVY HITTERS: top-k bigrams by exact count, deterministic
+    * (count desc, gram asc) tie-break — the "what's templated/boilerplate in
+    * this crawl" observability query (the corpus-level complement of the
+    * per-document gopher repetition stats).
+    *
+    * Scale shape: the bigram counts are ONE map-side-combined exchange
+    * (vocab²-bounded output, ≪ corpus), and the top-k is
+    * TakeOrderedAndProject — every partition keeps k rows in a bounded heap
+    * and the driver merges partitions×k; no global sort materializes at any
+    * corpus size (plan-spec-pinned). */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
 }

@@ -69,11 +69,18 @@ class EntrySpec extends AnyFunSuite {
       "text_langid" -> text.TextAnalysis.langId(spark, sf),
       "text_fingerprint" -> text.TextAnalysis.fingerprint(spark, sf),
       "text_bpe_tokens" -> text.TextAnalysis.bpeTokens(spark, sf),
-      "text_gopher_filters" -> text.TextAnalysis.gopherFilters(spark, sf))
+      "text_gopher_filters" -> text.TextAnalysis.gopherFilters(spark, sf),
+      "text_blocklist" -> text.TextAnalysis.blocklist(spark, sf))
     mapOnly.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n${plan.take(1500)}")
     }
+  }
+
+  test("text_top_ngrams takes top-k via bounded heaps, never a global sort") {
+    val plan = text.TextAnalysis.topNgrams(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n${plan.take(1500)}")
+    assert(!plan.contains("\n   Sort "), s"no full Sort node expected:\n${plan.take(1500)}")
   }
 
   test("sampling scan prunes to the two referenced columns") {
