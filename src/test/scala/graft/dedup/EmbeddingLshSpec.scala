@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics + plan-shape pins for hyperplane LSH (the value oracle lives in
+  * the driver's DuckDB compare, re-deriving signatures from the same plane
+  * literals). */
+class EmbeddingLshSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  test("planes are the fixed LCG matrix: ±1, balanced-ish, reproducible") {
+    val p = EmbeddingLsh.planes
+    assert(p.length == EmbeddingLsh.NumPlanes && p.forall(_.length == EmbeddingLsh.Dims))
+    assert(p.flatten.forall(v => v == 1 || v == -1))
+    // hand-derived first draws of the seed-42 stream (regression pin: a
+    // changed LCG would silently invalidate every stored signature)
+    assert(p(0).take(8).toSeq == Seq(1, 1, 1, 1, -1, 1, 1, -1))
+    val ones = p.flatten.count(_ == 1)
+    assert(math.abs(ones - p.flatten.length / 2) < p.flatten.length / 8,
+      s"sign bias: $ones of ${p.flatten.length}")
+  }
+
+  test("pairs are a SUBSET of the exact all-pairs truth, with high recall at 8x2") {
+    val got = EmbeddingLsh.pairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = EmbeddingLsh.allPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "degenerate fixture: no near-dup pairs at τ=0.35")
+    assert(got.subsetOf(truth), s"LSH reported a non-pair: ${(got -- truth).take(3)}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"8x2 recall $recall collapsed (was ~0.97 at both SFs)")
+  }
+
+  test("sweep: recall and candidate volume trade off monotonically across configs") {
+    val rows = EmbeddingLsh.sweep(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set("16x2", "8x4", "4x8"))
+    val Seq(hi, mid, lo) = Seq("16x2", "8x4", "4x8").map(rows)
+    // same exact truth in every row
+    assert(Set(hi._3, mid._3, lo._3).size == 1)
+    // more bands × narrower bands ⇒ more candidates AND more recall; the
+    // dashboard's whole point is making this tradeoff measurable
+    assert(hi._1 > mid._1 && mid._1 > lo._1, s"candidates not ordered: $rows")
+    assert(hi._4 >= mid._4 && mid._4 >= lo._4, s"recall not ordered: $rows")
+    assert(hi._2 <= hi._3, "found can never exceed truth")
+    assert(lo._5 < 0.1, s"4x8 should prune hard (cand_frac ${lo._5})")
+  }
+
+  test("candidate generation is a linear equi-join on (band, key), never a product") {
+    val plan = EmbeddingLsh.pairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n${plan.take(1500)}")
+    // the band self-join keys on band+key (hash or sort-merge — either is
+    // the linear shuffle; a broadcast at this SF is also fine) but must
+    // not fall back to a nested-loop over all vector pairs
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to a product:\n${plan.take(1500)}")
+  }
+}
