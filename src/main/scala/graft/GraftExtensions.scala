@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv32Expr, FingerprintTokensExpr, GramStatsExpr, MinHashSigExpr, MinHashTokensExpr, ShingleHashesExpr, SimHashTokensExpr, SortedIntersectCountExpr, Sq8StatsExpr}
+import graft.functions.{Cosine6Expr, Fnv32Expr, FingerprintTokensExpr, GramStatsExpr, MinHashSigExpr, MinHashTokensExpr, ShingleHashesExpr, SimHashTokensExpr, SortedIntersectCountExpr, Sq8StatsExpr}
 
 /** Session-extensions entry point: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -28,6 +28,8 @@ import graft.functions.{Fnv32Expr, FingerprintTokensExpr, GramStatsExpr, MinHash
   *     repetition statistics (Gopher filters' per-document facts)
   *   - graft_sq8_stats(array<float|double>): [scale, mse, max_err] of the
   *     int8 scalar quantization of an embedding
+  *   - graft_cosine6(array<double>, array<double>): exact-order cosine
+  *     rounded to the 6-decimal cross-engine surface
   *
   * Injected rules:
   *   - [[graft.plans.AsOfJoinRule]]: expands the [[graft.plans.AsOfJoinPlan]]
@@ -91,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sq8_stats"),
       info("graft_sq8_stats", "graft_sq8_stats(embedding) - [scale, mse, max_err] of int8 scalar quantization."),
       arity("graft_sq8_stats", 1)(c => Sq8StatsExpr(c.head))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine6"),
+      info("graft_cosine6", "graft_cosine6(a, b) - exact-order cosine of two array<double>, rounded to 6 decimals."),
+      arity("graft_cosine6", 2)(c => Cosine6Expr(c(0), c(1)))))
   }
 }

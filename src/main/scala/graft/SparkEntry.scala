@@ -110,6 +110,13 @@ object SparkEntry {
     "text_gopher_filters" -> TextAnalysis.gopherFilters _,
     // C4-style wordlist filter + scrub (map-only; the redaction mechanics)
     "text_blocklist" -> ((s: SparkSession, d: String) => TextAnalysis.blocklist(s, d)),
+    // fasttext-style model-based quality filter: logistic regression over
+    // shape + hashed-token features, trained IN-QUERY by fixed-point
+    // treeAggregate GD against the Gopher-rule weak labels, scored
+    // relationally via a broadcast model-as-table join. Rows-only (trained
+    // artifact — the BpeTrain precedent); QualityClassifierSpec pins
+    // distributed == local-reference weights element-exact
+    "text_quality_classifier" -> ((s: SparkSession, d: String) => graft.text.QualityClassifier.scored(s, d)),
     // corpus heavy hitters: exact top-k bigrams via per-partition heaps
     // (TakeOrderedAndProject), never a global sort
     "text_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
@@ -911,7 +918,8 @@ object SparkEntry {
     // signatures from the SAME ±1 plane literals the engine projects onto
     // (interpolated from one Scala constant — zero duplication)
     "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql,
-    "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql,
+    "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql(
+      fnvBucket("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -93,12 +93,11 @@ object EmbeddingLsh {
       .distinct()
   }
 
-  /** The cosine6 surface as a column expression over two double arrays. */
-  private def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6)
-  }
+  /** The cosine6 surface: the native codegen expression (the interpreted
+    * aggregate/zip_with HOF form computes the same value but was measured
+    * far slower on the verify join's millions of candidate rows). */
+  private def cosineCol(a: Column, b: Column): Column =
+    graft.functions.VecOps.cosine6Col(a, b)
 
   /** LSH-found near-dup pairs at the default 8 bands × 2 bits, exactly
     * verified at `threshold` — every output row is a true near-dup pair
@@ -115,11 +114,22 @@ object EmbeddingLsh {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Deterministic hash-fate vector sample (the sampling family's salted
+    * FNV bucket): the sweep is a TUNING PROBE, so it runs on a fixed-rate
+    * sample — the recall/candidate ratios it estimates are scale-free,
+    * while the all-pairs truth it must compute is quadratic and would
+    * dominate the corpus at full rate. 100 means "no sampling". */
+  private def sampleFilter(pct: Int): Column =
+    graft.functions.Fnv32.fnv32(
+      concat(col("vec_id").cast("string"), lit(":lshsweep"))) % 100 < pct
+
   /** All-pairs exact truth (broadcast nested-loop over the small build side;
     * the chunk-pair decomposition of [[graft.sim.Similarity]] is the path
     * for corpora whose embedding table no longer broadcasts). */
-  def allPairs(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  def allPairs(spark: SparkSession, dir: String, threshold: Double = 0.35,
+               samplePct: Int = 100): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+      .filter(sampleFilter(samplePct))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
     e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
@@ -131,13 +141,16 @@ object EmbeddingLsh {
     * verified-pair count, the exact truth count, recall, and the candidate
     * fraction of all n·(n−1)/2 pairs — the numbers that pick a band/width
     * operating point before a 100 TB run. One row per configuration; every
-    * number re-derivable by the oracle from the same plane literals. */
+    * number re-derivable by the oracle from the same plane literals.
+    * Runs on the deterministic `samplePct` vector sample: the ratios it
+    * estimates are scale-free while its exact-truth side is quadratic
+    * (full-rate at bench SF measured 60 s; the 20% sample, 1.6 s). */
   def sweep(spark: SparkSession, dir: String,
             configs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8)),
-            threshold: Double = 0.35): DataFrame = {
-    val sig = signatures(spark, dir)
+            threshold: Double = 0.35, samplePct: Int = 20): DataFrame = {
+    val sig = signatures(spark, dir).filter(sampleFilter(samplePct))
     val e = sig.select(col("vec_id"), col("emb"))
-    val nTrue = allPairs(spark, dir, threshold)
+    val nTrue = allPairs(spark, dir, threshold, samplePct)
       .agg(count(lit(1)).as("n_true"))
     val nVec = e.agg(count(lit(1)).as("n_vec"))
     val perCfg = configs.map { case (bands, width) =>
@@ -189,9 +202,12 @@ object EmbeddingLsh {
        |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)
        |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.35""".stripMargin
 
-  /** DuckDB re-derivation of [[sweep]]. */
-  def oracleSweepSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** DuckDB re-derivation of [[sweep]]: `sampleBucketSql` is the caller's
+    * FNV re-derivation of `fnv32(vec_id || ':lshsweep') % 100` (the shared
+    * oracle helper lives with the other fnv-sampling oracles). */
+  def oracleSweepSql(sampleBucketSql: String, samplePct: Int = 20): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |           WHERE $sampleBucketSql < $samplePct),
        |sig AS (SELECT vec_id, emb, $bitsCols FROM e),
        |bands AS (${bandsUnion(Seq((16, 2), (8, 4), (4, 8)))}),
        |cand AS (SELECT DISTINCT cfg, a.vec_id AS d1, b.vec_id AS d2

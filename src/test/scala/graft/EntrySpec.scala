@@ -22,7 +22,11 @@ class EntrySpec extends AnyFunSuite {
     // the query itself, which no independent SQL engine can re-derive —
     // each must carry a driver-local-reference spec instead (BpeTrainSpec
     // pins text_bpe_apply's apply == reference merge-by-merge).
-    val intentionallyRowsOnly = Set("text_bpe_apply")
+    // text_bpe_apply: BpeTrainSpec pins apply == reference merge-by-merge.
+    // text_quality_classifier: QualityClassifierSpec pins distributed
+    // training == driver-local reference element-exact and relational
+    // scoring == local scores at the rounded surface.
+    val intentionallyRowsOnly = Set("text_bpe_apply", "text_quality_classifier")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
       intentionallyRowsOnly
     assert(missing.isEmpty, s"query without oracle: $missing")
