@@ -881,6 +881,56 @@ object Dedup {
       graft.functions.TextHash.shingleHashesCol(TextAnalysis.tokensCol(lower(text)), w),
       lit(evalGrams))
 
+  /** BLOOM-FILTER decontamination — the bounded-memory scale path for when
+    * the eval gram set outgrows the exact broadcast array ([[evalGramSet]]
+    * ships every hash; a year of accumulated benchmarks at 100 TB doesn't
+    * fit an array literal, but its Bloom filter at ε=1e-4 is ~2.4 bytes per
+    * gram, fixed at build time). Builds the filter over the eval split's
+    * gram hashes with Spark's sketch aggregate (one pass, driver receives
+    * only the bit array), broadcasts it, and flags train documents whose
+    * per-doc PROBE COUNT crosses `minShared` — map-only over the corpus,
+    * no join at all (the exact form joins train grams against the
+    * broadcast eval table).
+    *
+    * Contract (spec-pinned): one-sided error. Per document,
+    * `n_flagged ≥ n_shared_exact` always (no false negatives — a Bloom
+    * filter never misses an inserted element), and the spurious excess is
+    * bounded by ε per probed gram (the spec measures the fixture's actual
+    * excess). ε must be sized against per-doc gram counts: at ε=1e-4 a
+    * 150-gram clean document is spuriously flagged with p ≈ 1.5%; at the
+    * web-pipeline default ε=0.03 that p is ≈ 99% — the classic per-item →
+    * per-document compounding trap, which is why ε here defaults far
+    * tighter than sketch-library defaults. */
+  def decontamBloomFlags(spark: SparkSession, dir: String, w: Int = 5,
+                         evalMod: Long = 50, minShared: Int = 1,
+                         fpp: Double = 1e-4): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.TextHash.shingleHashesCol(
+        TextAnalysis.tokensCol(lower(col("text"))), w).as("sh"))
+    val evalGrams = sh.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    // expectedNumItems from a cheap count over the (small, by-design) eval
+    // split; the filter build is the only non-map stage and returns bits
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("sh"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val f = bBloom.value
+        it.map { case (id, grams) =>
+          var n = 0
+          var i = 0
+          while (i < grams.length) { if (f.mightContainLong(grams(i))) n += 1; i += 1 }
+          (id, grams.length.toLong, n.toLong, n >= minShared)
+        }
+      }
+      .toDF("train_id", "n_grams", "n_flagged", "flagged")
+  }
+
   // ---------------------------------------------- rolling-hash fingerprints
 
   final case class DocFp(doc_id: Long, fps: Array[Long])

@@ -50,9 +50,16 @@ object QualityClassifier {
     * hashed tf from the engine's FNV-1a (byte-compatible with the
     * [[Fnv32]] scoring expression). Docs with < 3 tokens carry no trigram
     * stats and are excluded, matching the rule query. */
-  def featurize(spark: SparkSession, dir: String): Dataset[FeatDoc] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  def featurize(spark: SparkSession, dir: String): Dataset[FeatDoc] =
+    featurizeFrame(Tables.documents(spark, dir))
+
+  /** [[featurize]] over any documents-shaped frame — including a
+    * `readStream` source: every step is stateless (the fused gram-stats
+    * expression + a per-row map), so the same code path serves batch and
+    * ingest. */
+  def featurizeFrame(df: DataFrame): Dataset[FeatDoc] = {
+    import df.sparkSession.implicits._
+    df
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), col("tk"), TextHash.gramStatsCol(col("tk")).as("gs"))
@@ -145,6 +152,23 @@ object QualityClassifier {
       losses(t) = (acc(Dim) / Scale) / n
     }
     (w, losses)
+  }
+
+  /** FROZEN-MODEL scoring of a featurized (possibly STREAMING) corpus — a
+    * stateless map under fixed weights: the score-on-arrival ingest twin
+    * (the SQ8/PQ encode-on-arrival contract: train once, freeze, score
+    * every arriving document identically to the batch path; spec-pinned
+    * stream == local reference). Scores on the rounded surface. */
+  def scoreWith(w: Array[Double])(docs: Dataset[FeatDoc]): Dataset[(Long, Double, Boolean)] = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      var z = 0.0
+      var j = 0
+      while (j < Dim) { z += w(j) * d.feats(j); j += 1 }
+      (d.doc_id,
+        BigDecimal(sigmoid(z)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        z >= 0)
+    }
   }
 
   /** The registered query: train in-query (the PQ/IVF in-query-training

@@ -41,6 +41,34 @@ class DecontamTfidfSpec extends AnyFunSuite {
       plan)
   }
 
+  test("bloom decontamination: one-sided error vs the exact overlap, bounded excess") {
+    val exact = Dedup.decontamOverlap(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (tid, rs) => tid -> rs.map(_.getLong(2)).sum }
+    val bloom = Dedup.decontamBloomFlags(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(bloom.nonEmpty)
+    // NO FALSE NEGATIVES: every gram the exact join found is also found by
+    // the filter probe — per-doc counted, not just flagged. (Exact counts
+    // are per-eval-doc pair sums; a train gram shared with TWO eval docs is
+    // counted twice there but once by the probe, so compare against the
+    // per-pair MAX, which lower-bounds the distinct shared grams.)
+    val exactMax = Dedup.decontamOverlap(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (tid, rs) => tid -> rs.map(_.getLong(2)).max }
+    exactMax.foreach { case (tid, nShared) =>
+      val b = bloom.find(_._1 == tid)
+      assert(b.isDefined, s"train doc $tid missing from the bloom scan")
+      assert(b.get._3 >= nShared, s"bloom lost grams for $tid: ${b.get._3} < $nShared")
+      assert(b.get._4, s"contaminated doc $tid not flagged")
+    }
+    // ONE-SIDED, BOUNDED excess: clean docs spuriously flagged stay within
+    // a loose multiple of the ε·grams expectation (fixture-deterministic)
+    val clean = bloom.filter(r => !exactMax.contains(r._1))
+    val spurious = clean.count(_._4)
+    val expected = clean.map(_._2.toDouble * 1e-4).sum
+    assert(spurious <= math.max(3.0, expected * 10),
+      s"$spurious spurious flags vs expectation $expected")
+  }
+
   test("tfidfTop: <= k rows per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.tfidfTop(spark, sf, k = 5).collect()
     val byDoc = rows.groupBy(_.getLong(0))

@@ -49,6 +49,29 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(off.isEmpty, s"scores diverge for docs ${off.take(5)}")
   }
 
+  test("score-on-arrival: streaming scoring under frozen weights == local reference") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val (w, _) = QualityClassifier.train(feats, iters = 10)
+    val want = local.map { d =>
+      val z = (0 until QualityClassifier.Dim).map(j => w(j) * d.feats(j)).sum
+      d.doc_id -> BigDecimal(QualityClassifier.sigmoid(z))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val in = java.nio.file.Files.createTempDirectory("qcin")
+    java.nio.file.Files.copy(new java.io.File(sf, "documents.parquet").toPath,
+      in.resolve("documents.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("qcckpt").toString
+    val schema = graft.Tables.documents(spark, sf).schema
+    val q = QualityClassifier.scoreWith(w)(QualityClassifier.featurizeFrame(
+        spark.readStream.schema(schema).parquet(in.toString)))
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName("qc_stream").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("qc_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("scoring plan: broadcast model join, one doc-id aggregation, no model shuffle") {
     val plan = QualityClassifier.scored(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n${plan.take(1500)}")
