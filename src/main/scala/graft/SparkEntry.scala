@@ -181,6 +181,9 @@ object SparkEntry {
     // the band/width tuning dashboard: candidates, found, truth, recall,
     // candidate fraction per configuration
     "dedup_lsh_sweep" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.sweep(s, d)),
+    // end-to-end embedding dedup: LSH pairs -> components -> canonical
+    // keep-list (the vector twin of dedup_components, same CC engine)
+    "dedup_lsh_components" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.dedupKeep(s, d)),
     // incremental ingest dedup: arriving batch (top 20% of the doc_id
     // range — the ingest watermark) vs existing corpus only — candidate
     // generation scales with the batch, not corpus²
@@ -920,6 +923,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql,
     "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql(
       fnvBucket("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
+    "dedup_lsh_components" -> graft.dedup.EmbeddingLsh.oracleDedupKeepSql,
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

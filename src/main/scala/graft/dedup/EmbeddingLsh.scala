@@ -47,14 +47,19 @@ object EmbeddingLsh {
 
   /** ±1 hyperplane matrix from a fixed LCG (seed 42, the classic glibc
     * multiplier; sign from bit 16 of the 31-bit state — the LOW bits of a
-    * power-of-two-modulus LCG alternate with period 2 and are unusable). */
-  lazy val planes: Array[Array[Int]] = {
+    * power-of-two-modulus LCG alternate with period 2 and are unusable).
+    * The first [[NumPlanes]] rows of ANY requested size are identical (one
+    * stream, row-major), so wider probe configurations extend, never
+    * reshuffle, the production planes. */
+  def planesFor(numPlanes: Int): Array[Array[Int]] = {
     var s = 42L
-    Array.fill(NumPlanes, Dims) {
+    Array.fill(numPlanes, Dims) {
       s = (s * 1103515245L + 12345L) & 0x7FFFFFFFL
       if (((s >> 16) & 1L) == 1L) 1 else -1
     }
   }
+
+  lazy val planes: Array[Array[Int]] = planesFor(NumPlanes)
 
   /** Sum-in-element-order dot product of an array<double> column against a
     * plane — the same left-to-right fold the oracle's list_inner_product
@@ -169,6 +174,20 @@ object EmbeddingLsh {
           (col("n_vec") * (col("n_vec") - 1) / 2), 6).as("cand_frac"))
   }
 
+  /** END-TO-END embedding dedup: LSH candidates → exact cosine verify →
+    * connected components → canonical keep-list (the vector-space twin of
+    * [[Dedup.nearDupComponents]], sharing its auto-cutover components
+    * engine — so the same bucketed-edge path takes over past 2^20 edges).
+    * Vectors in no verified pair keep themselves. */
+  def dedupKeep(spark: SparkSession, dir: String, bands: Int = 8, width: Int = 2,
+                threshold: Double = 0.35): DataFrame = {
+    val p = pairs(spark, dir, bands, width, threshold).select(col("d1"), col("d2"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node"))
+    Dedup.connectedComponentsAuto(p, nodes)
+      .select(col("node").as("vec_id"), col("label").as("canonical_id"),
+        (col("node") === col("label")).as("keep"))
+  }
+
   // ---- oracle SQL (interpolating the SAME plane literals) ----
 
   private def planeLit(p: Array[Int]): String =
@@ -190,17 +209,34 @@ object EmbeddingLsh {
     """ROUND(list_inner_product(x.emb, y.emb) /
       |sqrt(list_inner_product(x.emb, x.emb) * list_inner_product(y.emb, y.emb)), 6)""".stripMargin
 
-  /** DuckDB re-derivation of [[pairs]] (8×2 default). */
-  def oraclePairsSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** The pairs pipeline as a CTE list, shared by the pairs and keep-list
+    * oracles (8×2 default config). */
+  private def pairsCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sig AS (SELECT vec_id, emb, $bitsCols FROM e),
        |bands AS (${bandsUnion(Seq((8, 2)))}),
        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
        |           AND a.vec_id < b.vec_id),
        |v AS (SELECT d1, d2, $cosineSql AS cosine
-       |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)
+       |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)""".stripMargin
+
+  /** DuckDB re-derivation of [[pairs]] (8×2 default). */
+  def oraclePairsSql: String =
+    s"""WITH $pairsCtes
        |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.35""".stripMargin
+
+  /** DuckDB re-derivation of [[dedupKeep]]: the same pairs pipeline, then
+    * min-label connected components as a recursive CTE (the
+    * dedup_components oracle shape). */
+  def oracleDedupKeepSql: String =
+    s"""WITH RECURSIVE $pairsCtes,
+       |p AS (SELECT d1, d2 FROM v WHERE cosine >= 0.35),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2 AS src, d1 AS dst FROM p),
+       |cc AS (SELECT vec_id AS node, vec_id AS label FROM embeddings
+       |       UNION SELECT e2.dst AS node, cc.label FROM cc JOIN edges e2 ON cc.node = e2.src)
+       |SELECT node AS vec_id, MIN(label) AS canonical_id, (node = MIN(label)) AS keep
+       |FROM cc GROUP BY node""".stripMargin
 
   /** DuckDB re-derivation of [[sweep]]: `sampleBucketSql` is the caller's
     * FNV re-derivation of `fnv32(vec_id || ':lshsweep') % 100` (the shared

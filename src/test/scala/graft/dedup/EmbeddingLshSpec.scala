@@ -50,6 +50,29 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(lo._5 < 0.1, s"4x8 should prune hard (cand_frac ${lo._5})")
   }
 
+  test("dedupKeep equals a local union-find over the verified pair set") {
+    val pairs = EmbeddingLsh.pairs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    // local reference: union-find with min-label canonicalization
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = EmbeddingLsh.dedupKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    got.foreach { case (id, (canon, keep)) =>
+      assert(canon == want(id), s"vec $id: canonical $canon != ${want(id)}")
+      assert(keep == (canon == id))
+    }
+    // non-degenerate: the fixture has real multi-vector components
+    assert(got.count(!_._2._2) > 0, "no vector ever dropped — degenerate fixture")
+  }
+
   test("candidate generation is a linear equi-join on (band, key), never a product") {
     val plan = EmbeddingLsh.pairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan:\n${plan.take(1500)}")
