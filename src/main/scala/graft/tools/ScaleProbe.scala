@@ -181,7 +181,11 @@ object ScaleProbe {
     val (m1, n1, _, b1, c1, f1) = aRows.head
     val (m3, n3, _, b3, c3, _) = aRows.last
     val f2 = aRows(1)._6
-    println(f"[scaleprobe] (a) exponents over 1x→100x: batchSideRows ${slope(n1.toDouble, b1.toDouble, n3.toDouble, b3.toDouble)}%.2f, candPairs ${slope(n1.toDouble, c1.toDouble, n3.toDouble, c3.toDouble)}%.2f (1.0 = linear, 2.0 = corpus²); full self-join candPairs 1x→10x ${slope(n1.toDouble, f1.toDouble, 10.0 * n1, f2.toDouble)}%.2f")
+    // a zero count on the small end (possible when the fixed batch crosses
+    // no near-dup block boundary at 1×) has no log — use the 10×→100× leg
+    val (cx1, cy1) = if (c1 > 0) (n1.toDouble, c1.toDouble)
+                     else (aRows(1)._2.toDouble, aRows(1)._5.toDouble)
+    println(f"[scaleprobe] (a) exponents over 1x→100x: batchSideRows ${slope(n1.toDouble, b1.toDouble, n3.toDouble, b3.toDouble)}%.2f, candPairs ${slope(cx1, cy1, n3.toDouble, c3.toDouble)}%.2f (1.0 = linear, 2.0 = corpus²; zero-start legs measured from 10×); full self-join candPairs 1x→10x ${slope(n1.toDouble, f1.toDouble, 10.0 * n1, f2.toDouble)}%.2f")
 
     // ---- probe (c): MinHash-LSH candidate growth through the PRODUCTION
     // capped path. First lesson of this probe (kept for the record): an
@@ -247,6 +251,114 @@ object ScaleProbe {
       val parts = spark.read.parquet(s"$dir/documents.parquet").rdd.getNumPartitions
       println(f"[scaleprobe] x$m%-4d $n%9d $topkRows%14d $winRows%16d ${parts.toLong * Sources * capK}%12d $tTopk%6.2f $tWin%6.2f")
     }
+
+    // ---- probe (d): hyperplane-LSH candidate growth — the n^ρ law ----
+    // The claim under test (EmbeddingLsh scaladoc): a FIXED band width
+    // saturates its 2^w buckets as the corpus grows, so candidates go
+    // quadratic; scaling width with log₂(n) (and growing bands to hold the
+    // per-pair collision recall constant — the LSH n^ρ tradeoff) keeps
+    // bucket occupancy, and thus candidates-per-vector, bounded. Planted
+    // near-dup pairs (cosine ≈ 0.95) give a linear-cost recall measurement
+    // at every scale — no quadratic truth computation anywhere.
+    println("[scaleprobe] (d) embedding LSH: fixed-width vs log-scaled bands, planted-pair recall")
+    println("[scaleprobe] scale vecs cfg bands width candPairs plantedRecall sec")
+    val pBit = 1.0 - math.acos(0.90) / math.Pi // collision prob per bit at τ=0.9
+    val dRows = scales.map { m =>
+      val nVec = 2000L * m
+      val dir = s"$root/vec_v1x$m"
+      genVectors(spark, dir, nVec)
+      val planted = (0L until nVec - 1).count(_ % 97 == 0).toDouble
+      def run(bands: Int, width: Int): (Long, Double, Double) = {
+        val planes = graft.dedup.EmbeddingLsh.planesFor(bands * width)
+        val ((cand, recall), t) = timed {
+          import spark.implicits._
+          val bandRows = spark.read.parquet(dir).as[(Long, Array[Float])]
+            .mapPartitions { it =>
+              it.flatMap { case (id, v) =>
+                (0 until bands).iterator.map { b =>
+                  var key = 0L
+                  var i = 0
+                  while (i < width) {
+                    val p = planes(b * width + i)
+                    var dot = 0.0
+                    var j = 0
+                    while (j < v.length) { dot += v(j) * p(j); j += 1 }
+                    if (dot >= 0) key |= (1L << i)
+                    i += 1
+                  }
+                  (id, b, key)
+                }
+              }
+            }.toDF("vec_id", "band", "key")
+          val cand = bandRows.as("a").join(bandRows.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+            .dropDuplicates("d1", "d2")
+          val nCand = cand.count()
+          val hits = cand.filter(col("d2") === col("d1") + 1 && col("d1") % 97 === 0).count()
+          (nCand, hits / planted)
+        }
+        (cand, recall, t)
+      }
+      // fixed config: the production default's width. Skipped at 100× —
+      // its saturated buckets are the quadratic blow-up under test (the
+      // probe-(a) full-self-join precedent); exponent from 1×→10×.
+      val (cF, rF, tF) = if (m <= 10) run(8, 8) else (-1L, -1.0, -1.0)
+      // scaled config: width tracks log₂(n); bands hold target recall 0.9
+      val w = math.ceil(math.log(nVec.toDouble) / math.log(2)).toInt
+      val b = math.max(8, math.ceil(math.log(1.0 - 0.9) / math.log(1.0 - math.pow(pBit, w))).toInt)
+      val (cS, rS, tS) = run(b, w)
+      println(f"[scaleprobe] x$m%-4d $nVec%7d fixed  8 8  $cF%10d $rF%6.3f $tF%6.2f")
+      println(f"[scaleprobe] x$m%-4d $nVec%7d scaled $b%2d $w%2d $cS%10d $rS%6.3f $tS%6.2f")
+      (nVec, cF, cS)
+    }
+    println(f"[scaleprobe] (d) exponents: fixed-width candPairs 1x→10x ${slope(dRows.head._1.toDouble, dRows.head._2.toDouble, dRows(1)._1.toDouble, dRows(1)._2.toDouble)}%.2f, log-scaled candPairs 1x→100x ${slope(dRows.head._1.toDouble, dRows.head._3.toDouble, dRows.last._1.toDouble, dRows.last._3.toDouble)}%.2f (1.0 = linear)")
     spark.stop()
+  }
+
+  /** Deterministic unit vectors with cluster structure and planted near-dup
+    * pairs: vec(id) for id % 97 == 0 is copied at id+1 with a small
+    * perturbation (cosine ≈ 0.95) — a linear-cost recall target at any
+    * scale. 50 vectors per cluster center; all coordinates hash-derived
+    * (SplitMix64 → Irwin-Hall gaussian-ish), no driver loop. */
+  private def genVectors(spark: SparkSession, path: String, nVec: Long): Unit = {
+    val target = new java.io.File(path)
+    if (target.exists()) return
+    import spark.implicits._
+    import graft.sim.Similarity.mix64
+    def g(seed: Long, k: Long): Double = {
+      // Irwin-Hall(4) centered: mean 0, var 1/3 — gaussian-ish, cheap
+      var s = 0.0
+      var i = 0
+      while (i < 4) {
+        val h = mix64(seed * 1000003L + k * 7919L + i)
+        s += (h >>> 11).toDouble / (1L << 53).toDouble
+        i += 1
+      }
+      s - 2.0
+    }
+    spark.range(nVec).as[Long].map { id =>
+      val base = if (id % 97 == 1 && id > 0) id - 1 else id
+      val cluster = base / 50
+      val v = new Array[Float](graft.dedup.EmbeddingLsh.Dims)
+      var nrm = 0.0
+      var j = 0
+      while (j < v.length) {
+        val center = g(cluster + 1, j)
+        val noise = 0.5 * g(base + 1000000007L, j)
+        // the planted copy perturbs its ORIGINAL's coordinates slightly
+        val perturb = if (base != id) 0.22 * g(id + 2000000011L, j) else 0.0
+        val x = center + noise + perturb
+        v(j) = x.toFloat
+        nrm += x * x
+        j += 1
+      }
+      val inv = (1.0 / math.sqrt(nrm)).toFloat
+      j = 0
+      while (j < v.length) { v(j) *= inv; j += 1 }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(path)
   }
 }
