@@ -120,6 +120,9 @@ object SparkEntry {
     // corpus heavy hitters: exact top-k bigrams via per-partition heaps
     // (TakeOrderedAndProject), never a global sort
     "text_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
+    // per-source dataset-card profile: doc counts, exact token quantiles,
+    // vocabulary, type-token ratio
+    "text_profile" -> TextAnalysis.profile _,
     // deterministic hash-bucket sampling: language-mixture downsampling and
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
@@ -655,6 +658,23 @@ object SparkEntry {
             CAST(n_blocked AS DOUBLE) / n_tokens AS blocked_frac,
             (CAST(n_blocked AS DOUBLE) / n_tokens > 0.05) AS blocked, scrubbed
           FROM s""",
+    // per-source profile: exact integer totals, interpolated quantiles
+    // (the q_quantiles acceptance), IEEE divisions of exact ints
+    "text_profile" ->
+      s"""WITH t AS (SELECT source, ${toks("text")} AS tk FROM documents),
+          b AS (SELECT source, CAST(len(tk) AS BIGINT) AS n_tok, tk FROM t),
+          s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                  quantile_cont(n_tok, 0.5) AS p50_tokens,
+                  quantile_cont(n_tok, 0.9) AS p90_tokens,
+                  MAX(n_tok) AS max_tokens
+                FROM b GROUP BY 1),
+          v AS (SELECT source, COUNT(DISTINCT w) AS vocab
+                FROM (SELECT source, unnest(tk) AS w FROM b) GROUP BY 1)
+          SELECT source, n_docs, total_tokens,
+            CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+            p50_tokens, p90_tokens, max_tokens, vocab,
+            CAST(vocab AS DOUBLE) / total_tokens AS ttr
+          FROM s JOIN v USING (source)""",
     // heavy hitters: exact counts, the (n desc, gram asc) tie-break makes
     // the k-set deterministic across engines
     "text_top_ngrams" ->

@@ -275,6 +275,40 @@ object TextAnalysis {
     * TakeOrderedAndProject — every partition keeps k rows in a bounded heap
     * and the driver merges partitions×k; no global sort materializes at any
     * corpus size (plan-spec-pinned). */
+  /** CORPUS PROFILE — the dataset-card dashboard: per source, document
+    * count, exact token totals and distribution (mean / interpolated
+    * p50+p90 / max), source vocabulary size, and type-token ratio. The
+    * per-source length histogram + lexical-richness table every dataset
+    * release publishes, and the first thing a mixture designer reads next
+    * to [[graft.sample.Sampling.temperatureMixture]].
+    *
+    * Scale shape: token counting fuses into the scan; TWO map-side-combined
+    * exchanges (per-source stats; per-source distinct words — the word
+    * stream partially dedups map-side). `percentile` holds per-group sorted
+    * state: exact and fine at sources-sized group counts; extreme-
+    * cardinality profiles swap in approx_percentile (the q_quantiles
+    * sketch-twin precedent). Mean/ttr derive from exact integers (the IEEE
+    * division contract); percentiles interpolate identically in both
+    * engines (the q_quantiles acceptance). */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), tokensCol(col("text")).as("tk"))
+      .select(col("source"), size(col("tk")).cast("bigint").as("n_tok"), col("tk"))
+    val stats = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("total_tokens"),
+      percentile(col("n_tok"), lit(0.5)).as("p50_tokens"),
+      percentile(col("n_tok"), lit(0.9)).as("p90_tokens"),
+      max(col("n_tok")).as("max_tokens"))
+    val vocab = base.select(col("source"), explode(col("tk")).as("w"))
+      .groupBy(col("source")).agg(countDistinct(col("w")).as("vocab"))
+    stats.join(vocab, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        col("p50_tokens"), col("p90_tokens"), col("max_tokens"), col("vocab"),
+        (col("vocab").cast("double") / col("total_tokens")).as("ttr"))
+  }
+
   def topNgrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
     Tables.documents(spark, dir)
       .select(tokensCol(col("text")).as("t"))

@@ -165,4 +165,46 @@ class PropertySpec extends AnyFunSuite {
       assert(folded.size <= k)
     }
   }
+
+  // ------------------------------------- blocklist scrub algebra
+
+  test("blocklist: conservation + idempotence for random lists over the fixture vocabulary") {
+    val vocabulary = Seq("table", "scan", "slow", "fast", "query", "spark",
+      "value", "key", "the", "a")
+    val genList: Gen[Seq[String]] =
+      Gen.chooseNum(1, 4).flatMap(n => Gen.pick(n, vocabulary)).map(_.toSeq)
+    forAll(genList, 4) { blocked =>
+      val rows = graft.text.TextAnalysis.blocklist(spark, SparkTestSession.sf, blocked)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (n, nb, scrubbed) = (r.getLong(1), r.getLong(2), r.getString(5))
+        val scrubbedToks = scrubbed.split(" ").filter(_.nonEmpty)
+        // conservation: removed + kept == total, and no blocked token survives
+        assert(nb + scrubbedToks.length == n)
+        assert(!scrubbedToks.exists(blocked.contains), s"blocked token survived: $scrubbed")
+        // idempotence: scrubbing the scrubbed text again removes nothing
+        assert(!blocked.exists(b => scrubbedToks.contains(b)))
+      }
+    }
+  }
+
+  // ------------------------------------- temperature mixing algebra
+
+  test("temperature mixing: τ=1 is the identity; smaller τ flattens harder") {
+    def sharesAt(tau: Double): Map[String, (Double, Double)] =
+      graft.sample.Sampling.temperatureMixture(spark, SparkTestSession.sf, tau = tau)
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val id = sharesAt(1.0)
+    // τ=1: pow is exact on the integer counts — temp share == raw share
+    id.foreach { case (s, (raw, temp)) => assert(raw == temp, s"$s at τ=1: $raw != $temp") }
+    // flattening is monotone in τ: the max share shrinks as τ drops
+    val maxShares = Seq(1.0, 0.7, 0.4, 0.1).map(t => sharesAt(t).values.map(_._2).max)
+    assert(maxShares == maxShares.sorted.reverse, s"max shares not monotone: $maxShares")
+    // and every distribution still sums to ~1 (6-decimal rounding slack)
+    Seq(0.1, 0.4, 0.7).foreach { t =>
+      val sum = sharesAt(t).values.map(_._2).sum
+      assert(math.abs(sum - 1.0) < 2e-5, s"τ=$t shares sum $sum")
+    }
+  }
 }
