@@ -187,6 +187,10 @@ object SparkEntry {
     // end-to-end embedding dedup: LSH pairs -> components -> canonical
     // keep-list (the vector twin of dedup_components, same CC engine)
     "dedup_lsh_components" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.dedupKeep(s, d)),
+    // THE capstone: the full training-data assembly funnel in one row —
+    // hygiene -> dedup -> decontam -> mixture -> packing accounting, every
+    // verdict fused map-only except the dedup keep-list join
+    "pipeline_training_set" -> ((s: SparkSession, d: String) => graft.pipeline.TrainingPipeline.trainingSetCounts(s, d)),
     // incremental ingest dedup: arriving batch (top 20% of the doc_id
     // range — the ingest watermark) vs existing corpus only — candidate
     // generation scales with the batch, not corpus²
@@ -944,6 +948,77 @@ object SparkEntry {
     "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql(
       fnvBucket("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
     "dedup_lsh_components" -> graft.dedup.EmbeddingLsh.oracleDedupKeepSql,
+    // the funnel re-derived end-to-end: hygiene (wordlist + Gopher rules),
+    // dedup keep (recursive-CTE components over jaccard+exact edges),
+    // decontamination (5-gram strings vs the eval split), mixture (fnv
+    // bucket), and the packing arithmetic — every fragment is the same
+    // text as its standalone stage oracle
+    "pipeline_training_set" ->
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, lang, source, text, ${toks("text")} AS tk FROM documents),
+          b AS (SELECT doc_id, lang, source, text, tk, CAST(len(tk) AS BIGINT) AS n_tok FROM t),
+          g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+                 FROM b, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+          g2c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+          g2s AS (SELECT doc_id, MAX(c) AS g2_max, SUM(c) AS g2_n FROM g2c GROUP BY 1),
+          g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+                 FROM b, unnest(generate_series(1, len(tk)-2)) AS u(i)),
+          g3c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+          g3s AS (SELECT doc_id, SUM(c) AS g3_n, COUNT(*) AS g3_d FROM g3c GROUP BY 1),
+          hy AS (SELECT b.doc_id,
+                   (CAST(len(list_filter(tk, x -> x IN ('slow','big','bad'))) AS DOUBLE) / len(tk) <= 0.05
+                    AND b.n_tok >= 30
+                    AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) >= 3.0
+                    AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) <= 10.0
+                    AND CAST(g2_max AS DOUBLE) / g2_n <= 0.1
+                    AND CAST(g3_n - g3_d AS DOUBLE) / g3_n <= 0.05) AS ph
+                 FROM b LEFT JOIN g2s ON b.doc_id = g2s.doc_id
+                        LEFT JOIN g3s ON b.doc_id = g3s.doc_id),
+          w2 AS (SELECT DISTINCT doc_id, lang, source, word FROM
+            (SELECT doc_id, lang, source, unnest(tk) AS word FROM b) WHERE word <> ''),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM w2 GROUP BY doc_id),
+          jp AS (SELECT a.doc_id AS d1, b2.doc_id AS d2, COUNT(*) AS c FROM w2 a JOIN w2 b2
+            ON a.lang = b2.lang AND a.source = b2.source AND a.word = b2.word AND a.doc_id < b2.doc_id
+            GROUP BY 1, 2),
+          jpairs AS (SELECT d1, d2 FROM jp JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+            WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+          ex AS (SELECT a.doc_id AS d1, b2.doc_id AS d2 FROM documents a JOIN documents b2
+            ON a.text = b2.text AND a.doc_id < b2.doc_id),
+          e0 AS (SELECT d1, d2 FROM jpairs UNION SELECT d1, d2 FROM ex),
+          edges AS (SELECT d1 AS src, d2 AS dst FROM e0 UNION SELECT d2 AS src, d1 AS dst FROM e0),
+          cc AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+            UNION
+            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+          keepd AS (SELECT node AS doc_id, (node = MIN(label)) AS kd FROM cc GROUP BY node),
+          lt AS (SELECT doc_id, ${toks("lower(text)")} AS ltk FROM documents),
+          shg AS (SELECT doc_id, CASE WHEN len(ltk) < 5 THEN [array_to_string(ltk, ' ')]
+                   ELSE list_distinct(list_transform(generate_series(1, len(ltk)-4),
+                     i -> ltk[i]||' '||ltk[i+1]||' '||ltk[i+2]||' '||ltk[i+3]||' '||ltk[i+4])) END AS s FROM lt),
+          wg AS (SELECT doc_id, unnest(s) AS g FROM shg),
+          evg AS (SELECT DISTINCT g FROM wg WHERE doc_id % 50 = 0),
+          cont AS (SELECT DISTINCT wg.doc_id FROM wg JOIN evg USING (g) WHERE wg.doc_id % 50 <> 0),
+          mx AS (SELECT doc_id, (${fnvBucket("CAST(doc_id AS VARCHAR)")} <
+                   CASE lang WHEN 'en' THEN 90 WHEN 'fr' THEN 75 WHEN 'de' THEN 50
+                             WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END) AS pm FROM documents),
+          flags AS (SELECT b.doc_id, b.n_tok,
+              COALESCE(hy.ph, FALSE) AS ph, keepd.kd AS kd,
+              (b.doc_id % 50 <> 0 AND b.doc_id NOT IN (SELECT doc_id FROM cont)) AS pd,
+              mx.pm AS pm
+            FROM b JOIN hy ON b.doc_id = hy.doc_id
+                   JOIN keepd ON b.doc_id = keepd.doc_id
+                   JOIN mx ON b.doc_id = mx.doc_id),
+          funnel AS (SELECT
+              CAST(COUNT(*) AS BIGINT) AS total_docs,
+              CAST(SUM(CASE WHEN ph THEN 1 ELSE 0 END) AS BIGINT) AS after_hygiene,
+              CAST(SUM(CASE WHEN ph AND kd THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+              CAST(SUM(CASE WHEN ph AND kd AND pd THEN 1 ELSE 0 END) AS BIGINT) AS after_decontam,
+              CAST(SUM(CASE WHEN ph AND kd AND pd AND pm THEN 1 ELSE 0 END) AS BIGINT) AS after_mixture,
+              CAST(SUM(CASE WHEN ph AND kd AND pd AND pm THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM flags)
+          SELECT total_docs, after_hygiene, after_dedup, after_decontam, after_mixture,
+            kept_tokens, CAST((kept_tokens + 511) // 512 AS BIGINT) AS n_sequences
+          FROM funnel""",
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

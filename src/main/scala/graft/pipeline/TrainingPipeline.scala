@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** END-TO-END TRAINING-DATA ASSEMBLY — the composition every individual
+  * operator here exists for, runnable as one call:
+  *
+  *   1. hygiene  — C4 wordlist verdict + Gopher shape/repetition rules
+  *   2. dedup    — exact ∪ token-jaccard near-dup canonical keep-list
+  *   3. decontam — drop the eval split and every train doc sharing a
+  *                 5-gram with it
+  *   4. mixture  — deterministic per-language hash-fate rates
+  *   5. packing  — concat-and-chunk the survivors into fixed sequences
+  *
+  * Stage verdicts are CORPUS-LEVEL (each matches its registered standalone
+  * query exactly — spec-pinned) and are applied cumulatively in the order
+  * above, so the stage counts read as a funnel.
+  *
+  * Scale shape: every verdict except dedup is computed FUSED in one
+  * map-only pass over the corpus scan (wordlist ratio, the gram-stats
+  * expression, the decontamination probe against the broadcast eval-gram
+  * array, the mixture hash bucket) — running the four stage queries
+  * separately would scan the corpus four times for facts one projection
+  * yields. Dedup is the one inherently non-map stage (pair generation +
+  * connected components) and joins its keep-list back by doc_id. The
+  * funnel aggregation is a single map-side-combined row.
+  */
+object TrainingPipeline {
+
+  /** Per-document stage verdicts + the cumulative keep decision. One
+    * corpus scan plus the dedup keep-list join. */
+  def stageFlags(spark: SparkSession, dir: String,
+                 blocked: Seq[String] = Seq("slow", "big", "bad"),
+                 rates: Map[String, Int] = Map(
+                   "en" -> 90, "fr" -> 75, "de" -> 50, "es" -> 25, "zh" -> 10)): DataFrame = {
+    val evalGrams = Dedup.evalGramSet(spark, dir) // bounded, by design (eval sets are small)
+    val tk = TextAnalysis.tokensCol(col("text"))
+    val rateCol = rates.foldLeft(lit(0)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), tk.as("tk"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(col("tk")).cast("bigint").as("n_tokens"),
+        // hygiene facts, fused: wordlist ratio + Gopher shape/repetition
+        (size(filter(col("tk"), t => t.isInCollection(blocked))).cast("double") /
+          size(col("tk"))).as("blocked_frac"),
+        (aggregate(transform(col("tk"), t => length(t).cast("bigint")),
+          lit(0L), (a, x) => a + x).cast("double") / size(col("tk"))).as("mean_word_len"),
+        graft.functions.TextHash.gramStatsCol(col("tk")).as("gs"),
+        // decontamination probe against the broadcast eval-gram set — the
+        // same fused column the streaming ingest twin uses
+        Dedup.decontamStreamCol(col("text"), evalGrams).as("n_shared"),
+        graft.sample.Sampling.bucketCol(col("doc_id")).as("bucket"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_tokens"),
+        (!(col("blocked_frac") > 0.05) &&
+          col("n_tokens") >= 30 && col("mean_word_len") >= 3.0 &&
+          col("mean_word_len") <= 10.0 &&
+          col("gs")(0).cast("double") / col("gs")(1) <= 0.1 &&
+          (col("gs")(2) - col("gs")(3)).cast("double") / col("gs")(2) <= 0.05)
+          .as("pass_hygiene"),
+        (col("doc_id") % 50 =!= 0 && col("n_shared") === 0).as("pass_decontam"),
+        (col("bucket") < rateCol).as("pass_mixture"))
+    val keep = Dedup.nearDupComponents(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_dedup"))
+    base.join(keep, "doc_id")
+      .withColumn("kept",
+        col("pass_hygiene") && col("keep_dedup") && col("pass_decontam") && col("pass_mixture"))
+  }
+
+  /** The funnel as ONE row (the registered, value-oracled surface):
+    * total docs, survivors after each cumulative stage, kept token total,
+    * and the sequence count a `seqLen` packing of the kept set yields. */
+  def trainingSetCounts(spark: SparkSession, dir: String, seqLen: Long = 512): DataFrame = {
+    val f = stageFlags(spark, dir)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    f.agg(
+      count(lit(1)).as("total_docs"),
+      cnt(col("pass_hygiene")).as("after_hygiene"),
+      cnt(col("pass_hygiene") && col("keep_dedup")).as("after_dedup"),
+      cnt(col("pass_hygiene") && col("keep_dedup") && col("pass_decontam"))
+        .as("after_decontam"),
+      cnt(col("kept")).as("after_mixture"),
+      sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("n_sequences", expr(s"(kept_tokens + $seqLen - 1) DIV $seqLen"))
+  }
+
+  /** The assembled artifact: the kept survivors packed into `seqLen`-token
+    * sequences (chunk ids + boundary flags per doc — the
+    * [[graft.sample.Packing]] contract). */
+  def assemble(spark: SparkSession, dir: String, seqLen: Long = 512): DataFrame =
+    graft.sample.Packing.packSequencesFrom(
+      stageFlags(spark, dir).filter(col("kept"))
+        .select(col("doc_id"), col("text")), seqLen)
+}

@@ -26,7 +26,13 @@ import graft.text.TextAnalysis
   * test scale, which is the point of re-deriving it independently. */
 object Packing {
 
-  def packSequences(spark: SparkSession, dir: String, seqLen: Long = 512): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, seqLen: Long = 512): DataFrame =
+    packSequencesFrom(Tables.documents(spark, dir), seqLen)
+
+  /** [[packSequences]] over any (doc_id, text) frame — the form the
+    * end-to-end pipeline feeds its dedup/filter SURVIVORS through. */
+  def packSequencesFrom(docs: DataFrame, seqLen: Long = 512): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     // The corpus is scanned exactly ONCE: the (doc_id, n_tokens) projection
     // (16 bytes/doc — tiny even against a 100 TB corpus) is materialized by
@@ -35,7 +41,7 @@ object Packing {
     // blocks, never the parquet+tokenize pipeline. (Checkpointing after the
     // exchange would be too late: the partitioner's sample pass and the
     // shuffle-map pass would each re-run the scan.)
-    val countedOnce = Tables.documents(spark, dir)
+    val countedOnce = docs
       .select(col("doc_id"),
         size(TextAnalysis.tokensCol(col("text"))).cast("bigint").as("n_tokens"))
       .localCheckpoint(true)
