@@ -909,12 +909,14 @@ object Dedup {
       col("doc_id"),
       graft.functions.TextHash.shingleHashesCol(
         TextAnalysis.tokensCol(lower(col("text"))), w).as("sh"))
+    // persisted across its TWO actions (sizing count + filter build) so the
+    // eval split's scan + shingle pipeline runs once, not twice
     val evalGrams = sh.filter(col("doc_id") % evalMod === 0)
-      .select(explode(col("sh")).as("g")).distinct()
-    // expectedNumItems from a cheap count over the (small, by-design) eval
-    // split; the filter build is the only non-map stage and returns bits
-    val nEval = math.max(evalGrams.count(), 1L)
-    val bloom = evalGrams.stat.bloomFilter("g", nEval, fpp)
+      .select(explode(col("sh")).as("g")).distinct().persist()
+    val bloom = try {
+      val nEval = math.max(evalGrams.count(), 1L)
+      evalGrams.stat.bloomFilter("g", nEval, fpp)
+    } finally evalGrams.unpersist(blocking = false)
     val bBloom = spark.sparkContext.broadcast(bloom)
     sh.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id").as("train_id"), col("sh"))

@@ -69,16 +69,27 @@ object EmbeddingLsh {
       zip_with(emb, typedLit(plane.map(_.toDouble)), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x), 6)
 
-  /** vec_id, emb (double), bits: the NumPlanes sign bits. */
-  def signatures(spark: SparkSession, dir: String): DataFrame =
+  /** vec_id, emb (double), bits: the first `numPlanes` sign bits — callers
+    * request exactly the planes their band configuration consumes (the
+    * 8×2 default pays for 16 projections, not all 32; planesFor guarantees
+    * prefix stability so narrower requests agree with wider ones). */
+  def signatures(spark: SparkSession, dir: String,
+                 numPlanes: Int = NumPlanes): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
-      .withColumn("bits", array(planes.map(p =>
+      .withColumn("bits", array(planesFor(numPlanes).map(p =>
         when(projection(col("emb"), p) >= 0, 1).otherwise(0)): _*))
 
   /** One row per (vector, band): the band's key is the little-endian integer
-    * of its `width` bits starting at plane `band*width`. */
-  private def bandRows(sig: DataFrame, bands: Int, width: Int): DataFrame = {
+    * of its `width` bits starting at plane `band*width`. `sigPlanes` is the
+    * bit count the signature frame actually carries — element_at past the
+    * array end would yield NULL keys and the equi-join would silently drop
+    * every candidate, so the mismatch fails fast here instead. */
+  private def bandRows(sig: DataFrame, bands: Int, width: Int,
+                       sigPlanes: Int): DataFrame = {
+    require(bands * width <= sigPlanes,
+      s"band config ${bands}x$width needs ${bands * width} planes but the " +
+        s"signatures carry only $sigPlanes")
     val bandStructs = (0 until bands).map { b =>
       val key = (0 until width).map(i =>
         element_at(col("bits"), b * width + i + 1) * (1 << i)).reduce(_ + _)
@@ -89,8 +100,9 @@ object EmbeddingLsh {
   }
 
   /** Distinct candidate pairs (d1 < d2) colliding in ≥1 band. */
-  private def candidates(sig: DataFrame, bands: Int, width: Int): DataFrame = {
-    val bk = bandRows(sig, bands, width)
+  private def candidates(sig: DataFrame, bands: Int, width: Int,
+                         sigPlanes: Int): DataFrame = {
+    val bk = bandRows(sig, bands, width, sigPlanes)
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -110,9 +122,10 @@ object EmbeddingLsh {
     * the spec and measured by [[sweep]]). */
   def pairs(spark: SparkSession, dir: String, bands: Int = 8, width: Int = 2,
             threshold: Double = 0.35): DataFrame = {
-    val sig = signatures(spark, dir)
+    // exactly the planes this configuration consumes (prefix-stable)
+    val sig = signatures(spark, dir, bands * width)
     val e = sig.select(col("vec_id"), col("emb"))
-    candidates(sig, bands, width)
+    candidates(sig, bands, width, bands * width)
       .join(e.as("x"), col("d1") === col("x.vec_id"))
       .join(e.as("y"), col("d2") === col("y.vec_id"))
       .select(col("d1"), col("d2"), cosineCol(col("x.emb"), col("y.emb")).as("cosine"))
@@ -153,13 +166,21 @@ object EmbeddingLsh {
   def sweep(spark: SparkSession, dir: String,
             configs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8)),
             threshold: Double = 0.35, samplePct: Int = 20): DataFrame = {
-    val sig = signatures(spark, dir).filter(sampleFilter(samplePct))
+    require(configs.nonEmpty)
+    val maxPlanes = configs.map { case (b, w) => b * w }.max
+    // ONE projection pass, materialized: every config's candidate join,
+    // both verify sides, the truth, and the vector count all reuse the
+    // checkpointed sample (the Packing countedOnce precedent — without it
+    // the scan + projections recompute once per consumer, 6+ times here)
+    val sig = signatures(spark, dir, maxPlanes)
+      .filter(sampleFilter(samplePct)).localCheckpoint(true)
     val e = sig.select(col("vec_id"), col("emb"))
-    val nTrue = allPairs(spark, dir, threshold, samplePct)
+    val nTrue = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineCol(col("a.emb"), col("b.emb")) >= threshold)
       .agg(count(lit(1)).as("n_true"))
     val nVec = e.agg(count(lit(1)).as("n_vec"))
     val perCfg = configs.map { case (bands, width) =>
-      candidates(sig, bands, width)
+      candidates(sig, bands, width, maxPlanes)
         .join(e.as("x"), col("d1") === col("x.vec_id"))
         .join(e.as("y"), col("d2") === col("y.vec_id"))
         .select(cosineCol(col("x.emb"), col("y.emb")).as("cosine"))
@@ -240,26 +261,35 @@ object EmbeddingLsh {
 
   /** DuckDB re-derivation of [[sweep]]: `sampleBucketSql` is the caller's
     * FNV re-derivation of `fnv32(vec_id || ':lshsweep') % 100` (the shared
-    * oracle helper lives with the other fnv-sampling oracles). */
-  def oracleSweepSql(sampleBucketSql: String, samplePct: Int = 20): String =
+    * oracle helper lives with the other fnv-sampling oracles). The final
+    * select LEFT-JOINs from the config list so a configuration with zero
+    * candidates still emits its (zeroed) dashboard row, matching the
+    * engine's empty-frame aggregation. */
+  def oracleSweepSql(sampleBucketSql: String, samplePct: Int = 20): String = {
+    val cfgs = Seq((16, 2), (8, 4), (4, 8))
+    val cfgValues = cfgs.map { case (b, w) => s"('${b}x$w')" }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
        |           WHERE $sampleBucketSql < $samplePct),
        |sig AS (SELECT vec_id, emb, $bitsCols FROM e),
-       |bands AS (${bandsUnion(Seq((16, 2), (8, 4), (4, 8)))}),
+       |bands AS (${bandsUnion(cfgs)}),
        |cand AS (SELECT DISTINCT cfg, a.vec_id AS d1, b.vec_id AS d2
        |         FROM bands a JOIN bands b USING (cfg)
        |         WHERE a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
        |ver AS (SELECT cfg, $cosineSql AS cosine
        |        FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2),
+       |agg AS (SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |          CAST(COUNT(*) FILTER (cosine >= 0.35) AS BIGINT) AS n_found
+       |        FROM ver GROUP BY cfg),
+       |cfgs AS (SELECT * FROM (VALUES $cfgValues) AS c(cfg)),
        |tru AS (SELECT COUNT(*) AS n_true FROM (
        |          SELECT 1 FROM e a JOIN e b ON a.vec_id < b.vec_id
        |          WHERE ROUND(list_inner_product(a.emb, b.emb) /
        |            sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) >= 0.35)),
        |n AS (SELECT COUNT(*) AS n_vec FROM e)
-       |SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_cand,
-       |  CAST(COUNT(*) FILTER (cosine >= 0.35) AS BIGINT) AS n_found,
-       |  CAST(ANY_VALUE(n_true) AS BIGINT) AS n_true,
-       |  ROUND(CAST(COUNT(*) FILTER (cosine >= 0.35) AS DOUBLE) / ANY_VALUE(n_true), 6) AS recall,
-       |  ROUND(CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(n_vec) * (ANY_VALUE(n_vec) - 1) / 2), 6) AS cand_frac
-       |FROM ver, tru, n GROUP BY cfg""".stripMargin
+       |SELECT cfg, COALESCE(n_cand, 0) AS n_cand, COALESCE(n_found, 0) AS n_found,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  ROUND(CAST(COALESCE(n_found, 0) AS DOUBLE) / n_true, 6) AS recall,
+       |  ROUND(CAST(COALESCE(n_cand, 0) AS DOUBLE) / (n_vec * (n_vec - 1) / 2), 6) AS cand_frac
+       |FROM cfgs LEFT JOIN agg USING (cfg), tru, n""".stripMargin
+  }
 }

@@ -20,9 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 object VecOps {
 
   /** Hot-path entry referenced from generated code: round-6 cosine of two
-    * equal-length double arrays, sums accumulated in element order. */
+    * equal-length double arrays, sums accumulated in element order.
+    * Zero-norm input yields 0.0 (the [[graft.sim.Similarity.cosine6]]
+    * contract — BigDecimal(NaN) would throw); a length mismatch is a
+    * caller bug and fails with a descriptive error instead of reading
+    * past the shorter buffer. */
   def cosine6(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    require(b.numElements() == n,
+      s"cosine6: array lengths differ (${n} vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -35,8 +41,9 @@ object VecOps {
       nb += y * y
       i += 1
     }
-    val c = dot / math.sqrt(na * nb)
-    BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = na * nb
+    if (d == 0.0) 0.0
+    else BigDecimal(dot / math.sqrt(d)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** Column form: `cosine6Col(a, b)` over two array<double> columns. */

@@ -265,16 +265,6 @@ object TextAnalysis {
       array_join(filter(toks, t => !t.isInCollection(blocked)), " ").as("scrubbed"))
   }
 
-  /** Corpus-wide HEAVY HITTERS: top-k bigrams by exact count, deterministic
-    * (count desc, gram asc) tie-break — the "what's templated/boilerplate in
-    * this crawl" observability query (the corpus-level complement of the
-    * per-document gopher repetition stats).
-    *
-    * Scale shape: the bigram counts are ONE map-side-combined exchange
-    * (vocab²-bounded output, ≪ corpus), and the top-k is
-    * TakeOrderedAndProject — every partition keeps k rows in a bounded heap
-    * and the driver merges partitions×k; no global sort materializes at any
-    * corpus size (plan-spec-pinned). */
   /** CORPUS PROFILE — the dataset-card dashboard: per source, document
     * count, exact token totals and distribution (mean / interpolated
     * p50+p90 / max), source vocabulary size, and type-token ratio. The
@@ -309,6 +299,16 @@ object TextAnalysis {
         (col("vocab").cast("double") / col("total_tokens")).as("ttr"))
   }
 
+  /** Corpus-wide HEAVY HITTERS: top-k bigrams by exact count, deterministic
+    * (count desc, gram asc) tie-break — the "what's templated/boilerplate in
+    * this crawl" observability query (the corpus-level complement of the
+    * per-document gopher repetition stats).
+    *
+    * Scale shape: the bigram counts are ONE map-side-combined exchange
+    * (vocab²-bounded output, ≪ corpus), and the top-k is
+    * TakeOrderedAndProject — every partition keeps k rows in a bounded heap
+    * and the driver merges partitions×k; no global sort materializes at any
+    * corpus size (plan-spec-pinned). */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
     Tables.documents(spark, dir)
       .select(tokensCol(col("text")).as("t"))

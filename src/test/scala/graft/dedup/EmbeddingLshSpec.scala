@@ -73,6 +73,17 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(got.count(!_._2._2) > 0, "no vector ever dropped — degenerate fixture")
   }
 
+  test("non-default band configs build exactly their planes and stay a subset of truth") {
+    // the signature builder is parameterized by the config (prefix-stable
+    // planes): a wider-than-32-planes config must work, not NULL out
+    val got = EmbeddingLsh.pairs(spark, sf, bands = 12, width = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = EmbeddingLsh.allPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "12x3 found nothing — NULL band keys would look like this")
+    assert(got.subsetOf(truth))
+  }
+
   test("candidate generation is a linear equi-join on (band, key), never a product") {
     val plan = EmbeddingLsh.pairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan:\n${plan.take(1500)}")

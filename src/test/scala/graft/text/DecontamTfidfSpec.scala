@@ -42,8 +42,6 @@ class DecontamTfidfSpec extends AnyFunSuite {
   }
 
   test("bloom decontamination: one-sided error vs the exact overlap, bounded excess") {
-    val exact = Dedup.decontamOverlap(spark, sf).collect()
-      .groupBy(_.getLong(0)).map { case (tid, rs) => tid -> rs.map(_.getLong(2)).sum }
     val bloom = Dedup.decontamBloomFlags(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(bloom.nonEmpty)
