@@ -97,4 +97,18 @@ object TrainingPipeline {
     graft.sample.Packing.packSequencesFrom(
       stageFlags(spark, dir).filter(col("kept"))
         .select(col("doc_id"), col("text")), seqLen)
+
+  /** The one-call PRODUCT: assemble the survivors and write them as a
+    * training-ready parquet table laid out for the read pattern training
+    * jobs actually have — ranged by `first_chunk` with in-file sort
+    * ([[graft.sources.Layout.sortedWrite]]), so a data loader pulling a
+    * chunk range (one worker's shard of sequences) prunes row groups and
+    * files by footer stats instead of scanning the corpus. Returns the
+    * written frame re-read from disk (the artifact, not the plan). */
+  def writeTrainingSet(spark: SparkSession, dir: String, outPath: String,
+                       seqLen: Long = 512, nFiles: Int = 8): DataFrame = {
+    graft.sources.Layout.sortedWrite(
+      assemble(spark, dir, seqLen), outPath, Seq("first_chunk", "doc_id"), nFiles)
+    spark.read.parquet(outPath)
+  }
 }

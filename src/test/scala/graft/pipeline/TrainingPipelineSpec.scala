@@ -79,4 +79,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("writeTrainingSet: the written artifact equals assemble and is chunk-range laid out") {
+    val out = java.nio.file.Files.createTempDirectory("trainset").toString + "/t"
+    val written = TrainingPipeline.writeTrainingSet(spark, sf, out, nFiles = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("token_start"), r.getAs[Long]("first_chunk"))).toMap
+    val want = TrainingPipeline.assemble(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("token_start"), r.getAs[Long]("first_chunk"))).toMap
+    assert(written == want)
+    // layout: each parquet file covers a disjoint first_chunk interval
+    // (range partitioning), so footer stats can prune chunk-range reads
+    val perFile = spark.read.parquet(out)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), col("first_chunk"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> (rs.map(_.getLong(1)).min, rs.map(_.getLong(1)).max) }
+    val spans = perFile.values.toSeq.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"file chunk ranges overlap: $spans")
+      case _ =>
+    }
+  }
 }
