@@ -35,8 +35,25 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(acc >= 0.97, s"accuracy $acc on the training corpus (0.994 measured at both default SFs)")
   }
 
+  test("Newton/IRLS: distributed == local element-exact, and 8 passes fit at least as well as 80 GD passes") {
+    val (wDist, lossDist) = QualityClassifier.trainNewton(feats)
+    val (wLoc, lossLoc) = QualityClassifier.trainNewtonLocal(local)
+    assert(wDist.toSeq == wLoc.toSeq)
+    assert(lossDist.toSeq == lossLoc.toSeq)
+    val (wRep, _) = QualityClassifier.trainNewton(feats.repartition(7))
+    assert(wRep.toSeq == wLoc.toSeq)
+    def accOf(w: Array[Double]) = local.count { d =>
+      val z = (0 until QualityClassifier.Dim).map(j => w(j) * d.feats(j)).sum
+      (z >= 0) == (d.label > 0.5)
+    }.toDouble / local.length
+    val (wGd, _) = QualityClassifier.trainLocal(local)
+    assert(accOf(wLoc) >= accOf(wGd) - 1e-9,
+      s"Newton ${accOf(wLoc)} underfits GD ${accOf(wGd)}")
+    assert(accOf(wLoc) >= 0.97, s"Newton accuracy ${accOf(wLoc)}")
+  }
+
   test("relational scoring equals the local model at the rounded surface") {
-    val (w, _) = QualityClassifier.train(feats)
+    val (w, _) = QualityClassifier.trainNewton(feats)
     val want = local.map { d =>
       val z = (0 until QualityClassifier.Dim).map(j => w(j) * d.feats(j)).sum
       d.doc_id -> BigDecimal(QualityClassifier.sigmoid(z))
