@@ -75,7 +75,15 @@ object EmbeddingLsh {
     * prefix stability so narrower requests agree with wider ones). */
   def signatures(spark: SparkSession, dir: String,
                  numPlanes: Int = NumPlanes): DataFrame =
-    Tables.embeddings(spark, dir)
+    signaturesFrame(Tables.embeddings(spark, dir), numPlanes)
+
+  /** [[signatures]] over any embeddings-shaped frame (vec_id,
+    * embedding: array<float|double>[Dims]) — the production-threshold spec
+    * drives this with a planted-dup corpus the fixture cannot supply (its
+    * near-dup band sits at cosine ≈ 0.35; a real pipeline prunes at
+    * τ ≥ 0.9). */
+  def signaturesFrame(emb: DataFrame, numPlanes: Int = NumPlanes): DataFrame =
+    emb
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
       .withColumn("bits", array(planesFor(numPlanes).map(p =>
         when(projection(col("emb"), p) >= 0, 1).otherwise(0)): _*))
@@ -100,8 +108,8 @@ object EmbeddingLsh {
   }
 
   /** Distinct candidate pairs (d1 < d2) colliding in ≥1 band. */
-  private def candidates(sig: DataFrame, bands: Int, width: Int,
-                         sigPlanes: Int): DataFrame = {
+  private[dedup] def candidates(sig: DataFrame, bands: Int, width: Int,
+                                sigPlanes: Int): DataFrame = {
     val bk = bandRows(sig, bands, width, sigPlanes)
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -121,9 +129,19 @@ object EmbeddingLsh {
     * (subset of the all-pairs truth by construction; recall is pinned by
     * the spec and measured by [[sweep]]). */
   def pairs(spark: SparkSession, dir: String, bands: Int = 8, width: Int = 2,
-            threshold: Double = 0.35): DataFrame = {
+            threshold: Double = 0.35): DataFrame =
+    pairsFrame(Tables.embeddings(spark, dir), bands, width, threshold)
+
+  /** [[pairs]] over any embeddings-shaped frame. At PRODUCTION operating
+    * points (τ ≥ 0.9, wide bands — e.g. 24×12) the spec demonstrates the
+    * regime the scaladoc physics promises on a planted-dup corpus:
+    * ≥ 95% recall of true pairs while the band join emits < 2% of all
+    * n·(n−1)/2 candidates (vs the fixture's low-τ regime where recall
+    * requires near-all-pairs candidate volume). */
+  def pairsFrame(emb: DataFrame, bands: Int, width: Int,
+                 threshold: Double): DataFrame = {
     // exactly the planes this configuration consumes (prefix-stable)
-    val sig = signatures(spark, dir, bands * width)
+    val sig = signaturesFrame(emb, bands * width)
     val e = sig.select(col("vec_id"), col("emb"))
     candidates(sig, bands, width, bands * width)
       .join(e.as("x"), col("d1") === col("x.vec_id"))

@@ -84,6 +84,56 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(got.subsetOf(truth))
   }
 
+  test("PRODUCTION regime: τ=0.9 with 24x12 bands gets ≥95% recall at <2% candidate volume") {
+    // The fixture's near-dup band sits at cosine ≈ 0.35, where hyperplane
+    // LSH must trade candidate volume for recall (the sweep's measured
+    // physics). A real pipeline prunes at τ ≥ 0.9 — this corpus PLANTS that
+    // regime: 1000 unit gaussians (d=64; max random-pair cosine ≈ 0.6) plus
+    // 200 perturbed copies at cosine ≈ 0.89-0.97, so the truth set is
+    // exactly the planted pairs and both sides of the promise are testable.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = EmbeddingLsh.Dims
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(1000)(norm(Array.fill(d)(rnd.nextGaussian())))
+    val dups = (0 until 200).map { i =>
+      val eps = 0.03 + 0.03 * rnd.nextDouble()
+      norm(bases(i).map(x => x + eps * rnd.nextGaussian()))
+    }
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) } ++
+      dups.zipWithIndex.map { case (v, i) => ((1000 + i).toLong, v.map(_.toFloat)) }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    // local truth on the same float->double values the engine sees
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < d) { dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+        nb += b(j).toDouble * b(j); j += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val byId = rows.toMap
+    // margin-split truth sets keep the 0.9 boundary out of the assertions
+    val planted = (0 until 200).map(i => (i.toLong, (1000 + i).toLong))
+    val truthHi = planted.filter { case (a, b) => cos(byId(a), byId(b)) >= 0.905 }.toSet
+    assert(truthHi.size > 100, s"degenerate plant: only ${truthHi.size} pairs above 0.905")
+    val (bands, width) = (24, 12)
+    val got = EmbeddingLsh.pairsFrame(emb, bands, width, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every reported pair is a true near-dup (modulo rounding margin)
+    got.foreach { case (a, b) =>
+      assert(cos(byId(a), byId(b)) >= 0.895, s"false pair ($a,$b) at ${cos(byId(a), byId(b))}")
+    }
+    val recall = (got & truthHi).size.toDouble / truthHi.size
+    assert(recall >= 0.95, s"production recall $recall at ${bands}x$width")
+    // pruning: the band join emits a tiny fraction of all n(n-1)/2 pairs
+    val nCand = EmbeddingLsh.candidates(
+      EmbeddingLsh.signaturesFrame(emb, bands * width), bands, width, bands * width).count()
+    val n = rows.length.toLong
+    val frac = nCand.toDouble / (n * (n - 1) / 2)
+    assert(frac < 0.02, s"candidate volume $nCand ($frac of all pairs) — pruning collapsed")
+  }
+
   test("candidate generation is a linear equi-join on (band, key), never a product") {
     val plan = EmbeddingLsh.pairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan:\n${plan.take(1500)}")
