@@ -198,6 +198,13 @@ object SparkEntry {
     // fixture embeddings are near-orthogonal (max within-label cosine ≈0.47),
     // so the "near-dup" threshold is set to the corpus scale here
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d, threshold = 0.35).toDF()),
+    // SemDeDup (Abbas et al. 2023): coarse clusters (deterministic
+    // smallest-id seeds stand in for k-means — re-derivable in SQL), then
+    // greedy min-id ε-ball pruning WITHIN clusters; no global pair graph
+    "dedup_semantic" -> ((s: SparkSession, d: String) => graft.dedup.SemDedup.semanticKeep(s, d)),
+    // DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
+    // target-vs-raw on the fixed-point micro-llr surface; top-N selection
+    "sample_dsir" -> ((s: SparkSession, d: String) => graft.sample.Dsir.importanceTop(s, d)),
     // similarity search
     "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
     // ball-pruned IVF is EXACT (recall 1.0 by construction) — same oracle
@@ -1026,6 +1033,8 @@ object SparkEntry {
                    sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS cosine
                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT d1, d2, cosine FROM p WHERE cosine >= 0.35""",
+    "dedup_semantic" -> graft.dedup.SemDedup.oracleSql(),
+    "sample_dsir" -> graft.sample.Dsir.oracleSql(s => fnvFull(s)),
     "sim_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
