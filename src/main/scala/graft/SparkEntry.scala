@@ -120,6 +120,9 @@ object SparkEntry {
     // corpus heavy hitters: exact top-k bigrams via per-partition heaps
     // (TakeOrderedAndProject), never a global sort
     "text_top_ngrams" -> ((s: SparkSession, d: String) => TextAnalysis.topNgrams(s, d)),
+    // RAG/retrieval ingestion: overlapping token windows with provenance
+    // (doc, chunk index, token offset); map-only, zero exchanges
+    "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d)),
     // per-source dataset-card profile: doc counts, exact token quantiles,
     // vocabulary, type-token ratio
     "text_profile" -> TextAnalysis.profile _,
@@ -207,6 +210,10 @@ object SparkEntry {
     "sample_dsir" -> ((s: SparkSession, d: String) => graft.sample.Dsir.importanceTop(s, d)),
     // similarity search
     "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
+    // hard-negative mining (DPR/SimCSE): per query the top-k most-similar
+    // DIFFERENT-label vectors — the contrastive-negative dual of
+    // sim_topk_filtered, same broadcast-queries + bounded-heaps scan
+    "sim_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d).toDF()),
     // ball-pruned IVF is EXACT (recall 1.0 by construction) — same oracle
     // truth as brute force, reached through the codebook + pruning path
     "sim_topk_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopKExact(s, d).toDF()),
@@ -688,6 +695,7 @@ object SparkEntry {
           FROM s JOIN v USING (source)""",
     // heavy hitters: exact counts, the (n desc, gram asc) tie-break makes
     // the k-set deterministic across engines
+    "text_chunks" -> TextAnalysis.chunksOracleSql(),
     "text_top_ngrams" ->
       s"""WITH t AS (SELECT ${toks("text")} AS tk FROM documents),
           g AS (SELECT tk[i] || ' ' || tk[i+1] AS gram
@@ -1042,6 +1050,18 @@ object SparkEntry {
                  list_inner_product(qe, v.emb) /
                    sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
                FROM q JOIN e v ON v.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10""",
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         q AS (SELECT label AS qlabel, vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),
+         c AS (SELECT query_id, v.vec_id AS neighbor_id,
+                 list_inner_product(qe, v.emb) /
+                   sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+               FROM q JOIN e v ON v.label <> qlabel),
          r AS (SELECT query_id, neighbor_id, cos,
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
                FROM c)

@@ -75,6 +75,54 @@ object Similarity {
     }
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training (the retrieval-training
+    * data op of DPR, Karpukhin et al. 2020 / SimCSE): per query, the top-k
+    * most-similar vectors with a DIFFERENT label — maximally confusable
+    * non-matches, which is exactly what a contrastive loss wants on its
+    * negative side. The dual of `sim_topk_filtered` (same-label pre-filter
+    * → different-label anti-filter); identical scale shape to
+    * [[bruteForceTopK]]: Q broadcast queries, one corpus scan, per-partition
+    * per-query bounded heaps, Q×k rows through the only exchange. The
+    * label test rides the scan (a != on two broadcast-resident values), so
+    * the negative constraint costs zero extra shuffle. */
+  def hardNegatives(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    k: Int = 10): Dataset[Hit] = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+    val queries = vecs.filter(_._2 < numQueries).collect() // bounded: Q rows
+    val bc = spark.sparkContext.broadcast(queries)
+    val candidates = vecs.mapPartitions { it =>
+      val qs = bc.value
+      val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+      it.foreach { case (vLabel, vId, vEmb) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qLabel, _, qEmb) = qs(qi)
+          if (vLabel != qLabel) {
+            val c = cosine(qEmb, vEmb)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, vId))
+            else if (c > h.head._1 || (c == h.head._1 && vId < h.head._2)) {
+              h.dequeue(); h.enqueue((c, vId))
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zip(heaps.iterator).flatMap { case ((_, qid, _), h) =>
+        h.iterator.map { case (c, id) => (qid, id, c) }
+      }
+    }
+    candidates.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k)
+        .iterator.zipWithIndex.map { case ((_, id, c), r) =>
+          Hit(qid, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
+    }
+  }
+
   /** Trained IVF codebook: a few distributed Lloyd iterations of spherical
     * k-means (assign by max cosine; new centroid = element-wise mean — the
     * cosine argmax is scale-invariant, so the mean needs no renormalizing).

@@ -318,4 +318,46 @@ object TextAnalysis {
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
+
+  /** SLIDING-WINDOW CHUNKING — the retrieval/RAG ingestion step (and the
+    * fixed-context twin of [[graft.sample.Packing]]'s concat-and-chunk):
+    * each document becomes overlapping windows of `chunkTokens` tokens at
+    * stride `chunkTokens − overlap`, each chunk carrying its provenance
+    * (doc, index, token offset) so retrieval hits map back to source spans.
+    * A window starts at every multiple of the stride below the token count;
+    * the final window may be short — the boundary contract both engines
+    * (and the oracle's list-slice clamp) share.
+    *
+    * Scale shape: map-only — tokenize, generate starts, slice, join; one
+    * explode with fan-out n/stride per doc and NO exchange at any corpus
+    * size (the chunk table writes straight from the scan partitions). */
+  def chunks(spark: SparkSession, dir: String,
+             chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, s"overlap $overlap vs chunk $chunkTokens")
+    val stride = chunkTokens - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("int").as("start_tok"),
+        slice(col("t"), col("col") + 1, lit(chunkTokens)).as("ck"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ck")).as("n_tok"), concat_ws(" ", col("ck")).as("chunk_text"))
+  }
+
+  /** DuckDB re-derivation of [[chunks]] (64-token windows, 16 overlap). */
+  def chunksOracleSql(chunkTokens: Int = 64, overlap: Int = 16): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '') AS t FROM documents),
+       |s AS (SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start
+       |      FROM tk WHERE len(t) > 0),
+       |ck AS (SELECT doc_id, CAST(start // $stride AS INT) AS chunk_idx,
+       |         CAST(start AS INT) AS start_tok,
+       |         list_slice(t, start + 1, start + $chunkTokens) AS c FROM s)
+       |SELECT doc_id, chunk_idx, start_tok, CAST(len(c) AS INT) AS n_tok,
+       |  array_to_string(c, ' ') AS chunk_text FROM ck""".stripMargin
+  }
 }

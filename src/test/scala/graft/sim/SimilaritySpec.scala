@@ -25,6 +25,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: exact top-k among DIFFERENT-label vectors only") {
+    val labeled = graft.Tables.embeddings(spark, sf).select("label", "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val k = 10
+    val hits = Similarity.hardNegatives(spark, sf, numQueries = 4, k = k).collect()
+      .groupBy(_.query_id)
+    val labelOf = labeled.map(v => v._2 -> v._1).toMap
+    (0L until 4L).foreach { q =>
+      val (ql, _, qe) = labeled.find(_._2 == q).get
+      val expected = labeled.filter(_._1 != ql)
+        .map { case (_, id, e) => (Similarity.cosine(qe, e), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+        .map { case (c, id) =>
+          (BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+      val got = hits(q).sortBy(_.rank).map(h => (h.cosine, h.neighbor_id)).toSeq
+      assert(got == expected.toSeq, s"query $q")
+      hits(q).foreach(h => assert(labelOf(h.neighbor_id) != ql,
+        s"same-label vector ${h.neighbor_id} leaked into query $q's negatives"))
+    }
+  }
+
   test("top-k ranks are 1..k with descending cosine") {
     val hits = Similarity.bruteForceTopK(spark, sf, numQueries = 2, k = 5).collect()
       .groupBy(_.query_id)
