@@ -42,19 +42,28 @@ object Dsir {
   val NumBuckets = 64
   val TopN = 100
 
-  /** Unigrams ++ bigrams ("a b") of a token array — the DSIR feature set. */
+  /** Unigrams ++ bigrams ("a b") of a token array — the DSIR feature set.
+    * Index-generated (`sequence` + `element_at`, the text_top_ngrams idiom)
+    * rather than slice+transform: the slice form's non-foldable bounds fell
+    * out of whole-stage codegen and made the gram explode ~9× slower
+    * (measured 3.4 s → 0.4 s at bench SF for this stage). */
   def gramsCol(tk: Column): Column =
-    concat(tk, transform(
-      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
-      (x, i) => concat_ws(" ", x, element_at(tk, i + 2))))
+    concat(tk, when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>")))
 
   /** The registered query: the TopN highest-importance documents with their
     * exact integer micro-llr score and gram count. */
   def importanceTop(spark: SparkSession, dir: String,
                     targetLang: String = "en"): DataFrame = {
+    // tokens projected to an ATTRIBUTE before gramsCol references it
+    // multiply (incl. inside the bigram lambda): inlining the regex split
+    // into every element_at re-splits the text per element — measured 9×
+    // on this stage (the text_top_ngrams project-first idiom)
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(gramsCol(TextAnalysis.tokensCol(col("text")))).as("g"))
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokensCol(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), explode(gramsCol(col("tk"))).as("g"))
       .select(col("doc_id"), col("lang"),
         (Fnv32.fnv32(col("g")) % NumBuckets).as("bucket"))
     // ONE corpus scan: the per-(doc,bucket) count table feeds the raw
@@ -63,26 +72,67 @@ object Dsir {
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    cnts.join(broadcast(llrFrame(cnts, targetLang)), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("llr_fx")).as("score_fx"), sum(col("c")).as("n_grams"))
+      .orderBy(col("score_fx").desc, col("doc_id"))
+      .limit(TopN)
+  }
+
+  /** The B-row micro-llr table from a (doc_id, lang, bucket, c) count
+    * frame: BOTH distributions in one conditional aggregate (raw = all
+    * rows, target = the `targetLang` slice), totals via a window over the
+    * already-aggregated B-row frame (the temperature-mixture precedent),
+    * one rounding per bucket onto the integer micro-llr surface. */
+  private def llrFrame(cnts: DataFrame, targetLang: String): DataFrame = {
     val w = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val raw = cnts.groupBy(col("bucket")).agg(sum(col("c")).as("rc"))
-    val tgt = cnts.filter(col("lang") === targetLang)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
-    // B-row llr table: totals via a window over the already-aggregated
-    // B-row frame (the temperature-mixture precedent), one rounding per
-    // bucket onto the integer micro-llr surface
-    val llr = raw.join(tgt, Seq("bucket"), "left")
-      .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    cnts.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rc"),
+        sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("tc"))
       .withColumn("rtot", sum(col("rc")).over(w))
       .withColumn("ttot", sum(col("tc")).over(w))
       .select(col("bucket"),
         round((log((col("tc") + 1L).cast("double") / (col("ttot") + NumBuckets)) -
                log((col("rc") + 1L).cast("double") / (col("rtot") + NumBuckets))) * 1e6, 0)
           .cast("bigint").as("llr_fx"))
-    cnts.join(broadcast(llr), "bucket")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c") * col("llr_fx")).as("score_fx"), sum(col("c")).as("n_grams"))
-      .orderBy(col("score_fx").desc, col("doc_id"))
-      .limit(TopN)
+  }
+
+  /** The trained importance model as a plain array: `llr_fx` per bucket —
+    * the freezable artifact the streaming twin scores under (the
+    * QualityClassifier frozen-weights precedent). Bounded driver traffic:
+    * B rows. */
+  def trainLlr(spark: SparkSession, dir: String,
+               targetLang: String = "en"): Array[Long] = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokensCol(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), explode(gramsCol(col("tk"))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (Fnv32.fnv32(col("g")) % NumBuckets).as("bucket"))
+    val cnts = grams.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val out = new Array[Long](NumBuckets)
+    llrFrame(cnts, targetLang).collect()
+      .foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** FROZEN-MODEL scoring of a documents-shaped (possibly STREAMING) frame:
+    * with the llr table frozen as a literal, a document's score needs no
+    * counts at all — it is the left-to-right integer fold of `llr_fx` over
+    * its grams, a STATELESS map-only column (zero shuffle, zero state; the
+    * sq8/decontam/classifier score-on-arrival contract). Exact integer
+    * arithmetic ⇒ stream == batch bit-for-bit, spec-pinned. */
+  def scoreOnArrival(df: DataFrame, llrFx: Array[Long]): DataFrame = {
+    val tab = typedLit(llrFx.toSeq)
+    df.select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+      .select(col("doc_id"), gramsCol(col("tk")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("grams"),
+            g => element_at(tab, (Fnv32.fnv32(g) % NumBuckets) + 1)),
+          lit(0L), (acc, x) => acc + x).as("score_fx"),
+        size(col("grams")).cast("bigint").as("n_grams"))
   }
 
   /** DuckDB re-derivation of [[importanceTop]]. `fnv` renders the caller's
