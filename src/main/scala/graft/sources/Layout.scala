@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftrightunsigned}
 
 /** Data-layout control for at-rest tables — the scan-pruning lever that
   * matters most at 100 TB: a predicate can only skip what the layout made
@@ -31,4 +31,49 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toLong)
       .parquet(path)
+
+  /** Bit-interleaved Z-value of integer columns (each already scaled into
+    * [0, 2^bits)): bit i of column c lands at position i·n + c, so sorting
+    * by the result walks the Z-order space-filling curve. Disjoint target
+    * bits make the reduce a plain sum; ~bits·n codegen'd integer ops, no
+    * UDF. */
+  def zvalue(cols: Seq[Column], bits: Int): Column =
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, ci) =>
+        shiftleft(shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)),
+          i * cols.length + ci)
+      }
+    }.reduce(_ + _)
+
+  /** Z-ORDER write — the MULTI-column pruning layout (the lakehouse
+    * `OPTIMIZE ZORDER BY` technique): [[sortedWrite]] makes ONE column's
+    * row-group stats selective and leaves every other column's stats
+    * spanning the full domain; sorting by the interleaved-bit Z-curve makes
+    * row groups cover small HYPER-RECTANGLES of the key space, so a range
+    * predicate on ANY of the z-columns prunes — the per-column selectivity
+    * degrades from 1/s (dedicated sort) to ≈ (1/s)^(1/n) for n columns,
+    * the standard trade for pruning on all of them at once.
+    *
+    * `cols` maps each column to its domain bound; values are linearly
+    * scaled into [0, 2^bitsPerCol) (the caller picks bounds the way the
+    * IVF index picks nlist — from corpus stats; skewed domains would
+    * pre-bucket by rank first, the same range-partition machinery
+    * sortedWrite already rides). The Z-value exists only as a sort/
+    * partition expression — the written schema is unchanged. LayoutSpec
+    * proves the contract from parquet footers: a 1/32 range on EITHER
+    * column touches a small fraction of Z-ordered row groups, while the
+    * single-column-sorted layout prunes only its own column and the
+    * hash-scattered layout prunes nothing. */
+  def zorderWrite(df: DataFrame, path: String, cols: Seq[(String, Long)],
+                  nFiles: Int, rowGroupBytes: Int = 1 << 20,
+                  bitsPerCol: Int = 16): Unit = {
+    val z = zvalue(cols.map { case (c, max) =>
+      col(c).cast("long") * (1L << bitsPerCol) / (max + 1)
+    }, bitsPerCol)
+    df.repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toLong)
+      .parquet(path)
+  }
 }

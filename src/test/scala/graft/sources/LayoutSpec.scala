@@ -8,8 +8,57 @@ import graft.SparkTestSession
 class LayoutSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** (min, max, rowCount) of `colName`'s stats per row group, straight from
+    * the parquet footers — the layout property itself, independent of any
+    * engine's scan. */
+  def rowGroups(path: String, colName: String): Seq[(Long, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".parquet")).flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == colName).get
+          val st = c.getStatistics.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+          (st.getMin, st.getMax, b.getRowCount)
+        }
+      } finally r.close()
+    }
+  }
+
+  /** How many row groups a `[0, sel)` predicate on the column can touch. */
+  def touched(gs: Seq[(Long, Long, Long)], sel: Long): Int =
+    gs.count { case (mn, mx, _) => mn < sel && mx >= 0 }
+
+  // SparkPlan.collect stops at AQE / query-stage leaves; walk through them
+  def deepScan(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case _ => Seq.empty
+    }
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ through.flatMap(deepScan)
+  }
+
+  /** (scan numOutputRows, query count) for a `[0, sel)` filter on `colName`. */
+  def scanOutputRows(path: String, colName: String, sel: Long): (Long, Long) = {
+    val q = spark.read.parquet(path).filter(col(colName) >= 0 && col(colName) < sel)
+      .agg(count(lit(1)), sum(col("v")))
+    val cnt = q.collect()(0).getLong(0)
+    val scan = deepScan(q.queryExecution.executedPlan).head
+    (scan.metrics("numOutputRows").value, cnt)
+  }
+
   test("sort-on-write: row-group stats prune a range scan; unsorted layout cannot") {
-    import spark.implicits._
     // synthetic fact table large enough for many row groups per file; the
     // key is hash-scattered so ARRIVAL order carries no locality at all
     val n = 2000000L
@@ -24,31 +73,11 @@ class LayoutSpec extends AnyFunSuite {
     df.repartition(4).write.mode("overwrite")
       .option("parquet.block.size", (1 << 18).toLong).parquet(unsorted)
 
-    // layout property, read straight from the parquet footers: how many row
-    // groups can a [0, sel) range predicate on k possibly touch?
-    def rowGroups(path: String): Seq[(Long, Long, Long)] = {
-      val conf = spark.sessionState.newHadoopConf()
-      val dir = new org.apache.hadoop.fs.Path(path)
-      val fs = dir.getFileSystem(conf)
-      fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".parquet")).flatMap { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          import scala.jdk.CollectionConverters._
-          r.getFooter.getBlocks.asScala.toSeq.map { b =>
-            val c = b.getColumns.asScala.find(_.getPath.toDotString == "k").get
-            val st = c.getStatistics.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
-            (st.getMin, st.getMax, b.getRowCount)
-          }
-        } finally r.close()
-      }
-    }
-    val sortedGroups = rowGroups(sorted)
-    val unsortedGroups = rowGroups(unsorted)
+    val sortedGroups = rowGroups(sorted, "k")
+    val unsortedGroups = rowGroups(unsorted, "k")
     assert(sortedGroups.size > 8, s"too few row groups (${sortedGroups.size}) to prove pruning")
-    def touched(gs: Seq[(Long, Long, Long)]) = gs.count { case (mn, mx, _) => mn < sel && mx >= 0 }
-    val sortedTouched = touched(sortedGroups)
-    val unsortedTouched = touched(unsortedGroups)
+    val sortedTouched = touched(sortedGroups, sel)
+    val unsortedTouched = touched(unsortedGroups, sel)
     // hash-scattered order: EVERY row group spans the key domain → none skippable
     assert(unsortedTouched == unsortedGroups.size,
       s"unsorted layout unexpectedly prunable ($unsortedTouched/${unsortedGroups.size})")
@@ -58,30 +87,8 @@ class LayoutSpec extends AnyFunSuite {
 
     // and Spark's scan REALLY skips them: the scan node emits only the
     // surviving groups' rows on the sorted layout, all n on the unsorted
-    // SparkPlan.collect stops at AQE / query-stage leaves; walk through them
-    def deepScan(p: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      val here = p match {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case _ => Seq.empty
-      }
-      val through = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here ++ through.flatMap(deepScan)
-    }
-    def scanOutputRows(path: String): (Long, Long) = {
-      val q = spark.read.parquet(path).filter(col("k") >= 0 && col("k") < sel)
-        .agg(count(lit(1)), sum(col("v")))
-      val cnt = q.collect()(0).getLong(0)
-      val scan = deepScan(q.queryExecution.executedPlan).head
-      (scan.metrics("numOutputRows").value, cnt)
-    }
-    val (sortedScanRows, sortedCnt) = scanOutputRows(sorted)
-    val (unsortedScanRows, unsortedCnt) = scanOutputRows(unsorted)
+    val (sortedScanRows, sortedCnt) = scanOutputRows(sorted, "k", sel)
+    val (unsortedScanRows, unsortedCnt) = scanOutputRows(unsorted, "k", sel)
     assert(sortedCnt == unsortedCnt && sortedCnt > 0, s"$sortedCnt vs $unsortedCnt")
     assert(unsortedScanRows == n, s"unsorted scan emitted $unsortedScanRows of $n")
     val sortedRowBound = sortedGroups.filter { case (mn, mx, _) => mn < sel && mx >= 0 }
@@ -90,5 +97,44 @@ class LayoutSpec extends AnyFunSuite {
       s"sorted scan emitted $sortedScanRows > surviving-group bound $sortedRowBound")
     assert(sortedScanRows * 5 < n,
       s"sorted scan emitted $sortedScanRows of $n — row groups were not skipped")
+  }
+
+  test("z-order: BOTH columns' range predicates prune; a dedicated sort prunes only its own") {
+    // two INDEPENDENT uniform keys — no layout can exploit correlation
+    val n = 2000000L
+    val dom = 1L << 16
+    val sel = dom / 32 // 1/32 range predicate per column
+    val df = spark.range(n).select(
+      (abs(xxhash64(col("id"))) % dom).as("k1"),
+      (abs(xxhash64(col("id") + 7777777L)) % dom).as("k2"),
+      (col("id") % 997).cast("double").as("v"))
+    val zpath = java.nio.file.Files.createTempDirectory("layz").toString + "/t"
+    val k1path = java.nio.file.Files.createTempDirectory("layk1").toString + "/t"
+    Layout.zorderWrite(df, zpath, Seq("k1" -> (dom - 1), "k2" -> (dom - 1)),
+      nFiles = 4, rowGroupBytes = 1 << 18)
+    Layout.sortedWrite(df, k1path, Seq("k1"), nFiles = 4, rowGroupBytes = 1 << 18)
+
+    val zG1 = rowGroups(zpath, "k1"); val zG2 = rowGroups(zpath, "k2")
+    val sG1 = rowGroups(k1path, "k1"); val sG2 = rowGroups(k1path, "k2")
+    assert(zG1.size > 16, s"too few row groups (${zG1.size}) to prove pruning")
+    // dedicated k1 sort: razor-sharp on k1, blind on k2 (every group spans it)
+    assert(touched(sG1, sel) * 5 < sG1.size,
+      s"k1-sorted layout not selective on k1: ${touched(sG1, sel)}/${sG1.size}")
+    assert(touched(sG2, sel) == sG2.size,
+      s"k1-sorted layout unexpectedly selective on k2: ${touched(sG2, sel)}/${sG2.size}")
+    // z-order: a hyper-rectangle per group ⇒ BOTH predicates skip most groups
+    // ((1/32)^(1/2) ≈ 18% is the curve's theoretical touch fraction)
+    assert(touched(zG1, sel) * 2 < zG1.size,
+      s"z-order not selective on k1: ${touched(zG1, sel)}/${zG1.size}")
+    assert(touched(zG2, sel) * 2 < zG2.size,
+      s"z-order not selective on k2: ${touched(zG2, sel)}/${zG2.size}")
+
+    // the scan really skips on the SECOND column, where the sorted layout
+    // must decode everything
+    val (zScanRows, zCnt) = scanOutputRows(zpath, "k2", sel)
+    val (sScanRows, sCnt) = scanOutputRows(k1path, "k2", sel)
+    assert(zCnt == sCnt && zCnt > 0, s"$zCnt vs $sCnt")
+    assert(sScanRows == n, s"k1-sorted scan on k2 emitted $sScanRows of $n")
+    assert(zScanRows * 2 < n, s"z-order scan on k2 emitted $zScanRows of $n — no skipping")
   }
 }
