@@ -123,6 +123,9 @@ object SparkEntry {
     // RAG/retrieval ingestion: overlapping token windows with provenance
     // (doc, chunk index, token offset); map-only, zero exchanges
     "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d)),
+    // BM25 lexical retrieval over a fixed term set: exact corpus stats,
+    // interpolated float constants, rounded-score ranking
+    "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     // per-source dataset-card profile: doc counts, exact token quantiles,
     // vocabulary, type-token ratio
     "text_profile" -> TextAnalysis.profile _,
@@ -180,6 +183,9 @@ object SparkEntry {
     // per-source near-dup rate: greedy keep-first drop policy over the
     // token-jaccard pairs, aggregated per source — dedup observability
     "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
+    // source-pair 5-gram overlap matrix: which sources duplicate each
+    // other (mixture observability); sources²-bounded output
+    "dedup_cross_source" -> ((s: SparkSession, d: String) => Dedup.crossSourceOverlap(s, d)),
     // random-hyperplane LSH in embedding space (Charikar): banded sign
     // bits → linear equi-shuffle candidates → exact cosine verify; the
     // no-blocking-key scale path for embedding near-dup
@@ -696,6 +702,8 @@ object SparkEntry {
     // heavy hitters: exact counts, the (n desc, gram asc) tie-break makes
     // the k-set deterministic across engines
     "text_chunks" -> TextAnalysis.chunksOracleSql(),
+    "text_bm25" -> TextAnalysis.bm25OracleSql(),
+    "dedup_cross_source" -> Dedup.crossSourceOracleSql,
     "text_top_ngrams" ->
       s"""WITH t AS (SELECT ${toks("text")} AS tk FROM documents),
           g AS (SELECT tk[i] || ' ' || tk[i+1] AS gram

@@ -729,6 +729,54 @@ object Dedup {
         (col("n_shared").cast("double") / col("n_eval_grams")).as("contamination"))
   }
 
+  /** CROSS-SOURCE overlap matrix — mixture observability at the SOURCE
+    * grain: for every source pair, how many distinct 5-gram shingles they
+    * share, and the containment (shared / smaller side). The dashboard a
+    * mixture designer reads before weighting sources: two crawls of the
+    * same site show near-total containment (keep one), syndicated
+    * boilerplate shows up as a dense block, and the per-pair numbers say
+    * which [[decontamOverlap]]/[[spanOverlap]] runs are worth their cost.
+    *
+    * Scale shape: per-doc DISTINCT gram hashes ride the fused shingle
+    * expression (map-only); ONE distinct exchange dedups (source, gram);
+    * the pair join is a self-equi-join on the gram hash whose probe side
+    * is the SAME frame (exchange reuse, the MinHash band-join precedent)
+    * and whose per-gram fan-out is bounded by sources² — output is
+    * sources²-sized, never corpus-sized. Engine joins 64-bit hashes, the
+    * oracle re-derives on gram STRINGS (the decontam count-parity +
+    * collision acceptance). */
+  def crossSourceOverlap(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val sg = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextHash.shingleHashesCol(
+          TextAnalysis.tokensCol(lower(col("text"))), w)).as("g"))
+      .distinct()
+    val perSource = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(perSource.withColumnRenamed("source", "s1").withColumnRenamed("n", "n1")), "s1")
+      .join(broadcast(perSource.withColumnRenamed("source", "s2").withColumnRenamed("n", "n2")), "s2")
+      .select(col("s1"), col("s2"), col("shared_grams"),
+        round(col("shared_grams").cast("double") / least(col("n1"), col("n2")), 6)
+          .as("containment"))
+  }
+
+  /** DuckDB re-derivation of [[crossSourceOverlap]] on gram strings. */
+  def crossSourceOracleSql: String =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS tk FROM documents),
+      |s AS (SELECT source, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+      |       ELSE list_distinct(list_transform(generate_series(1, len(tk)-4),
+      |         i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) END AS sh FROM t),
+      |src AS (SELECT DISTINCT source, g FROM (SELECT source, unnest(sh) AS g FROM s)),
+      |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY source),
+      |p AS (SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS shared_grams
+      |      FROM src a JOIN src b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+      |SELECT s1, s2, shared_grams,
+      |  ROUND(CAST(shared_grams AS DOUBLE) / LEAST(na.n, nb.n), 6) AS containment
+      |FROM p JOIN n na ON p.s1 = na.source JOIN n nb ON p.s2 = nb.source""".stripMargin
+
   /** Intra-corpus duplicated-SPAN detection — the n-gram approximation of
     * exact substring deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): for every document, how

@@ -319,6 +319,78 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
 
+  /** BM25 RANKING (Robertson-Spärck Jones) for a fixed term set — the
+    * classic lexical-retrieval scorer, completing the retrieval loop the
+    * chunking + ANN family serves: tf saturation (k1) and length
+    * normalization (b) over exact corpus statistics. Score =
+    * Σ_t idf(t)·tf·(k1+1)/(tf + k1(1−b) + k1·b·len/avglen) with
+    * idf = ln((N − df + ½)/(df + ½) + 1), summed over the query terms in
+    * a FIXED left-to-right order.
+    *
+    * Cross-engine surface: tf/len/N/df are exact integers; every float
+    * constant (k1+1, k1(1−b), k1·b) is computed ONCE in Scala and the
+    * same shortest-round-trip literal is interpolated into the oracle SQL
+    * (the LSH plane-literal device — never let two engines re-derive a
+    * float constant), so the only non-IEEE-exact op is ln and the rounded
+    * score is the boundary-safe sort key (the TF-IDF acceptance).
+    *
+    * Scale shape: ONE corpus scan — the (doc_id, len, tf…) projection is
+    * tiny (2+|terms| integers per doc) and localCheckpointed, feeding the
+    * one-row stats aggregate and the scoring pass (the Packing
+    * countedOnce precedent); stats broadcast; top-N via
+    * TakeOrderedAndProject bounded heaps. */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("table", "query", "window"),
+           k1: Double = 1.2, b: Double = 0.75, topN: Int = 100): DataFrame = {
+    require(terms.nonEmpty)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("tk"), x => x === t)).cast("bigint").as(s"tf$i")
+    }
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).cast("bigint").as("len") +: tfCols: _*)
+      .localCheckpoint(true)
+    val aggs = count(lit(1)).cast("bigint").as("n_docs") +:
+      sum(col("len")).as("tot_len") +:
+      terms.indices.map(i => count(when(col(s"tf$i") > 0, 1)).cast("bigint").as(s"df$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_docs").cast("double")
+    val avg = col("tot_len").cast("double") / nD
+    val (k1p1, c0, c1) = (k1 + 1, k1 * (1 - b), k1 * b)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      log((nD - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * k1p1) / (tf + lit(c0) + lit(c1) * col("len").cast("double") / avg)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("len").as("n_tok"), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** DuckDB re-derivation of [[bm25]] — same terms, same interpolated
+    * float constants, same left-to-right term sum. */
+  def bm25OracleSql(terms: Seq[String] = Seq("table", "query", "window"),
+                    k1: Double = 1.2, b: Double = 0.75, topN: Int = 100): String = {
+    val (k1p1, c0, c1) = (k1 + 1, k1 * (1 - b), k1 * b)
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfSel = terms.indices.map(i =>
+      s"CAST(COUNT(*) FILTER (tf$i > 0) AS BIGINT) AS df$i").mkString(", ")
+    val scoreSql = terms.indices.map { i =>
+      s"""ln((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0) *
+         |(CAST(tf$i AS DOUBLE) * $k1p1) / (CAST(tf$i AS DOUBLE) + $c0 + $c1 * CAST(len AS DOUBLE) /
+         |(CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))""".stripMargin
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '') AS tk FROM documents),
+       |d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len, $tfSel FROM t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS tot_len, $dfSel FROM d)
+       |SELECT doc_id, len AS n_tok, ROUND($scoreSql, 6) AS bm25
+       |FROM d, st ORDER BY bm25 DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   /** SLIDING-WINDOW CHUNKING — the retrieval/RAG ingestion step (and the
     * fixed-context twin of [[graft.sample.Packing]]'s concat-and-chunk):
     * each document becomes overlapping windows of `chunkTokens` tokens at
