@@ -74,6 +74,15 @@ object SparkEntry {
     "ev_range_join" -> RelationalQueries.evRangeJoin _,
     "q_grouping_sets" -> RelationalQueries.qGroupingSets _,
     "q_skew_salted" -> RelationalQueries.qSkewSalted _,
+    // semi-structured extraction: schema'd from_json over events.props,
+    // NULL-counting contract for dirty JSON, one 5-group exchange
+    "ev_props_extract" -> RelationalQueries.evPropsExtract _,
+    // robust median/MAD outlier detection per event type (exact percentile
+    // like q_quantiles; approx_percentile is the documented 100 TB swap)
+    "ev_anomaly" -> RelationalQueries.evAnomaly _,
+    // hourly spine densification + last-observation-carried-forward fill;
+    // the spine is types×hours built from a broadcast 1-row range
+    "ev_gap_fill" -> RelationalQueries.evGapFill _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -123,6 +132,9 @@ object SparkEntry {
     // RAG/retrieval ingestion: overlapping token windows with provenance
     // (doc, chunk index, token offset); map-only, zero exchanges
     "text_chunks" -> ((s: SparkSession, d: String) => TextAnalysis.chunks(s, d)),
+    // Misra-Gries sketch candidates + candidate-bounded exact second pass:
+    // heavy hitters without a vocabulary-sized exchange, integer threshold
+    "text_heavy_hitters" -> ((s: SparkSession, d: String) => TextAnalysis.heavyHitters(s, d)),
     // BM25 lexical retrieval over a fixed term set: exact corpus stats,
     // interpolated float constants, rounded-score ranking
     "text_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
@@ -502,6 +514,44 @@ object SparkEntry {
            COUNT(vms) AS n_views_1h, MAX(vms) AS last_view_ms
          FROM p LEFT JOIN v ON v_user = user_id AND vms >= pms - 3600000 AND vms < pms
          GROUP BY user_id, purchase_id, pms""",
+    "ev_props_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS n_distinct_k
+         FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+         GROUP BY event_type""",
+    // the 3·1.4826 threshold constant is interpolated from the SAME Scala
+    // double as the engine's (never re-derived — the BM25 float device)
+    "ev_anomaly" ->
+      s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+          d AS (SELECT e.event_type, e.value, m.med FROM events e
+                JOIN med m USING (event_type)),
+          ma AS (SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad
+                 FROM d GROUP BY 1)
+          SELECT d.event_type, COUNT(*) AS n_events,
+            CAST(SUM(CASE WHEN ABS(d.value - d.med) > ${RelationalQueries.AnomalyK} * ma.mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+            ROUND(MIN(d.med), 6) AS p50, ROUND(MIN(ma.mad), 6) AS mad
+          FROM d JOIN ma USING (event_type) GROUP BY d.event_type""",
+    "ev_gap_fill" ->
+      """WITH h AS (SELECT event_type,
+              epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2),
+          r AS (SELECT MIN(hour_ms) AS lo, MAX(hour_ms) AS hi FROM h),
+          sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000)) AS hour_ms
+                 FROM (SELECT DISTINCT event_type FROM h), r),
+          j AS (SELECT sp.event_type, sp.hour_ms, h.sum_value, h.n_events
+                FROM sp LEFT JOIN h ON sp.event_type = h.event_type
+                                   AND sp.hour_ms = h.hour_ms)
+          SELECT event_type, hour_ms, COALESCE(n_events, 0) AS n_events,
+            (n_events IS NULL) AS filled,
+            last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type
+              ORDER BY hour_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sum_value_locf
+          FROM j""",
     "q_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status_dim,
            COALESCE(o_orderpriority, 'ALL') AS priority_dim,
@@ -702,6 +752,8 @@ object SparkEntry {
     // heavy hitters: exact counts, the (n desc, gram asc) tie-break makes
     // the k-set deterministic across engines
     "text_chunks" -> TextAnalysis.chunksOracleSql(),
+    // the sketch path must agree EXACTLY with the plain vocab-sized GROUP BY
+    "text_heavy_hitters" -> TextAnalysis.heavyHittersOracleSql(),
     "text_bm25" -> TextAnalysis.bm25OracleSql(),
     "dedup_cross_source" -> Dedup.crossSourceOracleSql,
     "text_top_ngrams" ->

@@ -479,4 +479,102 @@ object RelationalQueries {
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"))
   }
+
+  /** SEMI-STRUCTURED extraction: `events.props` is a JSON string; parse it
+    * with a declared schema (`from_json` — the typed door, not per-path
+    * string probing) and aggregate the extracted field per event type.
+    * Malformed/absent keys become NULL and are counted separately
+    * (`n_events` vs `n_with_k`), the standard dirty-JSON contract.
+    *
+    * Scale shape: the parse is a map-only projection fused into the scan
+    * stage (only `props` + `event_type` are read — column pruning reaches
+    * the parquet footer), followed by ONE map-side-combined exchange over
+    * |event_type| groups. At 100 TB the JSON parse dominates CPU; it
+    * parallelizes embarrassingly and nothing but the 5-group aggregate
+    * crosses the wire. */
+  def evPropsExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    Tables.events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+  }
+
+  /** 3·1.4826·MAD ≈ the 3σ rule under normality (1.4826 = 1/Φ⁻¹(3/4));
+    * computed ONCE here and interpolated verbatim into the oracle SQL so
+    * both engines compare against the same double literal (the BM25
+    * float-constant device). */
+  val AnomalyK: Double = 3.0 * 1.4826
+
+  /** ROBUST OUTLIER DETECTION per event type: median/MAD (median absolute
+    * deviation) instead of mean/stddev, so the detector itself is not
+    * dragged by the outliers it hunts. An event is anomalous when
+    * |value − median| > 3·1.4826·MAD ([[AnomalyK]]).
+    *
+    * Exactness contract: medians are EXACT (`percentile`, linear
+    * interpolation — the q_quantiles stance), both engines interpolate
+    * identically on the same doubles, and the rounded median/MAD columns
+    * are the boundary-safe output surface. The two medians are holistic
+    * (per-group value buffers); at 100 TB swap in `approx_percentile`
+    * exactly as q_quantiles_sketch documents — the query shape (two
+    * tiny broadcast joins back to the fact scan) is unchanged.
+    *
+    * Scale shape: three scans of a 2-column projection — (1) median per
+    * type, (2) MAD per type given the broadcast medians, (3) the final
+    * count-vs-threshold aggregate given both broadcast. Each intermediate
+    * is |event_type| rows; nothing corpus-sized ever shuffles. */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("value") - col("med")) > lit(AnomalyK) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("med")), 6).as("p50"),
+        round(first(col("mad")), 6).as("mad"))
+  }
+
+  /** TIME-SERIES GAP FILL: densify the hourly per-type aggregate onto the
+    * full [min_hour, max_hour] spine and carry the last observed value
+    * forward (LOCF) across empty hours — the missing-bucket repair every
+    * downstream charting/feature pipeline needs, and a surface the plain
+    * hourly agg cannot express (absent groups produce no rows at all).
+    *
+    * Scale shape: the corpus-sized work is the SAME single exchange as
+    * ev_hourly_agg; the spine is |event_type| × |hours| (built from a
+    * 1-row broadcast range via `sequence`, never a corpus scan), the
+    * left join against it is broadcast-sized, and the LOCF window is
+    * partitioned per type over the hour count — bounded regardless of
+    * corpus size. Leading gaps (no value yet to carry) stay NULL. */
+  def evGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Tables.eventMs
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), (ms - (ms % 3600000L)).as("hour_ms"))
+      .agg(sum(dec(col("value"))).cast("double").as("sum_value"),
+        count(lit(1)).as("n_events"))
+    val range = hourly.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+    val locf = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour_ms"), "left")
+      .select(col("event_type"), col("hour_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("filled"),
+        last(col("sum_value"), ignoreNulls = true).over(locf).as("sum_value_locf"))
+  }
 }

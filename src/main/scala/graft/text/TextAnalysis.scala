@@ -419,6 +419,57 @@ object TextAnalysis {
         size(col("ck")).as("n_tok"), concat_ws(" ", col("ck")).as("chunk_text"))
   }
 
+  /** HEAVY HITTERS via the Misra-Gries sketch + a candidate-bounded exact
+    * second pass: every word with frequency ≥ 1/`denom` of the corpus, with
+    * its EXACT count — the sketch does the pruning, not the answering.
+    *
+    * Pass 1 runs the mergeable [[graft.functions.MisraGries]] sketch
+    * (capacity ≥ denom guarantees the candidate set is a SUPERSET of the
+    * true heavy hitters: per-item undercount ≤ n/(capacity+1) < n/denom,
+    * so a qualifying counter cannot reach zero). Pass 2 re-scans with the
+    * ≤ capacity candidates inlined into a `when(isin)` bucketing column, so
+    * the exact count aggregate has at most capacity+1 groups — map-side
+    * combine collapses each partition to that many rows before the ONE
+    * exchange. The threshold test is pure integer arithmetic
+    * (`cnt · denom ≥ total`): no float boundary can flip a row.
+    *
+    * Scale shape: this is THE bounded-memory answer when the vocabulary
+    * itself is too large to groupBy (a trillion-token web crawl has
+    * billions of distinct tokens): the sketch crosses the wire as
+    * ≤ capacity counters per partition, the second pass as ≤ capacity+1
+    * partial rows per partition, and the driver only ever holds the
+    * candidate keys. The full-vocabulary exchange of the naive
+    * `GROUP BY word HAVING` never happens. */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   capacity: Int = 200, denom: Long = 100L): DataFrame = {
+    require(capacity >= denom, s"capacity $capacity must be >= denom $denom for the superset guarantee")
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokensCol(col("text"))).as("word"))
+    val sketch: Map[String, Long] = toks.as[String]
+      .select(new graft.functions.MisraGries(capacity).toColumn.name("mg"))
+      .head()
+    val cands = sketch.keys.toSeq.sorted
+    val other = " other" // leading space: collides with no letter-only token
+    val counts = toks
+      .groupBy(when(col("word").isInCollection(cands), col("word"))
+        .otherwise(lit(other)).as("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("word") =!= other && col("cnt") * denom >= col("n_total"))
+      .select(col("word"), col("cnt"), col("n_total"))
+  }
+
+  /** DuckDB re-derivation of [[heavyHitters]]: the plain (vocab-sized)
+    * GROUP BY + integer threshold — the sketch path must agree exactly. */
+  def heavyHittersOracleSql(denom: Long = 100L): String =
+    s"""WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+       |             x -> x <> '')) AS word FROM documents),
+       |t AS (SELECT COUNT(*) AS n_total FROM w),
+       |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1)
+       |SELECT word, cnt, n_total FROM c, t WHERE cnt * $denom >= n_total""".stripMargin
+
   /** DuckDB re-derivation of [[chunks]] (64-token windows, 16 overlap). */
   def chunksOracleSql(chunkTokens: Int = 64, overlap: Int = 16): String = {
     val stride = chunkTokens - overlap

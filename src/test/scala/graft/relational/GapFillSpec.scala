@@ -1,0 +1,62 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Structural contracts of the new event-analytics queries, beyond the value
+  * oracle: the gap-fill spine really is dense and the LOCF/filled semantics
+  * are internally consistent; the JSON extraction and outlier counters
+  * respect their conservation bounds. */
+class GapFillSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+
+  test("ev_gap_fill: dense hourly spine per type, filled <=> empty hour, " +
+    "LOCF null only before the first observation") {
+    val rows = RelationalQueries.evGapFill(spark, sf)
+      .orderBy(col("event_type"), col("hour_ms"))
+      .collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    val lo = rows.map(_.getLong(1)).min
+    val hi = rows.map(_.getLong(1)).max
+    val expectHours = (lo to hi by 3600000L).toSeq
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(1)).toSeq == expectHours,
+        s"type $t spine is not the dense global [lo, hi] hour grid")
+      var seen = false
+      rs.foreach { r =>
+        val n = r.getLong(2); val filled = r.getBoolean(3)
+        assert(filled == (n == 0L), s"filled flag disagrees with n_events at $r")
+        if (!filled) seen = true
+        // LOCF: null before any observation, non-null from the first one on
+        assert(r.isNullAt(4) == !seen, s"LOCF null-ness wrong at $r")
+      }
+    }
+    // non-degenerate on the fixture: some hours are actually empty and filled
+    assert(rows.exists(_.getBoolean(3)), "fixture has no gaps — spec is vacuous")
+  }
+
+  test("ev_props_extract: event conservation and NULL-counting bounds") {
+    val total = graft.Tables.events(spark, sf).count()
+    val rows = RelationalQueries.evPropsExtract(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "n_events must partition the table")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_with_k exceeds n_events")
+      assert(r.getLong(6) <= r.getLong(2), "distinct k values exceed non-null count")
+    }
+    // props are well-formed on the fixture: the parse must not silently lose rows
+    assert(rows.map(_.getLong(2)).sum == total, "fixture props all carry k")
+  }
+
+  test("ev_anomaly: outliers are a strict minority and MAD is non-negative") {
+    val rows = RelationalQueries.evAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) * 2 < r.getLong(1), s"majority flagged as outliers: $r")
+      assert(r.getDouble(4) >= 0.0, "negative MAD")
+    }
+  }
+}
