@@ -83,6 +83,22 @@ object SparkEntry {
     // hourly spine densification + last-observation-carried-forward fill;
     // the spine is types×hours built from a broadcast 1-row range
     "ev_gap_fill" -> RelationalQueries.evGapFill _,
+    // RANGE-frame (value-based) trailing 24 h window over the hourly series;
+    // moving sum runs in DECIMAL so window-engine reassociation cannot bite
+    "ev_moving_avg" -> RelationalQueries.evMovingAvg _,
+    // percent_rank / cume_dist / ntile(4) — the remaining rank family,
+    // unique-key ORDER so tie assignment is engine-independent
+    "q_rank_family" -> RelationalQueries.qRankFamily _,
+    // snapshot diff (CDC): added/deleted/changed via one full-outer join,
+    // emitting only difference rows; v2 derived deterministically in both engines
+    "q_table_diff" -> RelationalQueries.qTableDiff _,
+    // OHLC candlesticks: the min_by/max_by (argmin/argmax) aggregate family,
+    // deterministic integer ordering key, picked raw doubles
+    "ev_ohlc" -> RelationalQueries.evOhlc _,
+    // ML feature cleaning: deterministic-dirty column, mean-impute +
+    // z-score from EXACT decimal moments (never stddev's order-dependent
+    // double accumulation)
+    "ev_impute" -> RelationalQueries.evImpute _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -228,6 +244,11 @@ object SparkEntry {
     "sample_dsir" -> ((s: SparkSession, d: String) => graft.sample.Dsir.importanceTop(s, d)),
     // similarity search
     "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
+    // MMR diversity re-ranking (Carbonell-Goldstein): greedy
+    // relevance-vs-redundancy over the brute top-20 pool, λ=0.7; rounded
+    // sims + interpolated λ/(1−λ) literals + id tie-break make the greedy
+    // engine-exact; oracle unrolls the 5 picks as CTE steps
+    "sim_topk_mmr" -> ((s: SparkSession, d: String) => graft.sim.Mmr.mmrTopK(s, d)),
     // hard-negative mining (DPR/SimCSE): per query the top-k most-similar
     // DIFFERENT-label vectors — the contrastive-negative dual of
     // sim_topk_filtered, same broadcast-queries + bounded-heaps scan
@@ -552,6 +573,69 @@ object SparkEntry {
               ORDER BY hour_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS sum_value_locf
           FROM j""",
+    "ev_moving_avg" ->
+      """WITH h AS (SELECT event_type,
+              epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+              SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2)
+          SELECT event_type, hour_ms, CAST(sum_dec AS DOUBLE) AS sum_value,
+            n_events,
+            CAST(SUM(sum_dec) OVER w AS DOUBLE) AS ma24_sum,
+            COUNT(*) OVER w AS ma24_hours,
+            CAST(SUM(sum_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma24_avg
+          FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+            RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""",
+    "ev_impute" ->
+      """WITH dirty AS (SELECT event_id, event_type,
+              CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+            FROM events),
+          stats AS (SELECT event_type, COUNT(v) AS n_obs,
+              SUM(CAST(v AS DECIMAL(18,2))) AS sum_dec,
+              SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS sumsq_dec
+            FROM dirty GROUP BY 1),
+          j AS (SELECT d.*, CAST(sum_dec AS DOUBLE) / n_obs AS mean,
+              (CAST(sumsq_dec AS DOUBLE)
+                 - CAST(sum_dec AS DOUBLE) * CAST(sum_dec AS DOUBLE) / n_obs) / n_obs AS variance
+            FROM dirty d JOIN stats USING (event_type))
+          SELECT event_id, event_type, (v IS NULL) AS was_null,
+            COALESCE(v, mean) AS value_filled,
+            (COALESCE(v, mean) - mean) / sqrt(variance) AS z
+          FROM j""",
+    "ev_ohlc" ->
+      """SELECT event_type, hour_ms,
+           arg_min(value, ord) AS open, MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, ord) AS close, COUNT(*) AS n_events
+         FROM (SELECT event_type,
+                 epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+                 value,
+                 epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id AS ord
+               FROM events)
+         GROUP BY event_type, hour_ms""",
+    "q_rank_family" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""",
+    "q_table_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k,
+              CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+          v2 AS (SELECT CASE WHEN k % 83 = 0 THEN -k ELSE k END AS k,
+                   CASE WHEN k % 89 = 0 THEN price + CAST(1.0 AS DECIMAL(18,2))
+                        ELSE price END AS price
+                 FROM v1 WHERE k % 97 <> 0),
+          j AS (SELECT COALESCE(a.k, b.k) AS k, a.price AS old_price,
+                  b.price AS new_price
+                FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+          SELECT k AS o_orderkey,
+            CASE WHEN old_price IS NULL THEN 'added'
+                 WHEN new_price IS NULL THEN 'deleted'
+                 WHEN old_price <> new_price THEN 'changed' END AS change,
+            CAST(old_price AS DOUBLE) AS old_price,
+            CAST(new_price AS DOUBLE) AS new_price
+          FROM j WHERE old_price IS NULL OR new_price IS NULL
+             OR old_price <> new_price""",
     "q_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status_dim,
            COALESCE(o_orderpriority, 'ALL') AS priority_dim,
@@ -1115,6 +1199,7 @@ object SparkEntry {
                FROM c)
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10""",
+    "sim_topk_mmr" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_hard_negatives" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT label AS qlabel, vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),

@@ -577,4 +577,143 @@ object RelationalQueries {
         col("n_events").isNull.as("filled"),
         last(col("sum_value"), ignoreNulls = true).over(locf).as("sum_value_locf"))
   }
+
+  /** RANGE-frame moving aggregate: trailing 24-hour sum/avg over the hourly
+    * per-type series — the VALUE-based window frame (`rangeBetween` on the
+    * epoch-ms ORDER key) that no other registered query exercises; a rows
+    * frame would silently be wrong wherever hours are missing.
+    *
+    * Float discipline: window engines disagree on double summation ORDER
+    * (DuckDB's segment tree reassociates; Spark's running frame does not),
+    * so the moving sum runs in DECIMAL(18,2) — associative, exact — and
+    * only the final sum and sum/count division are cast to double.
+    *
+    * Scale shape: same single corpus exchange as ev_hourly_agg; the window
+    * partitions per type over hour counts — bounded regardless of corpus
+    * size, never the single-task global-window trap. */
+  def evMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Tables.eventMs
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), (ms - (ms % 3600000L)).as("hour_ms"))
+      .agg(sum(dec(col("value"))).as("sum_dec"), count(lit(1)).as("n_events"))
+    val w24 = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      .rangeBetween(-23L * 3600000L, 0L)
+    hourly
+      .withColumn("ma24_sum", sum(col("sum_dec")).over(w24).cast("double"))
+      .withColumn("ma24_hours", count(lit(1)).over(w24))
+      .select(col("event_type"), col("hour_ms"),
+        col("sum_dec").cast("double").as("sum_value"), col("n_events"),
+        col("ma24_sum"), col("ma24_hours"),
+        (col("ma24_sum") / col("ma24_hours")).as("ma24_avg"))
+  }
+
+  /** The remaining WINDOW RANK FAMILY in one surface: percent_rank,
+    * cume_dist and ntile(4) of each supplier's account balance within its
+    * nation. All three are exact small-integer arithmetic ((rank−1)/(n−1),
+    * peaked-count/n, balanced-bucket assignment), so the doubles are
+    * IEEE-identical across engines; the ORDER key includes s_suppkey so
+    * ties can never make ntile/rank assignment engine-dependent.
+    *
+    * Scale shape: one exchange on s_nationkey, partition-local sort —
+    * the textbook distributed window; no global ordering anywhere. */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+  }
+
+  /** OHLC (open/high/low/close) candlesticks per (event_type, hour) — the
+    * ARGMIN/ARGMAX aggregate family (`min_by`/`max_by`) no other query
+    * exercises: open/close pick the value AT the earliest/latest event
+    * rather than an extremum OF the values. The ordering key is the exact
+    * integer composite ms·10⁶ + event_id (unique — event_id is unique and
+    * < 10⁶ at fixture scales; at larger scales widen the multiplier), so
+    * the pick is deterministic in both engines; picked values are raw
+    * doubles (no arithmetic), high/low are exact MIN/MAX.
+    *
+    * Scale shape: one map-side-combined exchange over |types|×|hours|
+    * groups — min_by/max_by partials carry one (value, ord) pair per
+    * group, so the candlestick costs the same as a count. */
+  def evOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Tables.eventMs
+    Tables.events(spark, dir)
+      .select(col("event_type"), (ms - (ms % 3600000L)).as("hour_ms"),
+        col("value"), (ms * 1000000L + col("event_id")).as("ord"))
+      .groupBy(col("event_type"), col("hour_ms"))
+      .agg(min_by(col("value"), col("ord")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ord")).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** FEATURE CLEANING for ML prep: mean-impute missing values and z-score,
+    * per event type. Nulls are derived deterministically (every 7th
+    * event_id) so both engines clean the identical dirty column. The
+    * moments come from EXACT decimal sums — never a `stddev`/`avg` agg,
+    * whose double accumulation is partition-order-dependent: sum and
+    * sum-of-squares in DECIMAL (value has 2 decimals → the square has 4;
+    * both associative), then mean/var/z as IEEE doubles OF those exact
+    * sums, bit-identical in any engine at any parallelism.
+    *
+    * Scale shape: one map-side-combined |type|-group aggregate broadcast
+    * back onto the scan — the same two-pass clean a 100 TB feature
+    * pipeline runs; nothing corpus-sized shuffles. */
+  def evImpute(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+    val sq = col("v").cast(DecimalType(18, 2)) * col("v").cast(DecimalType(18, 2))
+    val stats = dirty.groupBy(col("event_type")).agg(
+      count(col("v")).as("n_obs"),
+      sum(dec(col("v"))).as("sum_dec"),
+      sum(sq).as("sumsq_dec"))
+    dirty.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sum_dec").cast("double") / col("n_obs"))
+      .withColumn("variance",
+        (col("sumsq_dec").cast("double") -
+          col("sum_dec").cast("double") * col("sum_dec").cast("double") / col("n_obs"))
+          / col("n_obs"))
+      .select(col("event_id"), col("event_type"),
+        col("v").isNull.as("was_null"),
+        coalesce(col("v"), col("mean")).as("value_filled"),
+        ((coalesce(col("v"), col("mean")) - col("mean")) / sqrt(col("variance"))).as("z"))
+  }
+
+  /** SNAPSHOT DIFF (CDC shape): classify every key of two table versions as
+    * added / deleted / changed via one full-outer join on the key, emitting
+    * only the difference rows (the realistic contract — at 100 TB the
+    * unchanged majority must not be materialized). Version 2 is derived
+    * deterministically from the fixture so both engines build the identical
+    * pair: every 97th key deleted, every 89th repriced (+1.00 in
+    * DECIMAL(18,2) — exact), every 83rd re-keyed negative (an add).
+    *
+    * Scale shape: both sides shuffle once on the join key (or co-locate for
+    * free if both snapshots are bucketed/sorted on it — the Layout story);
+    * the change classification is a map-side projection of the joined row.
+    * No window, no skew sensitivity beyond the join itself. */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("price"))
+    val v2 = v1
+      .filter(col("k") % 97 =!= 0)
+      .select(
+        when(col("k") % 83 === 0, -col("k")).otherwise(col("k")).as("k"),
+        when(col("k") % 89 === 0, col("price") + dec(lit(1.0)))
+          .otherwise(col("price")).as("price"))
+    v1.select(col("k"), col("price").as("old_price"))
+      .join(v2.select(col("k"), col("price").as("new_price")), Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "deleted")
+          .when(col("old_price") =!= col("new_price"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("k").as("o_orderkey"), col("change"),
+        col("old_price").cast("double").as("old_price"),
+        col("new_price").cast("double").as("new_price"))
+  }
 }

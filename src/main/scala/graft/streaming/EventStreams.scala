@@ -303,6 +303,40 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM range join — the one Structured Streaming join kind the
+    * surface lacked: purchases joined to the same user's views within the
+    * trailing hour, BOTH sides watermarked so the join state is bounded
+    * (the engine evicts view rows once the watermark passes their event
+    * time + the 1 h range — at any stream length the state holds roughly
+    * one watermark-window of views, never the history).
+    *
+    * Twin of the batch [[graft.relational.RelationalQueries.evRangeJoin]]
+    * BEFORE its aggregation: emits the matched (purchase, view) pairs.
+    * INNER join by design — a left-outer stream-stream join can only emit
+    * its null-extended rows after the watermark closes a purchase's match
+    * window, so a bounded replay would hold the tail purchases in state
+    * forever; the parity spec compares against the batch join's matched
+    * rows, which inner equals exactly. */
+  def rangeJoinStream(events: DataFrame, windowMs: Long = 3600000L): DataFrame = {
+    val base = events.select(col("user_id"), expr("ts DIV 1000000").as("ms"),
+      col("event_id"), col("event_type"),
+      timestamp_millis(expr("ts DIV 1000000")).as("ts_ts"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("pms"),
+        col("event_id").as("purchase_id"), col("ts_ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ms").as("vms"),
+        col("ts_ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+        expr(s"""v_user = user_id AND
+                 v_ts >= p_ts - INTERVAL ${windowMs / 1000} SECONDS AND
+                 v_ts < p_ts"""))
+      .select(col("user_id"), col("purchase_id"), col("pms").as("purchase_ms"),
+        col("vms").as("view_ms"))
+  }
+
   /** Run a streaming query over the fixture events *as a stream* (one file
     * source micro-batch) into an in-memory sink; returns the materialized
     * result. Used by tests to prove batch/stream parity. */

@@ -23,6 +23,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("stream-stream range join equals the batch range join's matched rows") {
+    val stream = EventStreams.runOnce(spark, sf, "rjoin_stream",
+        df => EventStreams.rangeJoinStream(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch truth: the same (purchase, view) pairs, derived independently
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts DIV 1000000").as("ms"),
+        col("event_id"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("pms"), col("event_id").as("purchase_id"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ms").as("vms"))
+    val batch = p.join(v, col("vu") === col("user_id") &&
+        col("vms") >= col("pms") - 3600000L && col("vms") < col("pms"))
+      .select(col("user_id"), col("purchase_id"), col("pms"), col("vms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty, "fixture produced no purchase-view matches — spec is vacuous")
+  }
+
   test("streaming KV store final state equals batch materialize") {
     import spark.implicits._
     val streamed = EventStreams.runKvStream(spark, sf).collect()
