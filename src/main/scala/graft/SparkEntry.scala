@@ -99,6 +99,9 @@ object SparkEntry {
     // z-score from EXACT decimal moments (never stddev's order-dependent
     // double accumulation)
     "ev_impute" -> RelationalQueries.evImpute _,
+    // referential-integrity audit: orphan counts per FK relation via
+    // anti joins (deterministically-corrupted child keys, non-zero answer)
+    "q_integrity" -> RelationalQueries.qIntegrity _,
     // MapReduce surface (reference apps, declarative + typed twin)
     "mr_wordcount" -> MrQueries.wordCount _,
     "mr_inverted_index" -> MrQueries.invertedIndex _,
@@ -122,6 +125,12 @@ object SparkEntry {
     // merge table is learned, so no independent engine re-derives it; the
     // spec pins apply == driver-local reference)
     "text_bpe_apply" -> ((s: SparkSession, d: String) => graft.text.BpeTrain.bpeApply(s, d)),
+    // the SECOND trained tokenizer family: unigram-LM (SentencePiece,
+    // Kudo 2018) — substring seeding, deterministic hard-EM (integer
+    // counts, any-partitioning bit-identical), prune-to-budget, Viterbi
+    // apply. Rows-only by nature (trained artifact); UnigramLmSpec pins
+    // distributed == driver-local reference
+    "text_unigram_apply" -> ((s: SparkSession, d: String) => graft.text.UnigramLm.unigramApply(s, d)),
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_langid" -> TextAnalysis.langId _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
@@ -173,6 +182,13 @@ object SparkEntry {
     // exchange to a sources-sized table, broadcast grand total, rounded-share
     // integer budget contract
     "sample_temperature" -> ((s: SparkSession, d: String) => graft.sample.Sampling.temperatureMixture(s, d)),
+    // epoch-based upsampling (the replication half of data mixing):
+    // floor(e) copies + hash-fate fractional copy, map-only explode
+    "sample_epochs" -> ((s: SparkSession, d: String) => graft.sample.Sampling.epochUpsample(s, d)),
+    // boundary-respecting shelf packing: whole docs into budget bins via
+    // the same two-phase prefix sum as pack_sequences; bins = contiguous
+    // doc runs with bounded overshoot
+    "pack_greedy_bins" -> ((s: SparkSession, d: String) => graft.sample.Packing.greedyBins(s, d)),
     // concat-and-chunk sequence packing: global token offsets via a
     // two-phase prefix sum (range partition + broadcast offsets), never a
     // single-task global window; oracle recomputes with a windowed cumsum
@@ -585,6 +601,52 @@ object SparkEntry {
             CAST(SUM(sum_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma24_avg
           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
             RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""",
+    "q_integrity" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 101 = 0 THEN -l_orderkey
+              ELSE l_orderkey END AS k FROM lineitem),
+          oc AS (SELECT CASE WHEN o_custkey % 101 = 0 THEN -o_custkey
+              ELSE o_custkey END AS k FROM orders),
+          cn AS (SELECT CASE WHEN c_nationkey % 101 = 0 THEN -c_nationkey
+              ELSE c_nationkey END AS k FROM customer),
+          sn AS (SELECT CASE WHEN s_nationkey % 101 = 0 THEN -s_nationkey
+              ELSE s_nationkey END AS k FROM supplier)
+          SELECT 'lineitem->orders' AS relation,
+            (SELECT COUNT(*) FROM li) AS n_child,
+            (SELECT COUNT(*) FROM li WHERE k NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+          UNION ALL
+          SELECT 'orders->customer',
+            (SELECT COUNT(*) FROM oc),
+            (SELECT COUNT(*) FROM oc WHERE k NOT IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'customer->nation',
+            (SELECT COUNT(*) FROM cn),
+            (SELECT COUNT(*) FROM cn WHERE k NOT IN (SELECT n_nationkey FROM nation))
+          UNION ALL
+          SELECT 'supplier->nation',
+            (SELECT COUNT(*) FROM sn),
+            (SELECT COUNT(*) FROM sn WHERE k NOT IN (SELECT n_nationkey FROM nation))""",
+    "sample_epochs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            2 + ${fnvFull("source")} % 5 AS e2,
+            ${fnvFull("CAST(doc_id AS VARCHAR) || ':epoch'")} % 100 AS fate
+          FROM documents),
+          n AS (SELECT doc_id, source,
+            e2 // 2 + CASE WHEN e2 % 2 = 1 AND fate < 50 THEN 1 ELSE 0 END AS nc
+          FROM d)
+          SELECT doc_id, source, CAST(nc AS BIGINT) AS n_copies,
+            CAST(unnest(generate_series(1, nc)) AS BIGINT) AS copy_idx
+          FROM n""",
+    "pack_greedy_bins" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n
+            FROM documents),
+          c AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t),
+          b AS (SELECT (cum - n) // 2048 AS bin_id, n, cum FROM c)
+          SELECT bin_id, COUNT(*) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS n_tokens_assigned,
+            CAST(GREATEST(0, MAX(cum) - (bin_id + 1) * 2048) AS BIGINT) AS overshoot
+          FROM b GROUP BY bin_id""",
     "ev_impute" ->
       """WITH dirty AS (SELECT event_id, event_type,
               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v

@@ -560,10 +560,16 @@ object RelationalQueries {
     * corpus size. Leading gaps (no value yet to carry) stay NULL. */
   def evGapFill(spark: SparkSession, dir: String): DataFrame = {
     val ms = Tables.eventMs
+    // localCheckpoint: the hourly aggregate feeds THREE consumers (range,
+    // type list, join) — without it each re-plans the corpus scan (plan
+    // audit showed scans=3). The checkpointed frame is |types|×|hours|
+    // rows, so materializing it is free at any corpus size and the corpus
+    // is scanned ONCE.
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"), (ms - (ms % 3600000L)).as("hour_ms"))
       .agg(sum(dec(col("value"))).cast("double").as("sum_value"),
         count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val range = hourly.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
     val spine = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(range))
@@ -649,6 +655,36 @@ object RelationalQueries {
         min(col("value")).as("low"),
         max_by(col("value"), col("ord")).as("close"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the data-quality gate a pipeline runs
+    * before trusting a snapshot: orphan counts for every foreign-key
+    * relation in the star schema, via left-anti joins. The fixture is
+    * clean, so (exactly as [[qTableDiff]] does) each child key is
+    * deterministically corrupted (every 101st key negated) so the audit
+    * exercises a non-zero answer both engines must agree on.
+    *
+    * Scale shape: each relation is one anti join — dimension parents
+    * broadcast; the lineitem→orders anti join shuffles both sides on the
+    * key once (or rides bucketing, the Layout story). Output is 4 rows. */
+  def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def corrupt(k: Column): Column = when(k % 101 === 0, -k).otherwise(k)
+    def audit(name: String, child: DataFrame, key: Column,
+              parent: DataFrame, pkey: Column): DataFrame = {
+      val c = child.select(corrupt(key).as("k"))
+      val orphans = c.join(parent.select(pkey.as("pk")), col("k") === col("pk"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    }
+    audit("lineitem->orders", Tables.lineitem(spark, dir), col("l_orderkey"),
+        Tables.orders(spark, dir), col("o_orderkey"))
+      .unionAll(audit("orders->customer", Tables.orders(spark, dir), col("o_custkey"),
+        Tables.customer(spark, dir), col("c_custkey")))
+      .unionAll(audit("customer->nation", Tables.customer(spark, dir), col("c_nationkey"),
+        Tables.nation(spark, dir), col("n_nationkey")))
+      .unionAll(audit("supplier->nation", Tables.supplier(spark, dir), col("s_nationkey"),
+        Tables.nation(spark, dir), col("n_nationkey")))
   }
 
   /** FEATURE CLEANING for ML prep: mean-impute missing values and z-score,

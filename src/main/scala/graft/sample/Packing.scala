@@ -85,4 +85,25 @@ object Packing {
           .otherwise(expr(s"token_start DIV $seqLen")).as("last_chunk"))
       .withColumn("crosses_boundary", col("last_chunk") =!= col("first_chunk"))
   }
+
+  /** BOUNDARY-RESPECTING shelf packing — the OTHER packing mode a training
+    * pipeline runs (T5-style "pack whole documents, never split"): each
+    * document goes WHOLE into the bin where its global token offset lands
+    * (bin = offset DIV budget), so bins are contiguous doc runs that can
+    * overshoot the budget by less than one document — the classic shelf
+    * approximation of first-fit, expressible without sequential state.
+    * Reuses [[packSequencesFrom]]'s two-phase prefix sum verbatim (one
+    * corpus scan, O(partitions) driver traffic, no global window).
+    *
+    * Output per bin: doc count, assigned tokens, and the overshoot beyond
+    * the budget boundary (0 for bins whose last doc ends in-bin). */
+  def greedyBins(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    packSequencesFrom(graft.Tables.documents(spark, dir), budget)
+      .groupBy(col("first_chunk").as("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_assigned"),
+        max(col("token_start") + col("n_tokens")).as("max_end"))
+      .select(col("bin_id"), col("n_docs"), col("n_tokens_assigned"),
+        greatest(lit(0L), col("max_end") - (col("bin_id") + 1) * budget).as("overshoot"))
+  }
 }

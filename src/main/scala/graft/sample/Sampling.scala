@@ -166,4 +166,30 @@ object Sampling {
         floor(col("temp_share") * budget).cast("bigint").as("budget_tokens"))
       .withColumn("epochs", round(col("budget_tokens").cast("double") / col("n_tokens"), 6))
   }
+
+  /** EPOCH-BASED UPSAMPLING — the replication half of data mixing that
+    * `mixture`/`temperatureMixture` (keep/drop) cannot express: a data
+    * recipe assigns each source an epoch factor e ≥ 1 (possibly
+    * fractional), and every document is emitted floor(e) times plus one
+    * more with probability frac(e) — deterministically, via the same
+    * hash-fate primitive as every sampler here, so both engines emit the
+    * identical multiset. The factor itself derives from the data
+    * (fnv32(source), e ∈ {1.0, 1.5, …, 3.0}) so the oracle re-derives it
+    * with no side channel; production callers pass their recipe instead.
+    *
+    * All arithmetic is integer (e is carried as 2e) and the fan-out is a
+    * map-only `explode(sequence(1, n_copies))` — zero exchanges at any
+    * corpus size, the fixture's zero-exchange plan family. */
+  def epochUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val e2 = lit(2) + Fnv32.fnv32(col("source")) % 5 // 2e ∈ {2..6}
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), e2.as("e2"),
+        (Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":epoch"))) % 100)
+          .as("fate"))
+      .withColumn("n_copies",
+        expr("e2 DIV 2") +
+          when(col("e2") % 2 === 1 && col("fate") < 50, 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
 }

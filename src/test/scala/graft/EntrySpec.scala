@@ -26,7 +26,10 @@ class EntrySpec extends AnyFunSuite {
     // text_quality_classifier: QualityClassifierSpec pins distributed
     // training == driver-local reference element-exact and relational
     // scoring == local scores at the rounded surface.
-    val intentionallyRowsOnly = Set("text_bpe_apply", "text_quality_classifier")
+    // text_unigram_apply: UnigramLmSpec pins the hard-EM training loop and
+    // the Viterbi apply against a driver-local reference (same contract).
+    val intentionallyRowsOnly =
+      Set("text_bpe_apply", "text_quality_classifier", "text_unigram_apply")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
       intentionallyRowsOnly
     assert(missing.isEmpty, s"query without oracle: $missing")

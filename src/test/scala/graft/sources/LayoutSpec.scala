@@ -120,7 +120,10 @@ class LayoutSpec extends AnyFunSuite {
     // dedicated k1 sort: razor-sharp on k1, blind on k2 (every group spans it)
     assert(touched(sG1, sel) * 5 < sG1.size,
       s"k1-sorted layout not selective on k1: ${touched(sG1, sel)}/${sG1.size}")
-    assert(touched(sG2, sel) == sG2.size,
+    // ≥95%, not ==100%: each group's k2 min/max is a sample of ~n/groups
+    // uniform draws, so a group can miss the 1/32 range by chance (observed
+    // once at 184/185 — the blindness claim is statistical, not exact)
+    assert(touched(sG2, sel) * 20 >= sG2.size * 19,
       s"k1-sorted layout unexpectedly selective on k2: ${touched(sG2, sel)}/${sG2.size}")
     // z-order: a hyper-rectangle per group ⇒ BOTH predicates skip most groups
     // ((1/32)^(1/2) ≈ 18% is the curve's theoretical touch fraction)
