@@ -39,6 +39,14 @@ object SparkEntry {
     "q3_shipping_priority" -> RelationalQueries.q3ShippingPriority _,
     "q5_nation_revenue" -> RelationalQueries.q5NationRevenue _,
     "q6_forecast_revenue" -> RelationalQueries.q6ForecastRevenue _,
+    // nation→nation trade matrix: two roles of the nation dimension (Q7)
+    "q7_trade_volume" -> RelationalQueries.q7TradeVolume _,
+    // conditional-count CASE aggregation over the fact-fact join (Q12 shape)
+    "q12_priority_class" -> RelationalQueries.q12PriorityClass _,
+    // promo revenue share: conditional decimal sums, one boundary division (Q14)
+    "q14_promo_share" -> RelationalQueries.q14PromoShare _,
+    // OR-of-ANDs bracket predicate; part-side conjuncts filter pre-join (Q19)
+    "q19_brackets" -> RelationalQueries.q19Brackets _,
     "q_semi_anti" -> RelationalQueries.qSemiAnti _,
     "q_window_topn" -> RelationalQueries.qWindowTopN _,
     "q_setops" -> RelationalQueries.qSetOps _,
@@ -601,6 +609,47 @@ object SparkEntry {
             CAST(SUM(sum_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma24_avg
           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
             RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""",
+    "q7_trade_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INT) AS ship_year,
+            $revenue AS revenue, COUNT(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+          GROUP BY 1, 2, 3""",
+    "q12_priority_class" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q14_promo_share" ->
+      """WITH j AS (SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+              CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+              p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey)
+          SELECT ship_year,
+            CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+            CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+            100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+              / CAST(SUM(rev) AS DOUBLE) AS promo_share
+          FROM j GROUP BY 1""",
+    "q19_brackets" ->
+      s"""SELECT $revenue AS revenue, COUNT(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""",
     "q_integrity" ->
       """WITH li AS (SELECT CASE WHEN l_orderkey % 101 = 0 THEN -l_orderkey
               ELSE l_orderkey END AS k FROM lineitem),

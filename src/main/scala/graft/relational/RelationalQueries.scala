@@ -657,6 +657,96 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): the nation→nation trade matrix —
+    * lineitem joined to its supplier's nation AND its order's customer's
+    * nation, revenue per (supp_nation, cust_nation, ship year). Exercises
+    * the multi-hop star join with TWO roles of the same dimension.
+    *
+    * Scale shape: supplier/customer/nation broadcast; orders⋈lineitem is
+    * the one co-keyed fact-fact shuffle (bucketing co-locates it). Year
+    * extraction is calendar arithmetic both engines share under UTC. */
+  def q7TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .as("rev"),
+        year(col("l_shipdate")).as("ship_year"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(nat.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q12 shape (the fixture has no l_shipmode, so the classified
+    * dimension is the order's priority class): per ship year, how many
+    * line items belong to URGENT/HIGH orders vs the rest — the
+    * conditional-count (CASE-aggregation) pattern over a fact-fact join. */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), year(col("l_shipdate")).as("ship_year"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("ship_year"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 (promo revenue share): per ship year, the fraction of
+    * revenue from PROMO-type parts. Conditional DECIMAL sums; the share is
+    * one double division of two exact decimals at the boundary. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), year(col("l_shipdate")).as("ship_year"), rev.as("rev"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_year"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo_dec"),
+        sum(col("rev")).as("total_dec"))
+      .select(col("ship_year"),
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        (lit(100.0) * col("promo_dec").cast("double") / col("total_dec").cast("double"))
+          .as("promo_share"))
+  }
+
+  /** TPC-H Q19 shape (bracketed disjunction): revenue from three
+    * (brand, quantity-range, size-range) brackets OR-ed together — the
+    * classic OR-of-ANDs predicate a naive engine evaluates post-join and a
+    * good plan pushes: the part-side conjuncts (brand, size) filter the
+    * broadcast BEFORE the join, the lineitem side keeps only the quantity
+    * window union. One row out. */
+  def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), rev.as("rev"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bracket =
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** REFERENTIAL-INTEGRITY AUDIT — the data-quality gate a pipeline runs
     * before trusting a snapshot: orphan counts for every foreign-key
     * relation in the star schema, via left-anti joins. The fixture is

@@ -32,6 +32,32 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes.toLong)
       .parquet(path)
 
+  /** SMALL-FILE COMPACTION — the other at-rest layout chore a 100 TB table
+    * needs: streaming ingest and per-partition writers leave thousands of
+    * KB-sized files whose open/footer/seek overhead dominates scans and
+    * whose count bloats the driver's file index. Compact by SIZE, not file
+    * count: read the table, measure its bytes from the filesystem, and
+    * rewrite into ceil(bytes / targetFileBytes) files. A plain `coalesce`
+    * would be cheaper (no shuffle) but skew-prone — it glues ADJACENT
+    * input files, so hot ingest hours stay hot; `repartition`'s round-robin
+    * shuffle costs one pass over the data and yields uniform output files.
+    * Content is preserved row-for-row (no sort — compose with
+    * [[sortedWrite]]/[[zorderWrite]] when re-clustering is wanted, which
+    * subsume compaction). Writes to a NEW path: same zero-read-downtime
+    * generation contract as `compactIvfIndex`.
+    *
+    * Returns the number of output data files. */
+  def compactSmallFiles(df: DataFrame, inPath: String, outPath: String,
+                        targetFileBytes: Long = 128L << 20): Int = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    df.repartition(nOut).write.mode("overwrite").parquet(outPath)
+    nOut
+  }
+
   /** Bit-interleaved Z-value of integer columns (each already scaled into
     * [0, 2^bits)): bit i of column c lands at position i·n + c, so sorting
     * by the result walks the Z-order space-filling curve. Disjoint target

@@ -140,4 +140,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(sScanRows == n, s"k1-sorted scan on k2 emitted $sScanRows of $n")
     assert(zScanRows * 2 < n, s"z-order scan on k2 emitted $zScanRows of $n — no skipping")
   }
+
+  test("compactSmallFiles: 64 tiny files become ~target-sized files, content row-identical") {
+    val df = spark.range(300000).select(col("id"), (col("id") % 997).cast("double").as("v"))
+    val p1 = java.nio.file.Files.createTempDirectory("cmp1").toString + "/t"
+    val p2 = java.nio.file.Files.createTempDirectory("cmp2").toString + "/t"
+    df.repartition(64).write.parquet(p1)
+    def dataFiles(p: String) = {
+      val dir = new org.apache.hadoop.fs.Path(p)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles(p1)
+    assert(before.size == 64, s"setup: expected 64 scattered files, got ${before.size}")
+    val totalBytes = before.map(_.getLen).sum
+    val n = Layout.compactSmallFiles(spark.read.parquet(p1), p1, p2,
+      targetFileBytes = totalBytes / 4)
+    val after = dataFiles(p2)
+    assert(after.size == n && n <= 5,
+      s"expected ~4 compacted files, got ${after.size} (returned $n)")
+    // size-targeted, not count-targeted: every output file is within 2x of target
+    after.foreach(f => assert(f.getLen < totalBytes / 2,
+      s"a compacted file exceeded twice the target: ${f.getLen}"))
+    // content preserved row-for-row
+    val a = spark.read.parquet(p1).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val b = spark.read.parquet(p2).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(a.sameElements(b), "compaction must not change content")
+  }
 }
