@@ -759,14 +759,16 @@ object RelationalQueries {
     * key once (or rides bucketing, the Layout story). Output is 4 rows. */
   def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
     def corrupt(k: Column): Column = when(k % 101 === 0, -k).otherwise(k)
+    // ONE child scan per relation: left-join against the (unique-keyed)
+    // parent and count the null-extended rows — the count+anti-join pair
+    // would scan the child twice (first plan audit showed scans=11)
     def audit(name: String, child: DataFrame, key: Column,
-              parent: DataFrame, pkey: Column): DataFrame = {
-      val c = child.select(corrupt(key).as("k"))
-      val orphans = c.join(parent.select(pkey.as("pk")), col("k") === col("pk"), "left_anti")
-      c.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+              parent: DataFrame, pkey: Column): DataFrame =
+      child.select(corrupt(key).as("k"))
+        .join(parent.select(pkey.as("pk")), col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
-    }
     audit("lineitem->orders", Tables.lineitem(spark, dir), col("l_orderkey"),
         Tables.orders(spark, dir), col("o_orderkey"))
       .unionAll(audit("orders->customer", Tables.orders(spark, dir), col("o_custkey"),

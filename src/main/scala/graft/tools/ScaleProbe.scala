@@ -314,6 +314,40 @@ object ScaleProbe {
       (nVec, cF, cS)
     }
     println(f"[scaleprobe] (d) exponents: fixed-width candPairs 1x→10x ${slope(dRows.head._1.toDouble, dRows.head._2.toDouble, dRows(1)._1.toDouble, dRows(1)._2.toDouble)}%.2f, log-scaled candPairs 1x→100x ${slope(dRows.head._1.toDouble, dRows.head._3.toDouble, dRows.last._1.toDouble, dRows.last._3.toDouble)}%.2f (1.0 = linear)")
+    // ---- probe (e): Misra-Gries heavy hitters — bounded exchange vs vocab ----
+    // Claim under test (MisraGries / TextAnalysis.heavyHitters scaladoc):
+    // the naive GROUP BY word ships ≈ vocab-per-partition partial rows
+    // through the exchange (map-side combine caps at the vocabulary, which
+    // GROWS with the corpus — the generator scales vocab with m); the
+    // sketch path ships one ≤2·capacity buffer per partition in pass 1 and
+    // ≤ capacity+1 bucketed partials per partition in pass 2 — both
+    // independent of vocabulary size.
+    println("[scaleprobe] (e) heavy hitters: shuffle rows, naive vocab agg vs MG sketch pass 2")
+    println("[scaleprobe] scale corpusRows vocab naiveShuffleRows pass2ShuffleRows bound naiveSec mgSec")
+    val eRows = scales.map { m =>
+      val dir = corpusDir(m)
+      import spark.implicits._
+      val toks = graft.Tables.documents(spark, dir)
+        .select(explode(graft.text.TextAnalysis.tokensCol(col("text"))).as("word"))
+      val vocab = toks.distinct().count()
+      val naive = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val (naiveRows, tN) = timed(shuffleRecords(naive))
+      val parts = graft.Tables.documents(spark, dir).rdd.getNumPartitions
+      val ((p2Rows, nCands), tMg) = timed {
+        val sketch = toks.as[String]
+          .select(new graft.functions.MisraGries(200).toColumn.name("mg")).head()
+        val cands = sketch.keys.toSeq.sorted
+        val bucketed = toks
+          .groupBy(when(col("word").isInCollection(cands), col("word"))
+            .otherwise(lit(" other")).as("w"))
+          .agg(count(lit(1)).as("cnt"))
+        (shuffleRecords(bucketed), cands.size)
+      }
+      println(f"[scaleprobe] x$m%-4d ${baseRows * m}%9d $vocab%7d $naiveRows%15d $p2Rows%15d ${parts.toLong * (nCands + 1)}%10d $tN%6.2f $tMg%6.2f")
+      (vocab, naiveRows, p2Rows)
+    }
+    println(f"[scaleprobe] (e) exponents vs vocab 1x→100x: naive partial rows ${slope(eRows.head._1.toDouble, eRows.head._2.toDouble, eRows.last._1.toDouble, eRows.last._2.toDouble)}%.2f, sketch pass-2 rows ${slope(eRows.head._1.toDouble, eRows.head._3.toDouble, eRows.last._1.toDouble, eRows.last._3.toDouble)}%.2f (1.0 = grows with vocab, 0.0 = bounded)")
+
     spark.stop()
   }
 
