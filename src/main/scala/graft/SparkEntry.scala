@@ -559,11 +559,17 @@ object SparkEntry {
            COUNT(vms) AS n_views_1h, MAX(vms) AS last_view_ms
          FROM p LEFT JOIN v ON v_user = user_id AND vms >= pms - 3600000 AND vms < pms
          GROUP BY user_id, purchase_id, pms""",
+    // json_valid + TRY_CAST guard: the stated contract is NULL for dirty
+    // JSON / non-numeric k (matching from_json PERMISSIVE); a bare
+    // `CAST(props->>'k' ...)` would ERROR on the first malformed row
     "ev_props_extract" ->
       """SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
            CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
            COUNT(DISTINCT k) AS n_distinct_k
-         FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+         FROM (SELECT event_type,
+                 CASE WHEN json_valid(props)
+                      THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+               FROM events)
          GROUP BY event_type""",
     // the 3·1.4826 threshold constant is interpolated from the SAME Scala
     // double as the engine's (never re-derived — the BM25 float device)

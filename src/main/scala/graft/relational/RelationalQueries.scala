@@ -488,10 +488,13 @@ object RelationalQueries {
     *
     * Scale shape: the parse is a map-only projection fused into the scan
     * stage (only `props` + `event_type` are read — column pruning reaches
-    * the parquet footer), followed by ONE map-side-combined exchange over
-    * |event_type| groups. At 100 TB the JSON parse dominates CPU; it
-    * parallelizes embarrassingly and nothing but the 5-group aggregate
-    * crosses the wire. */
+    * the parquet footer). At 100 TB the JSON parse dominates CPU and
+    * parallelizes embarrassingly; the aggregate itself has TWO exchanges
+    * because of countDistinct — Spark's rewrite first aggregates on
+    * (event_type, k), so one row per distinct pair crosses the first
+    * exchange (map-side combined, but it grows with k's cardinality). For
+    * a high-cardinality field swap in approx_count_distinct — the
+    * ev_approx_users trade, sketch bytes instead of distinct values. */
   def evPropsExtract(spark: SparkSession, dir: String): DataFrame = {
     val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",

@@ -330,8 +330,11 @@ object EventStreams {
         col("ts_ts").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
     purchases.join(views,
+        // MILLISECONDS, not a /1000 SECONDS truncation: any windowMs that
+        // is not a whole second would silently shrink the window and break
+        // parity with the batch twin's exact ms arithmetic
         expr(s"""v_user = user_id AND
-                 v_ts >= p_ts - INTERVAL ${windowMs / 1000} SECONDS AND
+                 v_ts >= p_ts - INTERVAL $windowMs MILLISECONDS AND
                  v_ts < p_ts"""))
       .select(col("user_id"), col("purchase_id"), col("pms").as("purchase_ms"),
         col("vms").as("view_ms"))

@@ -451,10 +451,14 @@ object TextAnalysis {
       .head()
     val cands = sketch.keys.toSeq.sorted
     val other = " other" // leading space: collides with no letter-only token
+    // localCheckpoint: `counts` (≤ capacity+1 rows) feeds both the total
+    // and the output — without it both consumers re-plan the corpus scan
+    // + tokenize (the evGapFill lesson), making pass 2 cost double
     val counts = toks
       .groupBy(when(col("word").isInCollection(cands), col("word"))
         .otherwise(lit(other)).as("word"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     counts.crossJoin(broadcast(total))
       .filter(col("word") =!= other && col("cnt") * denom >= col("n_total"))

@@ -29,7 +29,8 @@ import graft.Tables
   * counts), so the fit is bit-identical under ANY partitioning; the
   * per-word Viterbi shares one code path between the distributed pass and
   * the spec's driver-local reference, with explicit tie-breaks (higher
-  * score, then FEWER pieces, then longer first piece at each DP cell).
+  * score, then FEWER pieces, then the longer LAST piece at each DP cell —
+  * smaller start index wins).
   *
   * Scale shape: one corpus scan total; each EM round is one pass over the
   * broadcast-vocab-segmented word table with a map-side-combined
@@ -132,8 +133,11 @@ object UnigramLm {
             seedSize: Int = 512, maxPieceLen: Int = 6, emIters: Int = 2): Seq[Piece] = {
     import spark.implicits._
     val words = wordCounts(spark, dir)
-    // SEED: substring counts, one bounded exchange (≤ len·maxPieceLen
-    // substrings per word occurrence — counted per DISTINCT word × count)
+    // SEED: substring counts — the top-seedSize selection happens IN THE
+    // ENGINE (TakeOrderedAndProject bounded heaps under the fully
+    // tie-broken ordering), so the driver receives ≤ seedSize + |alphabet|
+    // rows, never the substring vocabulary (which grows with the corpus —
+    // collecting it whole would be the driver OOM at scale)
     val subs = words.as[(String, Long)].flatMap { case (w, c) =>
       for {
         i <- 0 until w.length
@@ -141,10 +145,13 @@ object UnigramLm {
       } yield (w.substring(i, i + l), c)
     }.toDF("piece", "cnt")
       .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+    val chars = subs.filter(length(col("piece")) === 1)
       .as[(String, Long)].collect()
-    val chars = subs.filter(_._1.length == 1)
-    val seeded = (chars ++ subs.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c * p.length, -c, p) }
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy((col("n") * length(col("piece"))).desc, col("n").desc, col("piece"))
+      .limit(seedSize)
+      .as[(String, Long)].collect()
+    val seeded = (chars ++ multi.sortBy { case (p, c) => (-c * p.length, -c, p) }
       .take(math.max(0, seedSize - chars.length))).distinct
     var model = toModel(seeded.toSeq)
     for (_ <- 1 to emIters)
