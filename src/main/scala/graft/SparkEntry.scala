@@ -39,6 +39,9 @@ object SparkEntry {
     "q3_shipping_priority" -> RelationalQueries.q3ShippingPriority _,
     "q5_nation_revenue" -> RelationalQueries.q5NationRevenue _,
     "q6_forecast_revenue" -> RelationalQueries.q6ForecastRevenue _,
+    // per-type OLS trend (slope/intercept/r²) from EXACT decimal moments —
+    // never the built-in regr_*/corr aggs (partition-order double folds)
+    "ev_forecast" -> RelationalQueries.evForecast _,
     // nation→nation trade matrix: two roles of the nation dimension (Q7)
     "q7_trade_volume" -> RelationalQueries.q7TradeVolume _,
     // conditional-count CASE aggregation over the fact-fact join (Q12 shape)
@@ -615,6 +618,25 @@ object SparkEntry {
             CAST(SUM(sum_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma24_avg
           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
             RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW)""",
+    "ev_forecast" ->
+      """WITH h AS (SELECT event_type,
+              epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+              SUM(CAST(value AS DECIMAL(18,2))) AS y
+            FROM events GROUP BY 1, 2),
+          m AS (SELECT MIN(hour_ms) AS h0 FROM h),
+          d AS (SELECT event_type, (hour_ms - h0) // 3600000 AS x, y FROM h, m),
+          s AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(x * x) AS DOUBLE) AS sxxd,
+              CAST(SUM(y) AS DOUBLE) AS syd, CAST(SUM(x * y) AS DOUBLE) AS sxyd,
+              CAST(SUM(y * y) AS DOUBLE) AS syyd
+            FROM d GROUP BY 1)
+          SELECT event_type, n,
+            ROUND((n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd), 6) AS slope,
+            ROUND((syd - ((n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)) * sxd) / n, 6)
+              AS intercept,
+            ROUND(((n * sxyd - sxd * syd) * (n * sxyd - sxd * syd)) /
+              ((n * sxxd - sxd * sxd) * (n * syyd - syd * syd)), 6) AS r2
+          FROM s""",
     "q7_trade_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
             CAST(year(l_shipdate) AS INT) AS ship_year,

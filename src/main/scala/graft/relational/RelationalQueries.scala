@@ -660,6 +660,50 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** TREND REGRESSION per event type: ordinary least squares of the hourly
+    * value series (y = hourly decimal sum, x = hour index from the global
+    * min hour) — slope, intercept and r², the analytics-dashboard
+    * regression family (`regr_slope`-style). NEVER the built-in regr or
+    * corr aggregates: their double moments accumulate in partition
+    * order. All five moments here are EXACT (Σx, Σx² integer; Σy, Σxy,
+    * Σy² decimal), so the closed-form normal equations are the same IEEE
+    * doubles in any engine at any parallelism — the evImpute stance
+    * extended to second-order cross moments. 6-decimal rounded surface.
+    *
+    * Scale shape: the hourly pre-aggregate is the one corpus exchange
+    * (checkpointed — it feeds the min-hour broadcast and the moment agg);
+    * moments are a |type|-row map-side-combined aggregate. */
+  def evForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Tables.eventMs
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), (ms - (ms % 3600000L)).as("hour_ms"))
+      .agg(sum(dec(col("value"))).as("y"))
+      .localCheckpoint()
+    val minHour = hourly.agg(min(col("hour_ms")).as("h0"))
+    val d = hourly.crossJoin(broadcast(minHour))
+      .select(col("event_type"),
+        expr("(hour_ms - h0) DIV 3600000").as("x"), col("y"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        col("sx").cast("double").as("sxd"), col("sxx").cast("double").as("sxxd"),
+        col("sy").cast("double").as("syd"), col("sxy").cast("double").as("sxyd"),
+        col("syy").cast("double").as("syyd"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("n") * col("sxxd") - col("sxd") * col("sxd")), 6).as("slope"),
+        round((col("syd") - ((col("n") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("n") * col("sxxd") - col("sxd") * col("sxd"))) * col("sxd")) / col("n"), 6)
+          .as("intercept"),
+        round(((col("n") * col("sxyd") - col("sxd") * col("syd")) *
+               (col("n") * col("sxyd") - col("sxd") * col("syd"))) /
+          ((col("n") * col("sxxd") - col("sxd") * col("sxd")) *
+           (col("n") * col("syyd") - col("syd") * col("syd"))), 6).as("r2"))
+  }
+
   /** TPC-H Q7 shape (volume shipping): the nation→nation trade matrix —
     * lineitem joined to its supplier's nation AND its order's customer's
     * nation, revenue per (supp_nation, cust_nation, ship year). Exercises
