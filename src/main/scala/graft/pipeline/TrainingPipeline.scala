@@ -32,18 +32,20 @@ import graft.text.TextAnalysis
   */
 object TrainingPipeline {
 
-  /** Per-document stage verdicts + the cumulative keep decision. One
-    * corpus scan plus the dedup keep-list join. */
-  def stageFlags(spark: SparkSession, dir: String,
-                 blocked: Seq[String] = Seq("slow", "big", "bad"),
-                 rates: Map[String, Int] = Map(
-                   "en" -> 90, "fr" -> 75, "de" -> 50, "es" -> 25, "zh" -> 10)): DataFrame = {
-    val evalGrams = Dedup.evalGramSet(spark, dir) // bounded, by design (eval sets are small)
+  /** The map-only verdict columns over ANY (doc_id, lang, source, text)
+    * frame — batch or readStream: every expression here is stateless
+    * (fused hygiene facts, the broadcast eval-gram decontamination probe,
+    * the mixture hash bucket), which is exactly what lets
+    * [[ingestGateStream]] score documents on arrival with zero state. */
+  def verdictFlags(docs: DataFrame, evalGrams: Array[Long],
+                   blocked: Seq[String] = Seq("slow", "big", "bad"),
+                   rates: Map[String, Int] = Map(
+                     "en" -> 90, "fr" -> 75, "de" -> 50, "es" -> 25, "zh" -> 10)): DataFrame = {
     val tk = TextAnalysis.tokensCol(col("text"))
     val rateCol = rates.foldLeft(lit(0)) { case (acc, (lang, pct)) =>
       when(col("lang") === lang, lit(pct)).otherwise(acc)
     }
-    val base = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"), col("source"), col("text"), tk.as("tk"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         size(col("tk")).cast("bigint").as("n_tokens"),
@@ -66,12 +68,46 @@ object TrainingPipeline {
           .as("pass_hygiene"),
         (col("doc_id") % 50 =!= 0 && col("n_shared") === 0).as("pass_decontam"),
         (col("bucket") < rateCol).as("pass_mixture"))
+  }
+
+  /** Per-document stage verdicts + the cumulative keep decision. One
+    * corpus scan plus the dedup keep-list join. */
+  def stageFlags(spark: SparkSession, dir: String,
+                 blocked: Seq[String] = Seq("slow", "big", "bad"),
+                 rates: Map[String, Int] = Map(
+                   "en" -> 90, "fr" -> 75, "de" -> 50, "es" -> 25, "zh" -> 10)): DataFrame = {
+    val evalGrams = Dedup.evalGramSet(spark, dir) // bounded, by design (eval sets are small)
+    val base = verdictFlags(Tables.documents(spark, dir), evalGrams, blocked, rates)
     val keep = Dedup.nearDupComponents(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_dedup"))
     base.join(keep, "doc_id")
       .withColumn("kept",
         col("pass_hygiene") && col("keep_dedup") && col("pass_decontam") && col("pass_mixture"))
   }
+
+  /** STREAMING INGEST GATE — the assembly funnel scored ON ARRIVAL: the
+    * same [[verdictFlags]] columns run unchanged on a readStream (all
+    * stateless), and the dedup stage joins a FROZEN keep-list via a
+    * STREAM-STATIC left join — the frozen-artifact pattern the classifier
+    * weights, DSIR llr table and IVF codebook already follow. A document
+    * absent from the keep-list (i.e. newer than the last batch build)
+    * defaults to keep: it can only be near-deduped by the NEXT keep-list
+    * build (`dedup_incremental` is the batch path that prices exactly
+    * that), never retroactively by a stream.
+    *
+    * Scale shape: map-only columns + one broadcastable-or-shuffled static
+    * join per micro-batch; zero streaming state. */
+  def ingestGateStream(docsStream: DataFrame, evalGrams: Array[Long],
+                       keepList: DataFrame,
+                       blocked: Seq[String] = Seq("slow", "big", "bad"),
+                       rates: Map[String, Int] = Map(
+                         "en" -> 90, "fr" -> 75, "de" -> 50, "es" -> 25, "zh" -> 10)): DataFrame =
+    verdictFlags(docsStream, evalGrams, blocked, rates)
+      .join(keepList.select(col("doc_id"), col("keep").as("keep_dedup")),
+        Seq("doc_id"), "left")
+      .withColumn("keep_dedup", coalesce(col("keep_dedup"), lit(true)))
+      .withColumn("kept",
+        col("pass_hygiene") && col("keep_dedup") && col("pass_decontam") && col("pass_mixture"))
 
   /** The funnel as ONE row (the registered, value-oracled surface):
     * total docs, survivors after each cumulative stage, kept token total,

@@ -101,4 +101,40 @@ class TrainingPipelineSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("streaming ingest gate == batch stageFlags under the frozen keep-list; " +
+    "unseen docs default to keep") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val evalGrams = graft.dedup.Dedup.evalGramSet(spark, sf)
+    val keep = graft.dedup.Dedup.nearDupComponents(spark, sf)
+      .select(col("doc_id"), col("keep")).localCheckpoint()
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val gated = TrainingPipeline.ingestGateStream(stream, evalGrams, keep)
+      .select("doc_id", "pass_hygiene", "keep_dedup", "pass_decontam", "pass_mixture", "kept")
+    val q = gated.writeStream.format("memory").queryName("ingest_gate")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+    val got = spark.table("ingest_gate").collect().map(key).toSet
+    val expect = TrainingPipeline.stageFlags(spark, sf)
+      .select("doc_id", "pass_hygiene", "keep_dedup", "pass_decontam", "pass_mixture", "kept")
+      .collect().map(key).toSet
+    assert(got == expect, "stream-scored verdicts must equal the batch funnel's")
+    assert(got.nonEmpty && got.exists(!_._6) && got.exists(_._6), "degenerate fixture")
+    // frozen-keep-list semantics: a doc the last build never saw defaults to
+    // keep (dedup is the NEXT build's job) — empty keep-list keeps everyone
+    val emptyKeep = keep.filter(lit(false)).localCheckpoint()
+    val gated2 = TrainingPipeline.ingestGateStream(stream, evalGrams, emptyKeep)
+      .select("doc_id", "keep_dedup")
+    val q2 = gated2.writeStream.format("memory").queryName("ingest_gate_empty")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("ingest_gate_empty").collect().forall(_.getBoolean(1)),
+      "unseen docs must default to keep_dedup = true")
+  }
 }
