@@ -276,6 +276,10 @@ object SparkEntry {
     // sims + interpolated λ/(1−λ) literals + id tie-break make the greedy
     // engine-exact; oracle unrolls the 5 picks as CTE steps
     "sim_topk_mmr" -> ((s: SparkSession, d: String) => graft.sim.Mmr.mmrTopK(s, d)),
+    // the same greedy over the ball-pruned IVF pool (exact by construction)
+    // — one truth through the indexed path, same oracle (q_asof_operator
+    // precedent)
+    "sim_topk_mmr_ivf" -> ((s: SparkSession, d: String) => graft.sim.Mmr.mmrTopKIvf(s, d)),
     // hard-negative mining (DPR/SimCSE): per query the top-k most-similar
     // DIFFERENT-label vectors — the contrastive-negative dual of
     // sim_topk_filtered, same broadcast-queries + bounded-heaps scan
@@ -1339,6 +1343,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10""",
     "sim_topk_mmr" -> graft.sim.Mmr.mmrOracleSql(),
+    "sim_topk_mmr_ivf" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_hard_negatives" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT label AS qlabel, vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),

@@ -78,9 +78,27 @@ object Mmr {
   }
 
   def mmrTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
-              poolK: Int = 20, outK: Int = 5, lambda: Double = 0.7): DataFrame = {
+              poolK: Int = 20, outK: Int = 5, lambda: Double = 0.7): DataFrame =
+    mmrFromPool(spark, dir,
+      Similarity.bruteForceTopK(spark, dir, numQueries, poolK), outK, lambda)
+
+  /** The PRODUCTION retrieval path composed end-to-end: the candidate pool
+    * comes from the ball-pruned IVF search instead of the brute scan —
+    * [[Similarity.ivfTopKExact]] is EXACT by construction (pruning bound,
+    * recall 1.0), so the greedy re-rank is value-identical to [[mmrTopK]]
+    * and shares its DuckDB oracle (the q_asof_operator precedent: one
+    * truth, reached through the indexed physical path). At scale the pool
+    * generation is where the index pays — probed lists instead of the full
+    * corpus — and the greedy is unchanged. */
+  def mmrTopKIvf(spark: SparkSession, dir: String, numQueries: Int = 8,
+                 poolK: Int = 20, outK: Int = 5, lambda: Double = 0.7): DataFrame =
+    mmrFromPool(spark, dir,
+      Similarity.ivfTopKExact(spark, dir, numQueries, poolK), outK, lambda)
+
+  private def mmrFromPool(spark: SparkSession, dir: String,
+                          hits: org.apache.spark.sql.Dataset[Similarity.Hit],
+                          outK: Int, lambda: Double): DataFrame = {
     import spark.implicits._
-    val hits = Similarity.bruteForceTopK(spark, dir, numQueries, poolK)
     val vecs = Similarity.vectors(spark, dir)
     hits.joinWith(broadcast(vecs), hits("neighbor_id") === vecs("vec_id"))
       .map { case (h, v) => (h.query_id, h.neighbor_id, h.cosine, v.embedding) }
