@@ -40,7 +40,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The three trained-model apply queries get their oracles generated
+    // HERE, after retraining the (bit-deterministic) artifact on this sf
+    // dir and interpolating it as SQL literals — a static map cannot know
+    // a data-trained model. Skipped when a subset excludes them all.
+    val wanted = only.map(_.intersect(graft.text.TrainedOracles.names))
+      .getOrElse(graft.text.TrainedOracles.names)
+    val trained: Map[String, String] =
+      if (wanted.isEmpty) Map.empty
+      else graft.text.TrainedOracles.all(spark, sfDir, wanted)
+    val json = (SparkEntry.oracleSql ++ trained)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -336,9 +336,17 @@ object QualityClassifier {
   def scored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (w, _) = trainNewton(featurize(spark, dir))
-    // model as a table: one row per hashed bucket
+    // model as a table: one row per hashed bucket, weights in ×2^24
+    // FIXED-POINT Longs — the per-doc token margin is then an INTEGER sum
+    // (exact, order-free) divided once, so the DuckDB oracle built by
+    // [[TrainedOracles.classifierSql]] reproduces tok_z bit-for-bit
+    // regardless of either engine's aggregation order (a double sum would
+    // be ulp-sensitive to it); /2^24 is exact in binary, so the only
+    // inexactness the quantization adds is the ≤2^-25-per-weight rounding
+    // itself, ~1e-8 in z — invisible at the ROUND(…,6) surface
     val wtab = broadcast(
-      (0 until NumBuckets).map(b => (b, w(5 + b))).toDF("bucket", "wt"))
+      (0 until NumBuckets).map(b => (b, math.rint(w(5 + b) * Scale).toLong))
+        .toDF("bucket", "wfix"))
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
@@ -361,7 +369,7 @@ object QualityClassifier {
       .select(col("doc_id"), col("n_words"), (Fnv32.fnv32(col("w")) % NumBuckets).as("bucket"))
       .join(wtab, "bucket")
       .groupBy(col("doc_id"))
-      .agg((sum(col("wt")) / first(col("n_words"))).as("tok_z"))
+      .agg(((sum(col("wfix")) / Scale) / first(col("n_words"))).as("tok_z"))
     shaped.drop("tk").join(tokZ, "doc_id")
       .select(col("doc_id"), col("n_words"),
         round(expr("1.0 / (1.0 + exp(-(shape_z + tok_z)))"), 6).as("quality_score"),

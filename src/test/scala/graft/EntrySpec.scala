@@ -17,25 +17,32 @@ class EntrySpec extends AnyFunSuite {
 
   test("every queries entry has an oracle (no silent rows-only downgrades)") {
     // the driver records a weaker rows-only check for oracle-less queries;
-    // this surface is fully value-oracled and must stay that way. The ONLY
-    // exceptions are queries whose values depend on an artifact TRAINED by
-    // the query itself, which no independent SQL engine can re-derive —
-    // each must carry a driver-local-reference spec instead (BpeTrainSpec
-    // pins text_bpe_apply's apply == reference merge-by-merge).
-    // text_bpe_apply: BpeTrainSpec pins apply == reference merge-by-merge.
-    // text_quality_classifier: QualityClassifierSpec pins distributed
-    // training == driver-local reference element-exact and relational
-    // scoring == local scores at the rounded surface.
-    // text_unigram_apply: UnigramLmSpec pins the hard-EM training loop and
-    // the Viterbi apply against a driver-local reference (same contract).
-    val intentionallyRowsOnly =
-      Set("text_bpe_apply", "text_quality_classifier", "text_unigram_apply")
+    // this surface is fully value-oracled and must stay that way. Three
+    // queries score under a model the query itself TRAINS, so their oracle
+    // SQL cannot live in the static map — graft.Verify generates it per
+    // run via text.TrainedOracles (retrain the bit-deterministic artifact,
+    // interpolate it as literals) and merges it into oracle_sql.json; the
+    // training loops themselves stay pinned by BpeTrainSpec /
+    // UnigramLmSpec / QualityClassifierSpec driver-local references.
+    val dynamicOracle = text.TrainedOracles.names
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
-      intentionallyRowsOnly
+      dynamicOracle
     assert(missing.isEmpty, s"query without oracle: $missing")
-    // the allowlist must not rot: every entry still registered, still no oracle
-    assert(intentionallyRowsOnly.subsetOf(SparkEntry.queries.keySet))
-    assert((intentionallyRowsOnly & SparkEntry.oracleSql.keySet).isEmpty)
+    // the dynamic set must not rot: every entry still a registered query,
+    // none shadowed by a static-map entry
+    assert(dynamicOracle.subsetOf(SparkEntry.queries.keySet))
+    assert((dynamicOracle & SparkEntry.oracleSql.keySet).isEmpty)
+  }
+
+  test("trained-model oracles generate non-empty DuckDB SQL at sf0.001") {
+    val sqls = text.TrainedOracles.all(spark, sf)
+    assert(sqls.keySet == text.TrainedOracles.names)
+    sqls.foreach { case (name, s) =>
+      assert(s.contains("FROM documents"), name)
+      // the whole point is interpolated literals: each SQL must embed the
+      // trained artifact (a CAST(… AS DOUBLE) logp/weight or a merge pair)
+      assert(s.contains("AS DOUBLE") || s.contains("replace("), name)
+    }
   }
 
   test("every query runs at sf0.001 and returns a schema with no raw timestamps") {
