@@ -245,6 +245,10 @@ object SparkEntry {
     // bits → linear equi-shuffle candidates → exact cosine verify; the
     // no-blocking-key scale path for embedding near-dup
     "dedup_lsh_pairs" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.pairs(s, d)),
+    // the PRODUCTION operating point (τ=0.9, 24 bands × 12 bits — the
+    // config whose candidate exponent measured ~1.14): planted-dup corpus
+    // derived deterministically from the fixture so the oracle re-plants it
+    "dedup_lsh_pairs_prod" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.pairsProd(s, d)),
     // the band/width tuning dashboard: candidates, found, truth, recall,
     // candidate fraction per configuration
     "dedup_lsh_sweep" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.sweep(s, d)),
@@ -1247,6 +1251,7 @@ object SparkEntry {
     // signatures from the SAME ±1 plane literals the engine projects onto
     // (interpolated from one Scala constant — zero duplication)
     "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql,
+    "dedup_lsh_pairs_prod" -> graft.dedup.EmbeddingLsh.oraclePairsProdSql,
     "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql(
       fnvBucket("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
     "dedup_lsh_components" -> graft.dedup.EmbeddingLsh.oracleDedupKeepSql,

@@ -61,14 +61,6 @@ object EmbeddingLsh {
 
   lazy val planes: Array[Array[Int]] = planesFor(NumPlanes)
 
-  /** Sum-in-element-order dot product of an array<double> column against a
-    * plane — the same left-to-right fold the oracle's list_inner_product
-    * runs, rounded to the shared 6-decimal surface. */
-  private def projection(emb: Column, plane: Array[Int]): Column =
-    round(aggregate(
-      zip_with(emb, typedLit(plane.map(_.toDouble)), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x), 6)
-
   /** vec_id, emb (double), bits: the first `numPlanes` sign bits — callers
     * request exactly the planes their band configuration consumes (the
     * 8×2 default pays for 16 projections, not all 32; planesFor guarantees
@@ -85,8 +77,16 @@ object EmbeddingLsh {
   def signaturesFrame(emb: DataFrame, numPlanes: Int = NumPlanes): DataFrame =
     emb
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
-      .withColumn("bits", array(planesFor(numPlanes).map(p =>
-        when(projection(col("emb"), p) >= 0, 1).otherwise(0)): _*))
+      // ONE native pass for all raw projections (the per-plane HOF stack
+      // was the whole-query bottleneck at 288 planes), then Spark's own
+      // round(…,6) >= 0 per element — the rounding surface the oracle
+      // mirrors is untouched. The proj alias is referenced numPlanes
+      // times, which keeps CollapseProject from inlining (re-evaluating)
+      // the expression per bit.
+      .withColumn("proj", graft.functions.VecOps.planeProjCol(col("emb"), planesFor(numPlanes)))
+      .withColumn("bits", array((0 until numPlanes).map(j =>
+        when(round(element_at(col("proj"), j + 1), 6) >= 0, 1).otherwise(0)): _*))
+      .drop("proj")
 
   /** One row per (vector, band): the band's key is the little-endian integer
     * of its `width` bits starting at plane `band*width`. `sigPlanes` is the
@@ -140,8 +140,12 @@ object EmbeddingLsh {
     * requires near-all-pairs candidate volume). */
   def pairsFrame(emb: DataFrame, bands: Int, width: Int,
                  threshold: Double): DataFrame = {
-    // exactly the planes this configuration consumes (prefix-stable)
-    val sig = signaturesFrame(emb, bands * width)
+    // exactly the planes this configuration consumes (prefix-stable),
+    // materialized ONCE: the plan consumes sig three ways (band rows +
+    // both verify sides), and without the checkpoint each consumer
+    // recomputes every projection — measured 7.3 → 2.9 s on the 288-plane
+    // production config at bench SF (the sweep's countedOnce precedent)
+    val sig = signaturesFrame(emb, bands * width).localCheckpoint(true)
     val e = sig.select(col("vec_id"), col("emb"))
     candidates(sig, bands, width, bands * width)
       .join(e.as("x"), col("d1") === col("x.vec_id"))
@@ -227,14 +231,55 @@ object EmbeddingLsh {
         (col("node") === col("label")).as("keep"))
   }
 
+  /** THE PRODUCTION OPERATING POINT, registered as `dedup_lsh_pairs_prod`
+    * (the scale-regime twin the 8×2 fixture query cannot be): τ = 0.9,
+    * 24 bands × 12 bits — the configuration whose candidate growth the
+    * ScaleProbe measured at exponent ~1.14 (vs 1.85 for fixed-narrow
+    * bands), i.e. the one a 100 TB dedup run would actually ship. The
+    * fixture's own near-dup band sits at cosine ≈ 0.35 where NO hyperplane
+    * config can prune and recall simultaneously (the sweep's physics), so
+    * this query PLANTS the production regime deterministically FROM the
+    * fixture table itself — every value re-derivable by DuckDB from the
+    * same parquet: each vec_id ≡ 0 (mod 5) gains a copy at id + 1,000,000
+    * with coordinates scaled by (1 + 0.45·s_j), s the ±1 seed-43 LCG
+    * vector, landing planted pairs at cosine ≈ 0.89-0.93 around the
+    * threshold while random pairs stay far below it. */
+  def pairsProd(spark: SparkSession, dir: String): DataFrame =
+    pairsFrame(prodFrame(spark, dir), bands = 24, width = 12, threshold = 0.9)
+
+  /** ±1 perturbation signs: the planes' LCG recipe under seed 43 (seed 42
+    * is the signature stream; a distinct seed keeps the planted direction
+    * uncorrelated with every band bit). */
+  private[dedup] val perturbSigns: Array[Double] = {
+    var s = 43L
+    Array.fill(Dims) {
+      s = (s * 1103515245L + 12345L) & 0x7FFFFFFFL
+      if (((s >> 16) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** The planted-dup corpus: fixture vectors ∪ perturbed copies. */
+  private[dedup] def prodFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val pert = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), typedLit(perturbSigns),
+          (x, sj) => x * (lit(1.0) + lit(0.45) * sj)).as("embedding"))
+    base.unionAll(pert)
+  }
+
   // ---- oracle SQL (interpolating the SAME plane literals) ----
 
   private def planeLit(p: Array[Int]): String =
     p.map(v => s"$v.0").mkString("[", ",", "]")
 
-  private def bitsCols: String = planes.zipWithIndex.map { case (p, j) =>
-    s"(CASE WHEN ROUND(list_inner_product(emb, ${planeLit(p)}), 6) >= 0 THEN 1 ELSE 0 END) AS b$j"
-  }.mkString(",\n")
+  private def bitsColsFor(numPlanes: Int): String =
+    planesFor(numPlanes).zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ROUND(list_inner_product(emb, ${planeLit(p)}), 6) >= 0 THEN 1 ELSE 0 END) AS b$j"
+    }.mkString(",\n")
+
+  private def bitsCols: String = bitsColsFor(NumPlanes)
 
   private def bandsUnion(cfgs: Seq[(Int, Int)]): String =
     cfgs.flatMap { case (bands, width) =>
@@ -264,6 +309,27 @@ object EmbeddingLsh {
   def oraclePairsSql: String =
     s"""WITH $pairsCtes
        |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.35""".stripMargin
+
+  /** DuckDB re-derivation of [[pairsProd]]: re-plant the perturbed copies
+    * from the parquet (same sign literals, same operand order), then the
+    * 24×12 band pipeline over the first 288 planes of the same stream. */
+  def oraclePairsProdSql: String = {
+    val s = perturbSigns.map(v => s"$v").mkString("[", ",", "]")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pert AS (SELECT vec_id + 1000000 AS vec_id,
+       |           list_transform(generate_series(1, $Dims),
+       |             j -> emb[j] * (CAST(1.0 AS DOUBLE) + CAST(0.45 AS DOUBLE) * ($s)[j])) AS emb
+       |         FROM b WHERE vec_id % 5 = 0),
+       |e AS (SELECT vec_id, emb FROM b UNION ALL SELECT vec_id, emb FROM pert),
+       |sig AS (SELECT vec_id, emb, ${bitsColsFor(24 * 12)} FROM e),
+       |bands AS (${bandsUnion(Seq((24, 12)))}),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |           AND a.vec_id < b.vec_id),
+       |v AS (SELECT d1, d2, $cosineSql AS cosine
+       |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)
+       |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.9""".stripMargin
+  }
 
   /** DuckDB re-derivation of [[dedupKeep]]: the same pairs pipeline, then
     * min-label connected components as a recursive CTE (the

@@ -134,6 +134,37 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(frac < 0.02, s"candidate volume $nCand ($frac of all pairs) — pruning collapsed")
   }
 
+  test("REGISTERED production query: planted recall ≥95%, candidate volume <2%, subset of truth") {
+    // dedup_lsh_pairs_prod is the driver-benched form of the production
+    // regime (the previous test proves the physics on its own corpus; this
+    // one pins the actual registered query on the deterministic fixture
+    // plant so the benched config is the scale-safe one)
+    val frame = EmbeddingLsh.prodFrame(spark, sf)
+    val vecs = frame.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val planted = vecs.keys.filter(_ >= 1000000L).map(d => (d - 1000000L, d)).toSeq
+    assert(planted.nonEmpty)
+    val truthHi = planted.filter { case (a, b) => cos(vecs(a), vecs(b)) >= 0.905 }.toSet
+    assert(truthHi.size >= planted.size / 2, s"plant degenerate: ${truthHi.size}/${planted.size} above 0.905")
+    val got = EmbeddingLsh.pairsProd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.895, s"false pair ($a,$b) at ${cos(vecs(a), vecs(b))}")
+    }
+    val recall = (got & truthHi).size.toDouble / truthHi.size
+    assert(recall >= 0.95, s"production recall $recall at 24x12")
+    val nCand = EmbeddingLsh.candidates(
+      EmbeddingLsh.signaturesFrame(frame, 24 * 12), 24, 12, 24 * 12).count()
+    val n = vecs.size.toLong
+    val frac = nCand.toDouble / (n * (n - 1) / 2)
+    assert(frac < 0.02, s"candidate volume $nCand ($frac of all pairs) — pruning collapsed")
+  }
+
   test("candidate generation is a linear equi-join on (band, key), never a product") {
     val plan = EmbeddingLsh.pairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan:\n${plan.take(1500)}")
