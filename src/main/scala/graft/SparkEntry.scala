@@ -88,6 +88,14 @@ object SparkEntry {
     // semi-structured extraction: schema'd from_json over events.props,
     // NULL-counting contract for dirty JSON, one 5-group exchange
     "ev_props_extract" -> RelationalQueries.evPropsExtract _,
+    // nested/array JSON with SELF-GENERATED dirty rows (the driver fixture
+    // is always-clean flat {"k":N}): struct-of-array-of-struct parse,
+    // explode_outer, per-(type, tag) aggregate
+    "ev_props_nested" -> RelationalQueries.evPropsNested _,
+    // the registered 100TB swap for ev_anomaly: mergeable percentile
+    // sketches for median/MAD, envelope-checked against each engine's own
+    // exact quantiles (the q_quantiles_sketch contract)
+    "ev_anomaly_sketch" -> RelationalQueries.evAnomalySketch _,
     // robust median/MAD outlier detection per event type (exact percentile
     // like q_quantiles; approx_percentile is the documented 100 TB swap)
     "ev_anomaly" -> RelationalQueries.evAnomaly _,
@@ -570,18 +578,76 @@ object SparkEntry {
            COUNT(vms) AS n_views_1h, MAX(vms) AS last_view_ms
          FROM p LEFT JOIN v ON v_user = user_id AND vms >= pms - 3600000 AND vms < pms
          GROUP BY user_id, purchase_id, pms""",
-    // json_valid + TRY_CAST guard: the stated contract is NULL for dirty
-    // JSON / non-numeric k (matching from_json PERMISSIVE); a bare
-    // `CAST(props->>'k' ...)` would ERROR on the first malformed row
+    // json_valid + json_type guard, matching from_json PERMISSIVE
+    // exactly: k is extracted ONLY when the JSON value is an integral
+    // number — a quoted numeric like {"k":"123"} or a float is NULL in
+    // Spark (type mismatch nulls the field), so a bare TRY_CAST of the
+    // ->> text (which would happily coerce '123') is the wrong contract
+    // even though the clean fixture never trips it; ev_props_nested
+    // self-generates the dirty rows that do
     "ev_props_extract" ->
       """SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
            CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
            COUNT(DISTINCT k) AS n_distinct_k
          FROM (SELECT event_type,
                  CASE WHEN json_valid(props)
+                        AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                       THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
                FROM events)
          GROUP BY event_type""",
+    // rebuild the identical JSON strings with ||, then mirror from_json
+    // PERMISSIVE per-field: u/m.a only when the JSON value is an integral
+    // number (quoted numerics and floats are NULL — pinned empirically:
+    // PERMISSIVE nulls the mismatched FIELD but keeps the record; only
+    // json_valid=false nulls everything), m.s via ->> (JSON numbers
+    // coerce INTO strings), tags only when '$.tags' is an ARRAY;
+    // explode_outer's corrupt-row NULL tag is unnest(COALESCE(tags,[NULL]))
+    "ev_props_nested" ->
+      """WITH e AS (SELECT event_type,
+           CASE WHEN event_id % 13 = 0 THEN '{"u":'
+                WHEN event_id % 13 = 1 THEN '{"u":"' || CAST(user_id AS VARCHAR) || '","tags":["a"],"m":{"a":1,"s":"x"}}'
+                ELSE '{"u":' || CAST(user_id AS VARCHAR) || ',"tags":["t' || CAST(user_id % 5 AS VARCHAR)
+                  || '","t' || CAST(event_id % 3 AS VARCHAR) || '"],"m":{"a":' || CAST(event_id % 100 AS VARCHAR)
+                  || ',"s":"' || event_type || '"}}'
+           END AS j FROM events),
+         p AS (SELECT event_type,
+           CASE WHEN json_valid(j) AND json_type(j, '$.u') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(j, '$.u') AS BIGINT) END AS u,
+           CASE WHEN json_valid(j) AND json_type(j, '$.m.a') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(j, '$.m.a') AS BIGINT) END AS a,
+           CASE WHEN json_valid(j) THEN json_extract_string(j, '$.m.s') END AS s,
+           CASE WHEN json_valid(j) AND json_type(j, '$.tags') = 'ARRAY'
+                THEN CAST(j->'$.tags' AS VARCHAR[]) END AS tags
+           FROM e),
+         x AS (SELECT event_type, u, a, s, unnest(COALESCE(tags, [NULL])) AS tag FROM p)
+         SELECT event_type, tag, COUNT(*) AS n_rows, COUNT(u) AS n_u,
+           CAST(SUM(a) AS BIGINT) AS sum_a, COUNT(DISTINCT u) AS n_users,
+           COUNT(CASE WHEN s = event_type THEN 1 END) AS n_s_echo
+         FROM x GROUP BY event_type, tag""",
+    // each engine's own sketch median/MAD/outlier-count inside its own
+    // exact envelopes (q_quantiles_sketch contract); exact p50/mad and
+    // the booleans are the compared surface
+    "ev_anomaly_sketch" ->
+      s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+            quantile_cont(value, 0.45) AS p45, quantile_cont(value, 0.55) AS p55,
+            approx_quantile(value, 0.5) AS med_sk
+          FROM events GROUP BY 1),
+          d AS (SELECT e.event_type, m.med, m.p45, m.p55, m.med_sk,
+            ABS(e.value - m.med) AS adev, ABS(e.value - m.med_sk) AS adev_sk
+          FROM events e JOIN med m USING (event_type)),
+          ma AS (SELECT event_type, quantile_cont(adev, 0.5) AS m_mad,
+            quantile_cont(adev, 0.45) AS mad45, quantile_cont(adev, 0.55) AS mad55,
+            approx_quantile(adev_sk, 0.5) AS mad_sk
+          FROM d GROUP BY 1)
+          SELECT d.event_type, COUNT(*) AS n_events,
+            ROUND(ANY_VALUE(d.med), 6) AS p50, ROUND(ANY_VALUE(ma.m_mad), 6) AS mad,
+            (ANY_VALUE(d.med_sk) BETWEEN ANY_VALUE(d.p45) AND ANY_VALUE(d.p55)) AS p50_sketch_ok,
+            (ANY_VALUE(ma.mad_sk) BETWEEN ANY_VALUE(ma.mad45) AND ANY_VALUE(ma.mad55)) AS mad_sketch_ok,
+            (CAST(SUM(CASE WHEN d.adev_sk > ${RelationalQueries.AnomalyK} * ma.mad_sk THEN 1 ELSE 0 END) AS BIGINT)
+               BETWEEN CAST(SUM(CASE WHEN d.adev > ${RelationalQueries.AnomalyK} * ma.m_mad * 1.1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AND CAST(SUM(CASE WHEN d.adev > ${RelationalQueries.AnomalyK} * ma.m_mad * 0.9 THEN 1 ELSE 0 END) AS BIGINT))
+              AS outliers_sketch_ok
+          FROM d JOIN ma USING (event_type) GROUP BY d.event_type""",
     // the 3·1.4826 threshold constant is interpolated from the SAME Scala
     // double as the engine's (never re-derived — the BM25 float device)
     "ev_anomaly" ->

@@ -510,6 +510,52 @@ object RelationalQueries {
         countDistinct(col("k")).as("n_distinct_k"))
   }
 
+  /** NESTED/ARRAY JSON extraction with the dirty rows the flat fixture
+    * lacks: the driver's `events.props` is always clean `{"k":N}`, so the
+    * from_json NULL-contract [[evPropsExtract]] advertises was never
+    * actually exercised by the gate. This query DERIVES a nested JSON
+    * column from the events row itself — deterministically, so the oracle
+    * rebuilds the identical strings with `||` — including a malformed row
+    * (truncated JSON ⇒ every field NULL) and a quoted-numeric row
+    * (`"u":"42"` ⇒ only `u` NULL: PERMISSIVE nulls the mismatched FIELD,
+    * not the record — pinned empirically, see the oracle's comment), then
+    * parses with a struct-of-array-of-struct schema and explodes the tag
+    * array (`explode_outer`, so corrupt rows keep their NULL-tag row).
+    *
+    * Scale shape: identical to [[evPropsExtract]] — generate + parse +
+    * explode are one fused map-only stage over the pruned scan; the
+    * explode multiplies rows ×2 (tag count) before ONE map-side-combined
+    * aggregate on (event_type, tag); countDistinct adds its standard
+    * second exchange over (event_type, tag, u) partials. */
+  def evPropsNested(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = col("event_id") % 13
+    val json = when(m === 0, lit("{\"u\":"))
+      .when(m === 1, concat(lit("{\"u\":\""), col("user_id").cast("string"),
+        lit("\",\"tags\":[\"a\"],\"m\":{\"a\":1,\"s\":\"x\"}}")))
+      .otherwise(concat(
+        lit("{\"u\":"), col("user_id").cast("string"),
+        lit(",\"tags\":[\"t"), (col("user_id") % 5).cast("string"),
+        lit("\",\"t"), (col("event_id") % 3).cast("string"),
+        lit("\"],\"m\":{\"a\":"), (col("event_id") % 100).cast("string"),
+        lit(",\"s\":\""), col("event_type"), lit("\"}}")))
+    val schema = StructType(Seq(
+      StructField("u", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("m", StructType(Seq(
+        StructField("a", LongType), StructField("s", StringType))))))
+    Tables.events(spark, dir)
+      .select(col("event_type"), from_json(json, schema).as("p"))
+      .select(col("event_type"), col("p.u").as("u"), col("p.m.a").as("a"),
+        col("p.m.s").as("s"), explode_outer(col("p.tags")).as("tag"))
+      .groupBy(col("event_type"), col("tag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("u")).as("n_u"),
+        sum(col("a")).as("sum_a"),
+        countDistinct(col("u")).as("n_users"),
+        count(when(col("s") === col("event_type"), 1)).as("n_s_echo"))
+  }
+
   /** 3·1.4826·MAD ≈ the 3σ rule under normality (1.4826 = 1/Φ⁻¹(3/4));
     * computed ONCE here and interpolated verbatim into the oracle SQL so
     * both engines compare against the same double literal (the BM25
@@ -547,6 +593,55 @@ object RelationalQueries {
           .otherwise(0L)).as("n_outliers"),
         round(first(col("med")), 6).as("p50"),
         round(first(col("mad")), 6).as("mad"))
+  }
+
+  /** The 100 TB form of [[evAnomaly]], REGISTERED (not just documented):
+    * median and MAD via the mergeable `percentile_approx` sketch — exact
+    * `percentile` is holistic (it buffers every group's values; at 100 TB
+    * a hot event type OOMs the task), the sketch is bounded-memory and
+    * map-side mergeable, so the detector keeps evAnomaly's exact shape
+    * (two broadcast joins back to the fact scan) with sketch-sized state.
+    *
+    * Verification follows [[qQuantilesSketch]]'s envelope contract:
+    * sketch values are engine-specific, so each engine asserts ITS sketch
+    * median/MAD lands inside its own exact p45..p55 value envelope and
+    * its sketch-threshold outlier count inside the exact counts at ±10%
+    * threshold slack; the oracle compares the exact rounded medians plus
+    * the three booleans. The exact columns exist to power that check —
+    * a production run drops them and keeps the sketch side. */
+  def evAnomalySketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.5)).as("med"),
+      percentile(col("value"), lit(0.45)).as("p45"),
+      percentile(col("value"), lit(0.55)).as("p55"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("med_sk"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"), col("p45"), col("p55"), col("med_sk"),
+        abs(col("value") - col("med")).as("adev"),
+        abs(col("value") - col("med_sk")).as("adev_sk"))
+    val mad = dev.groupBy(col("event_type")).agg(
+      percentile(col("adev"), lit(0.5)).as("mad"),
+      percentile(col("adev"), lit(0.45)).as("mad45"),
+      percentile(col("adev"), lit(0.55)).as("mad55"),
+      percentile_approx(col("adev_sk"), lit(0.5), lit(1000)).as("mad_sk"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(first(col("med")), 6).as("p50"),
+        round(first(col("mad")), 6).as("mad"),
+        first(col("med_sk").between(col("p45"), col("p55"))).as("p50_sketch_ok"),
+        first(col("mad_sk").between(col("mad45"), col("mad55"))).as("mad_sketch_ok"),
+        sum(when(col("adev_sk") > lit(AnomalyK) * col("mad_sk"), 1L).otherwise(0L))
+          .as("n_out_sk"),
+        sum(when(col("adev") > lit(AnomalyK) * col("mad") * lit(1.1), 1L).otherwise(0L))
+          .as("n_out_loose"),
+        sum(when(col("adev") > lit(AnomalyK) * col("mad") * lit(0.9), 1L).otherwise(0L))
+          .as("n_out_tight"))
+      .select(col("event_type"), col("n_events"), col("p50"), col("mad"),
+        col("p50_sketch_ok"), col("mad_sketch_ok"),
+        col("n_out_sk").between(col("n_out_loose"), col("n_out_tight"))
+          .as("outliers_sketch_ok"))
   }
 
   /** TIME-SERIES GAP FILL: densify the hourly per-type aggregate onto the
@@ -639,9 +734,10 @@ object RelationalQueries {
     * ARGMIN/ARGMAX aggregate family (`min_by`/`max_by`) no other query
     * exercises: open/close pick the value AT the earliest/latest event
     * rather than an extremum OF the values. The ordering key is the exact
-    * integer composite ms·10⁶ + event_id (unique — event_id is unique and
-    * < 10⁶ at fixture scales; at larger scales widen the multiplier), so
-    * the pick is deterministic in both engines; picked values are raw
+    * integer composite ms·10⁶ + event_id (unique — event_id is unique;
+    * a runtime guard raises if event_id ever reaches 10⁶, where the
+    * composite would stop being injective — widen the multiplier there),
+    * so the pick is deterministic in both engines; picked values are raw
     * doubles (no arithmetic), high/low are exact MIN/MAX.
     *
     * Scale shape: one map-side-combined exchange over |types|×|hours|
@@ -649,9 +745,18 @@ object RelationalQueries {
     * group, so the candlestick costs the same as a count. */
   def evOhlc(spark: SparkSession, dir: String): DataFrame = {
     val ms = Tables.eventMs
+    // the composite is only injective while event_id < 10⁶ — past that,
+    // two events in one ms could tie and open/close would be partition-
+    // order lottery. Fail loudly instead of silently nondeterministic
+    // (at that scale, widen the multiplier or switch ord to a
+    // struct(ms, event_id) ordering).
+    val guardedId = when(col("event_id") >= 1000000L,
+      raise_error(lit("evOhlc ord overflow: event_id >= 1e6 breaks the " +
+        "ms*1e6+event_id tie-break — widen the multiplier")))
+      .otherwise(col("event_id"))
     Tables.events(spark, dir)
       .select(col("event_type"), (ms - (ms % 3600000L)).as("hour_ms"),
-        col("value"), (ms * 1000000L + col("event_id")).as("ord"))
+        col("value"), (ms * 1000000L + guardedId).as("ord"))
       .groupBy(col("event_type"), col("hour_ms"))
       .agg(min_by(col("value"), col("ord")).as("open"),
         max(col("value")).as("high"),

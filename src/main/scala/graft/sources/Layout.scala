@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftrightunsigned}
 
 /** Data-layout control for at-rest tables — the scan-pruning lever that
@@ -46,15 +46,22 @@ object Layout {
     * subsume compaction). Writes to a NEW path: same zero-read-downtime
     * generation contract as `compactIvfIndex`.
     *
+    * The frame is derived from `inPath` INSIDE the function: output file
+    * count is sized from that path's on-disk bytes, so letting a caller
+    * supply an arbitrary (filtered, joined, re-projected) frame would
+    * silently size the output from data it doesn't contain. Compacting a
+    * transformed frame is just `sortedWrite`/`df.repartition(n).write`
+    * with a caller-chosen n.
+    *
     * Returns the number of output data files. */
-  def compactSmallFiles(df: DataFrame, inPath: String, outPath: String,
+  def compactSmallFiles(spark: SparkSession, inPath: String, outPath: String,
                         targetFileBytes: Long = 128L << 20): Int = {
-    val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    df.repartition(nOut).write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
     nOut
   }
 

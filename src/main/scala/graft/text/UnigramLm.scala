@@ -21,8 +21,12 @@ import graft.Tables
   *      scanned ONCE ever, into a checkpointed (word, count) table;
   *      Zipf makes that table vocabulary-sized), sum EXACT INTEGER piece
   *      counts weighted by word count, re-estimate logp = ln c − ln Σc.
-  *   3. PRUNE to `vocabSize` pieces by (count, then piece), single chars
-  *      always kept, then one more EM round on the pruned vocabulary.
+  *   3. PRUNE to `vocabSize` pieces by (count, then piece) — single chars
+  *      are immune to the BUDGET cut, then one more EM round on the pruned
+  *      vocabulary. A single char that wins no Viterbi cell in that refit
+  *      still drops out (countPass only emits pieces some segmentation
+  *      used), and such characters are covered at apply time by the OOV
+  *      single-char fallback path, not by an in-vocab piece.
   *
   * Determinism contract (the fixed-point-classifier stance): every model
   * update flows through integer counts (hard EM has no fractional expected

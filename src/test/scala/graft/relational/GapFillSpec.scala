@@ -59,4 +59,34 @@ class GapFillSpec extends AnyFunSuite {
       assert(r.getDouble(4) >= 0.0, "negative MAD")
     }
   }
+
+  test("ev_anomaly_sketch: every envelope boolean holds (the sketch IS inside exact p45..p55)") {
+    val rows = RelationalQueries.evAnomalySketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"sketch p50 outside exact envelope: $r")
+      assert(r.getBoolean(5), s"sketch MAD outside exact envelope: $r")
+      assert(r.getBoolean(6), s"sketch outlier count outside exact envelope: $r")
+    }
+  }
+
+  test("ev_props_nested: dirty-row accounting — malformed rows keep a NULL-tag row, quoted-numeric u is NULL") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sf)
+    val total = ev.count()
+    val nMalformed = ev.filter(col("event_id") % 13 === 0).count()
+    val nQuoted = ev.filter(col("event_id") % 13 === 1).count()
+    val rows = RelationalQueries.evPropsNested(spark, sf).collect()
+    // clean rows explode to 2 tags, quoted-u rows to 1, malformed to 1 NULL-tag row
+    assert(rows.map(_.getLong(2)).sum == (total - nMalformed - nQuoted) * 2 + nQuoted + nMalformed)
+    val nullTag = rows.filter(_.isNullAt(1))
+    assert(nullTag.map(_.getLong(2)).sum == nMalformed, "NULL-tag rows must be exactly the malformed rows")
+    assert(nullTag.forall(_.getLong(3) == 0), "malformed rows cannot carry a parsed u")
+    // tag "a" rows are exactly the quoted-numeric rows: present, but u NULL (field-level PERMISSIVE null)
+    val tagA = rows.filter(r => !r.isNullAt(1) && r.getString(1) == "a")
+    assert(tagA.map(_.getLong(2)).sum == nQuoted)
+    assert(tagA.forall(_.getLong(3) == 0), "quoted-numeric u must parse as NULL")
+    // …but the SIBLING fields of the mismatched one still parse: m.a = 1 per row
+    assert(tagA.map(_.getLong(4)).sum == nQuoted, "quoted-u rows must still parse m.a")
+  }
 }

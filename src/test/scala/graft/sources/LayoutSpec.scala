@@ -154,7 +154,7 @@ class LayoutSpec extends AnyFunSuite {
     val before = dataFiles(p1)
     assert(before.size == 64, s"setup: expected 64 scattered files, got ${before.size}")
     val totalBytes = before.map(_.getLen).sum
-    val n = Layout.compactSmallFiles(spark.read.parquet(p1), p1, p2,
+    val n = Layout.compactSmallFiles(spark, p1, p2,
       targetFileBytes = totalBytes / 4)
     val after = dataFiles(p2)
     assert(after.size == n && n <= 5,
