@@ -348,6 +348,11 @@ object SparkEntry {
     // checksummed) + integer-rescaled metadata; oracle rebuilds the UTF-8
     // byte stream and replicates the stride/DIV arithmetic
     "mm_resize" -> Multimodal.resize _,
+    // a REAL codec through the Decoder seam: deterministic RGB recipe →
+    // genuine PNG bytes (JDK ImageIO writer) → per-partition ImageIO
+    // decode; PNG is lossless so the decoded geometry/channel sums equal
+    // the recipe, which the oracle replays as modular integer arithmetic
+    "mm_image_decode" -> Multimodal.imageDecode _,
     // linearizability (A7): per-user append history from events (nanos call/
     // ret — unique per user, so the fold is sequential and checks in linear
     // time), with a PLANTED violation for every user_id % 7 == 0: a trailing
@@ -1591,6 +1596,21 @@ object SparkEntry {
            CAST(CASE WHEN n > 0 THEN width * len(kept) // n ELSE 0 END AS INT) AS new_width,
            CAST(CASE WHEN n > 0 THEN height * len(kept) // n ELSE 0 END AS INT) AS new_height
          FROM k""",
+    // the engine encodes a deterministic RGB recipe to REAL PNG bytes and
+    // decodes them back with ImageIO; because PNG is lossless, the decoded
+    // width/height/channel sums equal the generating recipe — replayed
+    // here as pure modular arithmetic over pixel indices (i = y·w + x,
+    // channel c value = (id·31 + i·3 + c) mod 256)
+    "mm_image_decode" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, u.i AS i
+                FROM d, unnest(generate_series(0, w * h - 1)) AS u(i))
+         SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id * 31 + i * 3 + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 31 + i * 3 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 31 + i * 3 + 2) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id""",
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic
     "mm_features" ->

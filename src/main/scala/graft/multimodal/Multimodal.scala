@@ -55,6 +55,51 @@ object ByteHistogramDecoder extends Decoder {
   }
 }
 
+/** REAL image codec through the [[Decoder]] seam — `javax.imageio` ships
+  * with the JDK (pure-Java PNG/JPEG, headless-safe), so unlike the
+  * stand-in histogram this decoder exercises an actual encode→decode round
+  * trip: [[Multimodal.syntheticPng]] renders a deterministic RGB recipe
+  * into real PNG bytes in one map pass, and this decoder reads them back
+  * and reports width/height/per-channel pixel sums. PNG is lossless, so
+  * the DECODED stats equal the generating recipe — which is plain modular
+  * integer arithmetic DuckDB re-derives from the parquet, making the
+  * `mm_image_decode` query fully value-oracled even though no SQL engine
+  * can parse a PNG. (JPEG decodes through the same seam; being lossy, its
+  * pixel stats are codec-version-dependent, so the spec pins only its
+  * lossless properties — dimensions.)
+  *
+  * Holds per-instance state (the open flag guards the lifecycle contract),
+  * so it must be constructed fresh per partition via
+  * [[Multimodal.extractFeaturesWith]] — the documented singleton trap.
+  * Feature vector: [width, height, sumR, sumG, sumB]; the sums stay below
+  * 2²⁴ at the recipe's ≤16×14 dimensions, so every value is exact in
+  * Float and the BIGINT casts downstream are lossless. */
+class ImageIoDecoder extends Decoder {
+  val dim = 5
+  private var opened = false
+  override def open(): Unit = { opened = true }
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+    require(opened, "ImageIoDecoder.decode before open(): lifecycle violation")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toFloat, h.toFloat, sr.toFloat, sg.toFloat, sb.toFloat)
+  }
+  override def close(): Unit = { opened = false }
+}
+
 object Multimodal {
 
   final case class Media(doc_id: Long, media_type: String, bytes: Array[Byte],
@@ -203,6 +248,61 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("byte_offset"),
         length(col("frame_bytes")).cast("bigint").as("n_bytes"),
         md5(col("frame_bytes")).as("frame_md5"))
+  }
+
+  /** Deterministic RGB image recipe + REAL PNG encode: dimensions
+    * 4+id%13 × 4+id%11, channel c of pixel (x,y) =
+    * (id·31 + y·w·3 + x·3 + c) mod 256 — plain integer arithmetic the
+    * oracle replays in SQL. The returned bytes are genuine PNG
+    * (JDK `javax.imageio` writer). */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 4 + (docId % 11).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int = ((docId * 31 + y * w * 3 + x * 3 + c) % 256).toInt
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A media table whose payloads are REAL PNGs (one per document,
+    * [[syntheticPng]]): the codec-exercising twin of [[mediaTable]]'s
+    * text-bytes stand-in. */
+  def imageTable(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val png = syntheticPng(id)
+      Media(id, "image", png, 4 + (id % 13).toInt, 4 + (id % 11).toInt, 0L)
+    }
+  }
+
+  /** The registered `mm_image_decode` query: encode every document's
+    * recipe image to PNG, stream the payloads through [[ImageIoDecoder]]
+    * under the per-partition open/decode/close lifecycle, and report the
+    * DECODED geometry and per-channel pixel sums — all BIGINT, all equal
+    * to the generating recipe because PNG is lossless, hence re-derivable
+    * by DuckDB from `documents.doc_id` alone. One map-only pass (encode
+    * fuses with decode in the same task); no shuffle. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeaturesWith(imageTable(spark, dir), () => new ImageIoDecoder).toDF()
+    feats.select(col("doc_id"),
+      element_at(col("features"), 1).cast("bigint").as("width"),
+      element_at(col("features"), 2).cast("bigint").as("height"),
+      (element_at(col("features"), 1) * element_at(col("features"), 2))
+        .cast("bigint").as("n_pixels"),
+      element_at(col("features"), 3).cast("bigint").as("sum_r"),
+      element_at(col("features"), 4).cast("bigint").as("sum_g"),
+      element_at(col("features"), 5).cast("bigint").as("sum_b"))
   }
 
   /** Oracle-friendly summary: per media_type, row/byte counts and mean
