@@ -150,6 +150,9 @@ object SparkEntry {
     // apply. Rows-only by nature (trained artifact); UnigramLmSpec pins
     // distributed == driver-local reference
     "text_unigram_apply" -> ((s: SparkSession, d: String) => graft.text.UnigramLm.unigramApply(s, d)),
+    // the soft-EM (forward-backward expected-count) twin: Kudo's actual
+    // E-step under the micro-unit fixed-point device — same Viterbi apply
+    "text_unigram_soft" -> ((s: SparkSession, d: String) => graft.text.UnigramLm.unigramSoftApply(s, d)),
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_langid" -> TextAnalysis.langId _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,

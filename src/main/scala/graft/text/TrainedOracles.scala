@@ -72,8 +72,17 @@ object TrainedOracles {
     * additions happen in the same DP order from the same literals on both
     * engines, so the double comparisons are bit-equal. */
   def unigramSql(spark: SparkSession, dir: String, vocabSize: Int = 64,
-                 maxPieceLen: Int = 6): String = {
-    val model = UnigramLm.train(spark, dir, vocabSize)
+                 maxPieceLen: Int = 6): String =
+    unigramSqlFor(UnigramLm.train(spark, dir, vocabSize), maxPieceLen)
+
+  /** `text_unigram_soft`: the same Viterbi-apply oracle under the SOFT-EM
+    * (forward-backward expected-count) model — training differs, the
+    * apply surface and its SQL re-derivation are identical. */
+  def unigramSoftSql(spark: SparkSession, dir: String, vocabSize: Int = 64,
+                     maxPieceLen: Int = 6): String =
+    unigramSqlFor(UnigramLm.trainSoft(spark, dir, vocabSize), maxPieceLen)
+
+  private def unigramSqlFor(model: Seq[UnigramLm.Piece], maxPieceLen: Int): String = {
     val fb = UnigramLm.fallbackOf(model.map(_.logp))
     val pl = model.map(p => sq(p.piece)).mkString("[", ",", "]")
     val plp = model.map(p => d(p.logp)).mkString("[", ",", "]")
@@ -176,7 +185,8 @@ object TrainedOracles {
 
   /** The queries whose oracles are generated here, not in the static map. */
   val names: Set[String] =
-    Set("text_bpe_apply", "text_unigram_apply", "text_quality_classifier")
+    Set("text_bpe_apply", "text_unigram_apply", "text_unigram_soft",
+      "text_quality_classifier")
 
   /** Everything [[graft.Verify]] merges over the static `oracleSql` map;
     * `wanted` trims the (training-cost) generation to a local subset run. */
@@ -184,6 +194,7 @@ object TrainedOracles {
           wanted: Set[String] = names): Map[String, String] = Map(
     "text_bpe_apply" -> (() => bpeSql(spark, dir)),
     "text_unigram_apply" -> (() => unigramSql(spark, dir)),
+    "text_unigram_soft" -> (() => unigramSoftSql(spark, dir)),
     "text_quality_classifier" -> (() => classifierSql(spark, dir)))
     .filter { case (k, _) => wanted.contains(k) }
     .map { case (k, f) => k -> f() }

@@ -74,6 +74,58 @@ class UnigramLmSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("soft-EM: distributed == driver-local reference; insensitive to shuffle partitioning") {
+    import spark.implicits._
+    val words = UnigramLm.wordCounts(spark, sf).as[(String, Long)].collect()
+    val seeded = UnigramLm.seed(UnigramLm.wordCounts(spark, sf), seedSize, maxLen)
+    val expect = UnigramLm.trainSoftLocal(words, seeded, vocabSize, maxLen)
+    val got = UnigramLm.trainSoft(spark, sf, vocabSize, seedSize, maxLen)
+    assert(got == expect, s"distributed soft fit diverges:\n got=${got.take(5)}…\n exp=${expect.take(5)}…")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(UnigramLm.trainSoft(spark, sf, vocabSize, seedSize, maxLen) == expect,
+        "micro-unit fixed-point determinism must make the soft fit partitioning-independent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("soft-EM is a real E-step: lattice mass differs from Viterbi counts, and the " +
+    "fitted model's corpus likelihood is at least the hard-EM model's") {
+    import spark.implicits._
+    val words = UnigramLm.wordCounts(spark, sf).as[(String, Long)].collect()
+    val hard = UnigramLm.train(spark, sf, vocabSize, seedSize, maxLen)
+    val soft = UnigramLm.trainSoft(spark, sf, vocabSize, seedSize, maxLen)
+    assert(hard != soft, "soft-EM must not collapse to the Viterbi path counts")
+    assert(soft.exists(_.piece.length > 1), "degenerate: no multi-char piece learned")
+    // marginal corpus log-likelihood (the quantity EM optimizes): Viterbi
+    // best-path score is a lower bound of it per word, so compare both
+    // models on the SAME metric — the full-lattice marginal
+    def marginal(model: Seq[UnigramLm.Piece]): Double = {
+      val m = new java.util.HashMap[String, Double]()
+      model.foreach(p => m.put(p.piece, p.logp))
+      val fb = UnigramLm.fallbackOf(model.map(_.logp))
+      words.map { case (w, c) =>
+        // forward pass only: reuse expectedCounts' alpha recursion shape
+        val n = w.length
+        val la = Array.fill(n + 1)(Double.NegativeInfinity)
+        la(0) = 0.0
+        for (end <- 1 to n; start <- math.max(0, end - maxLen) until end) {
+          val piece = w.substring(start, end)
+          val lp = m.getOrDefault(piece, if (end - start == 1) fb else Double.NegativeInfinity)
+          if (lp != Double.NegativeInfinity && la(start) != Double.NegativeInfinity) {
+            val s = la(start) + lp
+            la(end) = if (la(end) == Double.NegativeInfinity) s
+              else math.max(la(end), s) + math.log1p(math.exp(-math.abs(la(end) - s)))
+          }
+        }
+        c * la(n)
+      }.sum
+    }
+    val (llHard, llSoft) = (marginal(hard), marginal(soft))
+    assert(llSoft >= llHard - math.abs(llHard) * 1e-3,
+      s"soft-EM marginal likelihood $llSoft should not lose to hard-EM $llHard")
+  }
+
   test("apply: pieces reconstruct every word; fewer pieces than characters overall") {
     import spark.implicits._
     val model = UnigramLm.train(spark, sf, vocabSize, seedSize, maxLen)
