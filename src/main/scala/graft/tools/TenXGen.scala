@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Self-generated 10× fixture for the full-set scale recording (BASELINE.md
+  * round-10 section): every fact table replicated `copies` times with
+  * CONSISTENT foreign-key offsets (the TPC-H scaling stance — dimensions
+  * stay fixed, facts grow), documents/embeddings perturbed per copy so the
+  * dedup/similarity families see realistic near-dup cliques rather than
+  * degenerate exact clones.
+  *
+  * Key-offset choices that keep every query's contracts intact:
+  * - event_id += copy·100,000 (max 999,999) — stays under ev_ohlc's 10⁶
+  *   injectivity guard;
+  * - vec_id += copy·100,000 (max ≈ 902,000) — stays disjoint from
+  *   dedup_lsh_pairs_prod's planted ids at +10⁶;
+  * - TPC-H keys += copy·10,000,000 — far above any base key, applied to
+  *   both sides of every FK so joins keep their selectivity.
+  *
+  * Run: `runMain graft.tools.TenXGen [outDir] [srcDir] [copies]`, then
+  * `SPARK_GRAFT_SF_DIR=outDir runMain graft.Bench`. */
+object TenXGen {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1x10")
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val nCopies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cps = spark.range(nCopies).select(col("id").as("cp"))
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[tenx] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+    val K = 10000000L
+
+    // dimensions: fixed (the TPC-H scaling model)
+    write(graft.Tables.region(spark, src), "region")
+    write(graft.Tables.nation(spark, src), "nation")
+
+    write(graft.Tables.customer(spark, src).crossJoin(cps)
+      .select((col("c_custkey") + col("cp") * K).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+    write(graft.Tables.supplier(spark, src).crossJoin(cps)
+      .select((col("s_suppkey") + col("cp") * K).as("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal")), "supplier")
+    write(graft.Tables.part(spark, src).crossJoin(cps)
+      .select((col("p_partkey") + col("cp") * K).as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")), "part")
+    write(graft.Tables.orders(spark, src).crossJoin(cps)
+      .select((col("o_orderkey") + col("cp") * K).as("o_orderkey"),
+        (col("o_custkey") + col("cp") * K).as("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")), "orders")
+    write(graft.Tables.lineitem(spark, src).crossJoin(cps)
+      .select((col("l_orderkey") + col("cp") * K).as("l_orderkey"),
+        (col("l_partkey") + col("cp") * K).as("l_partkey"),
+        (col("l_suppkey") + col("cp") * K).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate")), "lineitem")
+
+    // events: ts arrives as epoch-nanos BIGINT through Tables.events and is
+    // written back as BIGINT (normalizeEventTs passes LONG through on read)
+    val maxUser = graft.Tables.events(spark, src).agg(max(col("user_id"))).head().getLong(0)
+    write(graft.Tables.events(spark, src).crossJoin(cps)
+      .select((col("event_id") + col("cp") * 100000L).as("event_id"), col("ts"),
+        (col("user_id") + col("cp") * (maxUser + 1L)).as("user_id"),
+        col("event_type"), col("value"), col("props")), "events")
+
+    // documents: per-copy letter-coded suffix token — copies are NEAR dups
+    // of each other (tokens differ by one), so dedup families work against
+    // realistic cross-copy cliques instead of byte-identical clones
+    val docs = graft.Tables.documents(spark, src)
+      .as[(Long, String, String, String, Long)]
+      .flatMap { case (id, text, lang, source, _) =>
+        (0 until nCopies).iterator.map { i =>
+          val t = if (i == 0) text else text + " c" + ('a' + i).toChar
+          (id + i * 1000000L, t, lang, source, t.length.toLong)
+        }
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    write(docs, "documents")
+
+    // embeddings: per-copy deterministic ±1 sign blend at factor 0.6
+    // (cos(base, copy) ≈ 0.86 — below the τ=0.9 production threshold, so
+    // copies are plausible neighbors, not planted dups)
+    val emb = graft.Tables.embeddings(spark, src)
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, label) =>
+        (0 until nCopies).iterator.map { i =>
+          if (i == 0) (id, v, label)
+          else {
+            var s = 100L + i
+            val out = v.map { x =>
+              s = (s * 1103515245L + 12345L) & 0x7FFFFFFFL
+              val sign = if (((s >> 16) & 1L) == 1L) 1.0f else -1.0f
+              x * (1.0f + 0.6f * sign)
+            }
+            (id + i * 100000L, out, label)
+          }
+        }
+      }.toDF("vec_id", "embedding", "label")
+    write(emb, "embeddings")
+    spark.stop()
+  }
+}
