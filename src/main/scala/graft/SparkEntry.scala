@@ -188,6 +188,9 @@ object SparkEntry {
     // per-source dataset-card profile: doc counts, exact token quantiles,
     // vocabulary, type-token ratio
     "text_profile" -> TextAnalysis.profile _,
+    // PII redaction: planted emails/phones (the fixture has none) scrubbed
+    // by map-only regex; the scrubbed string itself is md5-value-checked
+    "text_pii_scrub" -> TextAnalysis.piiScrub _,
     // deterministic hash-bucket sampling: language-mixture downsampling and
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
@@ -1037,6 +1040,24 @@ object SparkEntry {
             CAST(n_blocked AS DOUBLE) / n_tokens AS blocked_frac,
             (CAST(n_blocked AS DOUBLE) / n_tokens > 0.05) AS blocked, scrubbed
           FROM s""",
+    // same planted-PII strings rebuilt with ||; the patterns are
+    // backtracking-free character classes on which Java regex and RE2
+    // agree, and DuckDB regexp_replace carries the explicit 'g' flag that
+    // Spark's global-by-default replace implies
+    "text_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS s
+         FROM t)
+         SELECT doc_id, n_emails, n_phones, n_emails + n_phones AS n_pii,
+           CAST(length(s) AS BIGINT) AS scrubbed_len, md5(s) AS scrubbed_md5
+         FROM s""",
     // per-source profile: exact integer totals, interpolated quantiles
     // (the q_quantiles acceptance), IEEE divisions of exact ints
     "text_profile" ->

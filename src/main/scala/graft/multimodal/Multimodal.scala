@@ -278,9 +278,17 @@ object Multimodal {
   /** A media table whose payloads are REAL PNGs (one per document,
     * [[syntheticPng]]): the codec-exercising twin of [[mediaTable]]'s
     * text-bytes stand-in. */
-  def imageTable(spark: SparkSession, dir: String): Dataset[Media] = {
-    import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+  def imageTable(spark: SparkSession, dir: String): Dataset[Media] =
+    imageProjection(Tables.documents(spark, dir))
+
+  /** [[imageTable]] over any documents-shaped frame — including a
+    * `readStream` source: the PNG encode is a stateless per-row map, so
+    * the same projection (and [[ImageIoDecoder]] behind it) serves
+    * ingest-time image decoding, parity-spec'd streaming == batch like
+    * the histogram-decoder twin. */
+  def imageProjection(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
       val png = syntheticPng(id)
       Media(id, "image", png, 4 + (id % 13).toInt, 4 + (id % 11).toInt, 0L)
     }

@@ -265,6 +265,38 @@ object TextAnalysis {
       array_join(filter(toks, t => !t.isInCollection(blocked)), " ").as("scrubbed"))
   }
 
+  /** PII SCRUBBING — the redaction pass every published training corpus
+    * runs (emails, phone numbers → placeholder tokens): pure map-only
+    * regex work fused into the scan, zero exchanges at any corpus size —
+    * the [[blocklist]] shape with patterns instead of a wordlist. The
+    * fixture text carries no PII, so the query PLANTS it
+    * deterministically from the doc id (the ev_props_nested dirty-row
+    * stance: the contract is only real if the gate exercises it) and
+    * reports match counts plus the scrubbed text's md5 — the full
+    * redacted string is value-checked, not just counted.
+    *
+    * Cross-engine care: both patterns are backtracking-free character
+    * classes (no lookaround, no backrefs), on which Java regex (Spark)
+    * and RE2 (DuckDB) agree; Spark `regexp_replace` is global by default
+    * while DuckDB needs the explicit 'g' flag — the oracle carries it. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val planted = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).cast("bigint").as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), email, "[EMAIL]"), phone, "[PHONE]").as("s"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        (col("n_emails") + col("n_phones")).as("n_pii"),
+        length(col("s")).cast("bigint").as("scrubbed_len"),
+        md5(col("s")).as("scrubbed_md5"))
+  }
+
   /** CORPUS PROFILE — the dataset-card dashboard: per source, document
     * count, exact token totals and distribution (mean / interpolated
     * p50+p90 / max), source vocabulary size, and type-token ratio. The

@@ -192,6 +192,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image decode on arrival: streaming ImageIO pipeline == batch (real-codec ingest twin)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = Multimodal.extractFeaturesWith(
+        Multimodal.imageTable(spark, sf), () => new ImageIoDecoder).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    val in = java.nio.file.Files.createTempDirectory("imgin")
+    java.nio.file.Files.copy(new java.io.File(sf, "documents.parquet").toPath,
+      in.resolve("documents.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("imgckpt").toString
+    val schema = graft.Tables.documents(spark, sf).schema
+    val q = Multimodal.extractFeaturesWith(
+        Multimodal.imageProjection(spark.readStream.schema(schema).parquet(in.toString)),
+        () => new ImageIoDecoder)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("memory").queryName("img_stream").outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("img_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3).toSeq).toMap
+    assert(got == batch, "streaming PNG decode must equal the batch pass")
+  }
+
   test("feature extraction on arrival: streaming == batch (stateless ingest twin)") {
     import org.apache.spark.sql.streaming.OutputMode
     val batch = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
