@@ -46,9 +46,16 @@ object Verify {
     // a data-trained model. Skipped when a subset excludes them all.
     val wanted = only.map(_.intersect(graft.text.TrainedOracles.names))
       .getOrElse(graft.text.TrainedOracles.names)
+    // a training failure must degrade those queries to rows-only, never
+    // take down the whole dump (an unwritten oracle_sql.json would zero
+    // every query's correctness signal for the round)
     val trained: Map[String, String] =
       if (wanted.isEmpty) Map.empty
-      else graft.text.TrainedOracles.all(spark, sfDir, wanted)
+      else try graft.text.TrainedOracles.all(spark, sfDir, wanted)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] trained-oracle generation failed: ${e.getMessage}")
+        Map.empty
+      }
     val json = (SparkEntry.oracleSql ++ trained)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

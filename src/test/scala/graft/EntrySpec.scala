@@ -84,7 +84,9 @@ class EntrySpec extends AnyFunSuite {
       "text_fingerprint" -> text.TextAnalysis.fingerprint(spark, sf),
       "text_bpe_tokens" -> text.TextAnalysis.bpeTokens(spark, sf),
       "text_gopher_filters" -> text.TextAnalysis.gopherFilters(spark, sf),
-      "text_blocklist" -> text.TextAnalysis.blocklist(spark, sf))
+      "text_blocklist" -> text.TextAnalysis.blocklist(spark, sf),
+      "text_pii_scrub" -> text.TextAnalysis.piiScrub(spark, sf),
+      "mm_image_decode" -> multimodal.Multimodal.imageDecode(spark, sf))
     mapOnly.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n${plan.take(1500)}")
