@@ -65,6 +65,21 @@ object Layout {
     nOut
   }
 
+  /** HIVE-STYLE PARTITIONED write — the third at-rest layout lever next to
+    * [[sortedWrite]] (row-group pruning) and [[zorderWrite]] (multi-column
+    * pruning): directory-level partitioning on a low-cardinality column,
+    * which static predicates prune at FILE-LISTING time (no footer is even
+    * opened) and — the 100 TB join lever — DYNAMIC PARTITION PRUNING
+    * prunes at runtime: when the fact table joins a filtered dimension on
+    * the partition column, Catalyst plants the broadcast-built key set as
+    * a `DynamicPruningExpression` on the fact scan, so only the joined
+    * partitions' files are read at all. LayoutSpec proves both from the
+    * executed plan and the scan's file-count metric. Partition column
+    * cardinality is the caller's contract (hundreds of directories, not
+    * millions — the standard hive-layout caveat). */
+  def partitionedWrite(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Bit-interleaved Z-value of integer columns (each already scaled into
     * [0, 2^bits)): bit i of column c lands at position i·n + c, so sorting
     * by the result walks the Z-order space-filling curve. Disjoint target

@@ -141,6 +141,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(zScanRows * 2 < n, s"z-order scan on k2 emitted $zScanRows of $n — no skipping")
   }
 
+  test("partitionedWrite: dynamic partition pruning — a filtered-dim join reads ONLY the joined partition") {
+    val n = 200000L
+    val nParts = 20
+    val fact = spark.range(n).select(col("id"),
+      (col("id") % nParts).cast("int").as("pk"),
+      (col("id") % 997).cast("double").as("v"))
+    val p = java.nio.file.Files.createTempDirectory("laydpp").toString + "/t"
+    Layout.partitionedWrite(fact, p, "pk")
+    val dim = spark.range(nParts)
+      .select(col("id").cast("int").as("pk"), concat(lit("g"), col("id")).as("name"))
+      .filter(col("name") === "g7") // selective dim predicate NOT on the key itself
+    val q = spark.read.parquet(p).join(broadcast(dim), "pk")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val row = q.collect()(0)
+    assert(row.getLong(0) == n / nParts, s"join result wrong: ${row.getLong(0)}")
+    // the fact scan carries the runtime-planted partition filter…
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression on the fact scan:\n${plan.take(1800)}")
+    // …and actually read only partition pk=7's rows (no row-level filter in
+    // the query, so scan numOutputRows == rows physically read)
+    val scan = deepScan(q.queryExecution.executedPlan).head
+    assert(scan.metrics("numOutputRows").value == n / nParts,
+      s"scan read ${scan.metrics("numOutputRows").value} rows — partitions were not pruned")
+  }
+
   test("compactSmallFiles: 64 tiny files become ~target-sized files, content row-identical") {
     val df = spark.range(300000).select(col("id"), (col("id") % 997).cast("double").as("v"))
     val p1 = java.nio.file.Files.createTempDirectory("cmp1").toString + "/t"
