@@ -50,6 +50,12 @@ object SparkEntry {
     "q14_promo_share" -> RelationalQueries.q14PromoShare _,
     // OR-of-ANDs bracket predicate; part-side conjuncts filter pre-join (Q19)
     "q19_brackets" -> RelationalQueries.q19Brackets _,
+    // aggregate-HAVING subquery: filter the orderkey aggregate BEFORE any join (Q18)
+    "q18_large_orders" -> RelationalQueries.q18LargeOrders _,
+    // EXISTS / NOT EXISTS pair decorrelated to semi+anti hash joins (Q21 shape)
+    "q21_wait_suppliers" -> RelationalQueries.q21WaitingSuppliers _,
+    // scalar-average subquery (broadcast 1-row) + anti join on recent buyers (Q22 shape)
+    "q22_idle_customers" -> RelationalQueries.q22IdleCustomers _,
     "q_semi_anti" -> RelationalQueries.qSemiAnti _,
     "q_window_topn" -> RelationalQueries.qWindowTopN _,
     "q_setops" -> RelationalQueries.qSetOps _,
@@ -191,6 +197,11 @@ object SparkEntry {
     // PII redaction: planted emails/phones (the fixture has none) scrubbed
     // by map-only regex; the scrubbed string itself is md5-value-checked
     "text_pii_scrub" -> TextAnalysis.piiScrub _,
+    // iterative graph engine (fixed-point integer PageRank, CC's round
+    // discipline): TextRank keywords over the token co-occurrence graph,
+    // and node importance over the customer–supplier bipartite graph
+    "text_textrank" -> graft.graph.PageRank.textTextrank _,
+    "graph_pagerank" -> graft.graph.PageRank.graphPagerank _,
     // deterministic hash-bucket sampling: language-mixture downsampling and
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
@@ -220,6 +231,9 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => graft.sample.Packing.packSequences(s, d)),
     // dedup family
     "dedup_exact" -> Dedup.exact _,
+    // CCNet paragraph-granular dedup: first-occurrence-wins on paragraph
+    // hash (planted boilerplate paragraph), cleaned doc value-hashed
+    "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
     "dedup_token_jaccard" -> ((s: SparkSession, d: String) => Dedup.tokenJaccard(s, d)),
     // LSH candidates verified with the exact distinct-shingle jaccard: output
     // equals the all-pairs truth (which the oracle computes) without ever
@@ -289,6 +303,9 @@ object SparkEntry {
     "sample_dsir" -> ((s: SparkSession, d: String) => graft.sample.Dsir.importanceTop(s, d)),
     // similarity search
     "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
+    // exact kNN JOIN (every vector a query): bounded chunk-pair local
+    // top-k + per-vector merge — the SemDeDup/kNN-descent building block
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d).toDF()),
     // MMR diversity re-ranking (Carbonell-Goldstein): greedy
     // relevance-vs-redundancy over the brute top-20 pool, λ=0.7; rounded
     // sims + interpolated λ/(1−λ) literals + id tie-break make the greedy
@@ -763,6 +780,42 @@ object SparkEntry {
                  AND l_quantity BETWEEN 10 AND 20)
              OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
                  AND l_quantity BETWEEN 20 AND 30)""",
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+          SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+            CAST(qty_dec AS DOUBLE) AS order_qty
+          FROM orders JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey""",
+    "q21_wait_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name""",
+    "q22_idle_customers" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0),
+          rb AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+          SELECT c_mktsegment, COUNT(*) AS n_custs,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          FROM customer, a
+          WHERE c_acctbal > avg_bal
+            AND c_custkey NOT IN (SELECT o_custkey FROM rb)
+          GROUP BY 1""",
     "q_integrity" ->
       """WITH li AS (SELECT CASE WHEN l_orderkey % 101 = 0 THEN -l_orderkey
               ELSE l_orderkey END AS k FROM lineitem),
@@ -1089,9 +1142,40 @@ object SparkEntry {
                 WHERE len(tk) >= 2)
           SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
           GROUP BY 1 ORDER BY n DESC, gram LIMIT 25""",
+    // the integer PageRank recurrence unrolled as 5 CTE rounds — identical
+    // fixed-point arithmetic, `//` mirroring DIV (all values non-negative)
+    "text_textrank" ->
+      s"""SELECT node AS token, rank FROM (
+            ${graft.graph.PageRank.oracleSqlFor(graft.graph.PageRank.textrankEdgesSql, 5)}
+          ) t ORDER BY rank DESC, node LIMIT 20""",
+    "graph_pagerank" ->
+      s"""SELECT node, rank FROM (
+            ${graft.graph.PageRank.oracleSqlFor(graft.graph.PageRank.bipartiteEdgesSql, 5)}
+          ) t ORDER BY rank DESC, node LIMIT 30""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
+    // paragraph chunking + planted boilerplate re-derived; winner election
+    // = lexicographic MIN([doc_id, para_idx]) per paragraph hash
+    "dedup_paragraphs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          ix AS (SELECT doc_id, toks,
+              unnest(generate_series(0, (len(toks) + 19) // 20 - 1)) AS i FROM d),
+          p AS (SELECT doc_id, i AS para_idx,
+              CASE WHEN i = 0 AND doc_id % 7 = 0
+                   THEN '${graft.dedup.Dedup.ParagraphBoilerplate}'
+                   ELSE array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')
+              END AS para FROM ix),
+          w AS (SELECT md5(para) AS h, MIN([doc_id, CAST(para_idx AS BIGINT)]) AS f
+                FROM p GROUP BY 1),
+          k AS (SELECT p.doc_id, p.para_idx, p.para,
+                (p.doc_id = f[1] AND p.para_idx = f[2]) AS kept
+                FROM p JOIN w ON md5(p.para) = w.h)
+          SELECT doc_id, COUNT(*) AS n_paras,
+            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            md5(COALESCE(string_agg(CASE WHEN kept THEN para END,
+              chr(10) ORDER BY para_idx), '')) AS clean_hash
+          FROM k GROUP BY 1""",
     // train/eval decontamination re-derived on n-gram STRINGS (the engine
     // joins on their fnv64 hashes — equal counts absent a collision)
     "decontam_overlap" ->
@@ -1430,6 +1514,18 @@ object SparkEntry {
          SELECT d1, d2, cosine FROM p WHERE cosine >= 0.35""",
     "dedup_semantic" -> graft.dedup.SemDedup.oracleSql(),
     "sample_dsir" -> graft.sample.Dsir.oracleSql(s => fnvFull(s)),
+    // the kNN join is exact: all-pairs truth, every vector as its own query
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 list_inner_product(a.emb, b.emb) /
+                   sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)) AS cos
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM c)
+         SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3""",
     "sim_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),

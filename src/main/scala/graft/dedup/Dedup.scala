@@ -521,7 +521,7 @@ object Dedup {
     * derived from MULTIPLE checkpointed inputs is rejected rather than
     * risk unpersisting non-recomputable blocks a sibling frame still needs
     * ("Checkpoint block not found" much later, far from the cause). */
-  private[dedup] def releaseLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -1022,4 +1022,58 @@ object Dedup {
       .map(sh => fnv64(sh.mkString(" ")))
       .filter(h => (h & (keepMod - 1)) == 0)
       .toArray.distinct.sorted
+
+  /** Shared boilerplate paragraph planted into every 7th document (the
+    * fixture has no natural paragraph structure or cross-doc repeats at
+    * paragraph granularity — the plant is re-derived identically by the
+    * oracle, the `ev_props_nested` device). */
+  private[graft] val ParagraphBoilerplate =
+    "subscribe to our newsletter for updates and follow us on social media"
+
+  /** CCNet-style PARAGRAPH-level deduplication (Wenzek et al. 2020): split
+    * each document into paragraphs, hash them, keep only each paragraph's
+    * FIRST occurrence corpus-wide (minimum (doc_id, para_idx)), and
+    * reconstruct the cleaned document. This is the line/paragraph-granular
+    * sibling of span dedup: boilerplate (headers, footers, cookie banners)
+    * repeats verbatim across millions of pages and never survives it.
+    *
+    * The fixture has single-line docs, so paragraphs are derived: chunks of
+    * `paraTokens` consecutive tokens (original order, space-joined), with
+    * [[ParagraphBoilerplate]] replacing paragraph 0 of every 7th doc.
+    *
+    * Scale shape: paragraph explode is map-only; the winner election is ONE
+    * hash-partitioned min-aggregation on the paragraph hash (map-side
+    * partials collapse popular boilerplate before the exchange — the hotter
+    * the paragraph, the MORE the combiner removes); the keep test is a join
+    * back on the hash. No all-pairs anything: cost is O(paragraphs), the
+    * CCNet recipe that ran on Common Crawl. Output reconstruction re-joins
+    * per doc — one more exchange on doc_id, ~2 narrow rows per doc.
+    *
+    * Output: one row per doc — paragraph counts and the md5 of the cleaned
+    * (kept-paragraphs) text, value-oracled in DuckDB. */
+  def paragraphDedup(spark: SparkSession, dir: String,
+                     paraTokens: Int = 20): DataFrame = {
+    val paras = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) + ${paraTokens - 1}) DIV $paraTokens - 1),
+              i -> array_join(slice(toks, i * $paraTokens + 1, $paraTokens), ' '))"""))
+        .as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        when(col("para_idx") === 0 && col("doc_id") % 7 === 0,
+          lit(ParagraphBoilerplate)).otherwise(col("para")).as("para"))
+    val winners = paras
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("w_doc"),
+        col("first.para_idx").as("w_idx"))
+    paras.join(winners, md5(col("para")) === col("h"))
+      .withColumn("kept", col("doc_id") === col("w_doc") && col("para_idx") === col("w_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("para_idx"), col("para"))))),
+          x => x("para")), "\n")).as("clean_hash"))
+  }
 }

@@ -1,0 +1,183 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Weighted PageRank in FIXED-POINT integer arithmetic — the iterative
+  * link-analysis operator (Page et al. 1999; TextRank: Mihalcea & Tarau
+  * 2004 runs it over a token co-occurrence graph).
+  *
+  * Why fixed-point: the driver's oracle compares values bit-for-bit across
+  * engines, and a floating-point power iteration is accumulation-order
+  * sensitive (different partitionings sum contributions in different
+  * orders). All rank mass here is integer micro-units of `scale` and every
+  * step is integer multiply/divide — `SUM` over Longs is associative and
+  * commutative EXACTLY, so any partitioning, any engine, any join order
+  * produces the identical ranks. The per-edge truncation ((rank·w) DIV
+  * wout) loses at most 1 unit per in-edge per round — noise of 1e-9 scale,
+  * mirrored identically by the DuckDB oracle's `//`.
+  *
+  * Contract per round, mirrored line-for-line by [[oracleSqlFor]]:
+  *   rank0(v)  = scale DIV n
+  *   contrib(u→v) = (rank(u) · w(u,v)) DIV wout(u)
+  *   rank'(v)  = (15·scale) DIV (100·n)  +  (85·Σ contrib) DIV 100
+  * Dangling nodes (no out-edges) leak their damped mass — the standard
+  * "lost mass" variant; nodes with no in-edges keep the teleport term.
+  *
+  * Scale shape (the CC engine's round discipline, `Dedup.ccIterate`):
+  * the edge relation joined with its out-weights is materialized ONCE
+  * (`localCheckpoint`) and re-used every round; each round is exactly one
+  * materialization (rank join → dst-aggregate → left join back to nodes),
+  * and the previous round's checkpoint blocks are released eagerly. The
+  * rank join shuffles on `src` each round — at 100 TB the edge side rides
+  * a bucketed-by-src layout so only the (|V|-row) rank frame moves, the
+  * same cutover argument as `Dedup.BucketedEdgeCutover`. Iteration count
+  * is a fixed small K (power iteration at damping 0.85 contracts by
+  * 0.85^K; K=5 ranks keywords stably), so lineage stays bounded.
+  */
+object PageRank {
+
+  /** Default rank mass: 1e9 micro-units. Bounded so `rank · w` stays in
+    * Long for any edge weight up to ~9e9 (guarded in [[ranks]]). */
+  val Scale: Long = 1000000000L
+
+  /** Power-iterate ranks over weighted directed `edges` (columns `src`,
+    * `dst`, `w: Long`; parallel edges must be pre-aggregated). Returns
+    * `(node, rank)` with rank in micro-units of `scale`. */
+  def ranks(edges: DataFrame, iterations: Int = 5, scale: Long = Scale): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // iteration-invariant: materialize once, reuse every round
+    val ej = edges.join(wout, "src").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val maxW = ej.agg(max(col("w"))).head.getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"edge weight $maxW overflows rank*w at scale $scale")
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = ej.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(rank * w) DIV wout").as("c"))
+      val next = nodes
+        .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+      graft.dedup.Dedup.releaseLocalCheckpoint(ranks)
+      ranks = next
+    }
+    graft.dedup.Dedup.releaseLocalCheckpoint(ej)
+    graft.dedup.Dedup.releaseLocalCheckpoint(nodes)
+    ranks
+  }
+
+  /** DuckDB oracle for [[ranks]]: unrolled iteration CTEs over an
+    * `edgesSql` relation with columns (src, dst, w) — the exact integer
+    * recurrence, `//` for DIV, sums cast back from HUGEINT. */
+  def oracleSqlFor(edgesSql: String, iterations: Int, scale: Long = Scale): String = {
+    val rounds = (1 to iterations).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (SELECT nodes.node,
+            ${15L * scale} // (100 * (SELECT n FROM nn)) +
+              (85 * COALESCE(c.s, 0)) // 100 AS rank
+          FROM nodes LEFT JOIN (
+            SELECT ej.dst AS node,
+              CAST(SUM((r.rank * ej.w) // ej.wout) AS BIGINT) AS s
+            FROM ej JOIN $prev r ON r.node = ej.src GROUP BY 1) c
+          ON c.node = nodes.node)"""
+    }.mkString(",\n          ")
+    s"""WITH edges AS ($edgesSql),
+          wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+            FROM edges GROUP BY 1),
+          ej AS (SELECT e.src, e.dst, e.w, o.wout
+            FROM edges e JOIN wout o USING (src)),
+          nodes AS (SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          r0 AS (SELECT node,
+            CAST($scale AS BIGINT) // (SELECT n FROM nn) AS rank FROM nodes),
+          $rounds
+          SELECT node, rank FROM r$iterations"""
+  }
+
+  /** Token co-occurrence edges for TextRank: consecutive ORIGINAL-position
+    * token pairs per document (both tokens non-empty), symmetrized, weight
+    * = pair count. One map-only scan builds all pairs from the split array
+    * — no self-join of an exploded frame. */
+  def textrankEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """filter(
+             transform(
+               CASE WHEN size(toks) >= 2 THEN sequence(0, size(toks) - 2)
+                    ELSE array() END,
+               i -> struct(toks[i] AS src, toks[i + 1] AS dst)),
+             p -> p.src <> '' AND p.dst <> '')""")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    symCounted(pairs)
+  }
+
+  /** Customer–supplier bipartite interaction edges: one edge per lineitem
+    * between its order's customer and its supplier, symmetrized, weight =
+    * lineitem count. The orders join is the only shuffle (fact-fact on
+    * orderkey); node ids are namespaced strings ("c:…", "s:…"). */
+  def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+    symCounted(pairs)
+  }
+
+  private def symCounted(pairs: DataFrame): DataFrame =
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  /** TextRank keywords: top 20 tokens by PageRank over the co-occurrence
+    * graph. Deterministic top-k: (rank DESC, token ASC) — integer ranks
+    * can tie, the token tie-break makes the selected SET engine-equal. */
+  def textTextrank(spark: SparkSession, dir: String): DataFrame =
+    ranks(textrankEdges(spark, dir), iterations = 5)
+      .orderBy(desc("rank"), asc("node")).limit(20)
+      .select(col("node").as("token"), col("rank"))
+
+  /** Supplier/customer importance in the interaction graph: top 30 nodes
+    * by PageRank over the bipartite lineitem graph. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    ranks(bipartiteEdges(spark, dir), iterations = 5)
+      .orderBy(desc("rank"), asc("node")).limit(30)
+
+  /** The shared edge-relation SQL (mirrors [[textrankEdges]]). */
+  val textrankEdgesSql: String =
+    """SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         WITH tok AS (SELECT doc_id, t, i FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                    generate_subscripts(string_split(text, ' '), 1) AS i
+             FROM documents) WHERE t <> ''),
+           adj AS (SELECT a.t AS src, b.t AS dst FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+         SELECT src, dst FROM adj
+         UNION ALL SELECT dst, src FROM adj
+       ) GROUP BY 1, 2"""
+
+  /** The shared edge-relation SQL (mirrors [[bipartiteEdges]]). */
+  val bipartiteEdgesSql: String =
+    """SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+         WITH adj AS (SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT src, dst FROM adj
+         UNION ALL SELECT dst, src FROM adj
+       ) GROUP BY 1, 2"""
+}

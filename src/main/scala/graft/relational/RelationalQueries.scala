@@ -996,4 +996,83 @@ object RelationalQueries {
         col("old_price").cast("double").as("old_price"),
         col("new_price").cast("double").as("new_price"))
   }
+
+  /** TPC-H Q18 (large-volume orders): customers whose order's total line
+    * quantity exceeds a threshold — the aggregate-HAVING-subquery shape.
+    *
+    * The plan to want at 100 TB: ONE aggregation of lineitem by orderkey
+    * (map-side partials collapse ~4 lines/order before the exchange), the
+    * HAVING filter applied to the aggregate BEFORE any join (a few-percent
+    * survivor set), then orders joins the tiny survivor frame and the
+    * customer dimension broadcasts. Never join first and aggregate after —
+    * that drags the full fact-fact join through the quantity sum. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > dec(lit(250)))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("qty_dec").cast("double").as("order_qty"))
+  }
+
+  /** TPC-H Q21 (waiting suppliers): for finished ('F') orders, suppliers
+    * whose line shipped late (> 90 days after the order date — the fixture
+    * has no commit/receipt dates) in a multi-supplier order where they were
+    * the ONLY late supplier. Written in SQL because the interesting part is
+    * Catalyst's decorrelation: the EXISTS / NOT EXISTS pair rewrites to a
+    * left-semi and a left-anti join on `l_orderkey` (equi key) with the
+    * `l_suppkey <>` tests as residual predicates — three hash joins
+    * co-keyed on orderkey, no per-row re-execution. At scale all three
+    * lineitem sides shuffle on the same key once (or co-locate bucketed). */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li21")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_ord21")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supp21")
+    spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM graft_supp21, graft_li21 l1, graft_ord21
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM graft_li21 l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM graft_li21 l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name""")
+  }
+
+  /** TPC-H Q22 (idle high-balance customers): per market segment, customers
+    * with above-average positive account balance and no order since a
+    * cutoff — the scalar-average-subquery + anti-join shape.
+    *
+    * The global average is ONE broadcast row (sum in DECIMAL, one double
+    * division — the [[evImpute]] exactness device, never `avg` on doubles);
+    * the "no recent order" test is a left-anti join against the distinct
+    * recent buyer set, which at 100 TB is the only shuffle (and rides the
+    * orderdate partition pruning if orders is date-partitioned — the
+    * Layout story). */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val recentBuyers = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
 }

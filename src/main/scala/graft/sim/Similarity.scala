@@ -901,4 +901,79 @@ object Similarity {
         .as[(Int, Long, Array[Float])],
       threshold, maxBlock)
   }
+
+  final case class KnnEdge(vec_id: Long, neighbor_id: Long, cosine: Double, rank: Int)
+
+  /** Exact kNN JOIN (kNN graph): EVERY corpus vector is a query — the
+    * building block under SemDeDup clustering, kNN-descent, and
+    * graph-based ANN index construction. Unlike [[bruteForceTopK]] the
+    * query side is corpus-sized, so nothing can broadcast; unlike
+    * [[chunkedNearDups]] the output is each vector's top-k, not a
+    * thresholded pair set.
+    *
+    * Same block-nested-loop decomposition as [[chunkedNearDups]] (exact
+    * all-pairs work is Θ(n²) whatever the plan; what must never happen is
+    * that work landing in one task): vectors hash into `ceil(n/maxBlock)`
+    * chunks, each (chunkA, chunkB) pair is one bounded shuffle group, and
+    * each group emits ONLY a per-member local top-k against the partner
+    * chunk — k·nc candidate rows per vector cross the second exchange,
+    * where the final per-vector merge keeps the global top-k. At 100 TB
+    * the same merge shape composes with IVF pruning (score only vectors
+    * sharing nearby lists — [[ivfTopK]]'s ball bound) instead of all
+    * chunk pairs; this operator is the exact-semantics baseline.
+    *
+    * Ranking happens on RAW doubles (identical left-to-right dot folds in
+    * both engines); the cosine is rounded to 6 decimals only at the output
+    * boundary — the [[bruteForceTopK]] oracle device. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+               maxBlock: Int = 256): Dataset[KnnEdge] = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val n = vecs.count()
+    val nc = math.max(1, ((n + maxBlock - 1) / maxBlock).toInt)
+    val exploded = vecs.flatMap { v =>
+      val c = math.floorMod(mix64(v.vec_id), nc.toLong).toInt
+      (0 until nc).iterator.map { other =>
+        val (a, b) = if (other < c) (other, c) else (c, other)
+        (a, b, c, v.vec_id, v.embedding)
+      }
+    }
+    // local top-k of `self` against `others` — ties broken (cos desc, id asc)
+    def localTopK(id: Long, e: Array[Float],
+                  others: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, nid) => (-c, nid) })
+      others.foreach { case (oid, oe) =>
+        if (oid != id) {
+          val c = cosine(e, oe)
+          if (heap.size < k) heap.enqueue((c, oid))
+          else if (c > heap.head._1 || (c == heap.head._1 && oid < heap.head._2)) {
+            heap.dequeue(); heap.enqueue((c, oid))
+          }
+        }
+      }
+      heap.iterator.map { case (c, nid) => (id, nid, c) }
+    }
+    val partials = exploded.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Float])]) =>
+        val (a, b) = key
+        val members = it.map(t => (t._3, t._4, t._5)).toArray
+        if (a == b) {
+          members.iterator.flatMap { case (_, id, e) =>
+            localTopK(id, e, members.iterator.map(m => (m._2, m._3)))
+          }
+        } else {
+          val left = members.filter(_._1 == a).map(m => (m._2, m._3))
+          val right = members.filter(_._1 == b).map(m => (m._2, m._3))
+          left.iterator.flatMap { case (id, e) => localTopK(id, e, right.iterator) } ++
+            right.iterator.flatMap { case (id, e) => localTopK(id, e, left.iterator) }
+        }
+      }
+    partials.groupByKey(_._1).flatMapGroups { (id: Long, it: Iterator[(Long, Long, Double)]) =>
+      it.toArray.sortBy { case (_, nid, c) => (-c, nid) }.take(k).iterator.zipWithIndex
+        .map { case ((_, nid, c), r) =>
+          KnnEdge(id, nid,
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
+    }
+  }
 }

