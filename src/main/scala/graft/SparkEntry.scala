@@ -56,6 +56,17 @@ object SparkEntry {
     "q21_wait_suppliers" -> RelationalQueries.q21WaitingSuppliers _,
     // scalar-average subquery (broadcast 1-row) + anti join on recent buyers (Q22 shape)
     "q22_idle_customers" -> RelationalQueries.q22IdleCustomers _,
+    // aggregate-vs-its-own-max: one fact scan, max joined back broadcast (Q15)
+    "q15_top_supplier" -> RelationalQueries.q15TopSupplier _,
+    // distinct-count per dim bucket with a broadcast anti-join exclusion (Q16)
+    "q16_supplier_counts" -> RelationalQueries.q16SupplierCounts _,
+    // user-journey Markov transitions: one lead() window per user,
+    // outgoing share from integer counts
+    "ev_transitions" -> RelationalQueries.evTransitions _,
+    // the bucketed at-rest layout driven end-to-end: write both fact sides
+    // bucketed on orderkey, join with zero exchange, same values as the
+    // plain-join oracle
+    "q_bucketed_join" -> ((s: SparkSession, d: String) => RelationalQueries.qBucketedJoin(s, d)),
     "q_semi_anti" -> RelationalQueries.qSemiAnti _,
     "q_window_topn" -> RelationalQueries.qWindowTopN _,
     "q_setops" -> RelationalQueries.qSetOps _,
@@ -202,6 +213,12 @@ object SparkEntry {
     // and node importance over the customer–supplier bipartite graph
     "text_textrank" -> graft.graph.PageRank.textTextrank _,
     "graph_pagerank" -> graft.graph.PageRank.graphPagerank _,
+    // exact triangle census by degree-ordered orientation (√m-bounded
+    // out-degrees); oracle re-counts via the canonical a<b<c self-join
+    "graph_triangles" -> graft.graph.Triangles.tokenTriangles _,
+    // typo-tolerant vocabulary join: SymSpell delete-1 variant blocking
+    // restores an equi key, exact levenshtein verifies candidates only
+    "text_fuzzy_join" -> TextAnalysis.fuzzyJoin _,
     // deterministic hash-bucket sampling: language-mixture downsampling and
     // the 80/10/10 split — every row's fate reproducible in both engines
     "sample_mixture" -> ((s: SparkSession, d: String) => graft.sample.Sampling.mixture(s, d)),
@@ -376,6 +393,9 @@ object SparkEntry {
     // decode; PNG is lossless so the decoded geometry/channel sums equal
     // the recipe, which the oracle replays as modular integer arithmetic
     "mm_image_decode" -> Multimodal.imageDecode _,
+    // REAL WAV codec (javax.sound PCM parse) behind the same per-partition
+    // Decoder lifecycle; lossless, so the recipe is the oracle
+    "mm_audio_decode" -> Multimodal.audioDecode _,
     // linearizability (A7): per-user append history from events (nanos call/
     // ret — unique per user, so the fold is sequential and checks in linear
     // time), with a PLANTED violation for every user_id % 7 == 0: a trailing
@@ -816,6 +836,38 @@ object SparkEntry {
           WHERE c_acctbal > avg_bal
             AND c_custkey NOT IN (SELECT o_custkey FROM rb)
           GROUP BY 1""",
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+              SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS t
+            FROM lineitem WHERE year(l_shipdate) = 1998 GROUP BY 1)
+          SELECT s_suppkey, s_name, CAST(t AS DOUBLE) AS total_revenue
+          FROM rev JOIN supplier ON s_suppkey = l_suppkey
+          WHERE t = (SELECT MAX(t) FROM rev)""",
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#15' AND p_size IN (1, 5, 9, 13)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    "ev_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+              event_id, event_type FROM events),
+          s AS (SELECT event_type AS from_type,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ms, event_id) AS to_type
+            FROM e),
+          t AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n_transitions,
+            CAST(n_transitions AS DOUBLE) /
+              CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+          FROM t""",
+    "q_bucketed_join" ->
+      s"""SELECT o_orderstatus, $revenue AS revenue, COUNT(*) AS n_items
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1""",
     "q_integrity" ->
       """WITH li AS (SELECT CASE WHEN l_orderkey % 101 = 0 THEN -l_orderkey
               ELSE l_orderkey END AS k FROM lineitem),
@@ -1152,6 +1204,21 @@ object SparkEntry {
       s"""SELECT node, rank FROM (
             ${graft.graph.PageRank.oracleSqlFor(graft.graph.PageRank.bipartiteEdgesSql, 5)}
           ) t ORDER BY rank DESC, node LIMIT 30""",
+    // the oracle is TRUTH, not the blocking: direct cross join + exact
+    // levenshtein (the engine's SymSpell candidates must find all of it)
+    "text_fuzzy_join" ->
+      """WITH vocab AS (SELECT DISTINCT t AS word FROM
+            (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            WHERE t <> ''),
+          qs AS (SELECT doc_id, string_split(text, ' ')[1] AS qtok
+            FROM documents WHERE doc_id % 11 = 0),
+          m AS (SELECT doc_id,
+              substr(qtok, 1, CAST((doc_id // 11) % length(qtok) AS INT)) ||
+                substr(qtok, CAST((doc_id // 11) % length(qtok) AS INT) + 2) AS q
+            FROM qs)
+          SELECT m.doc_id, m.q AS query_token, v.word AS match_word,
+            CAST(levenshtein(m.q, v.word) AS INT) AS dist
+          FROM m JOIN vocab v ON levenshtein(m.q, v.word) <= 1""",
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
@@ -1731,6 +1798,32 @@ object SparkEntry {
            CAST(SUM((doc_id * 31 + i * 3 + 1) % 256) AS BIGINT) AS sum_g,
            CAST(SUM((doc_id * 31 + i * 3 + 2) % 256) AS BIGINT) AS sum_b
          FROM px GROUP BY doc_id""",
+    // PCM WAV is lossless: the decoded amplitude stats equal the
+    // generating recipe, replayed as modular arithmetic over sample index
+    "mm_audio_decode" ->
+      """WITH n AS (SELECT doc_id, 100 + doc_id % 211 AS ns FROM documents),
+         s AS (SELECT doc_id, ns, u.i AS i
+               FROM n, unnest(generate_series(0, ns - 1)) AS u(i)),
+         v AS (SELECT doc_id, ns,
+                 abs(((doc_id * 7 + i * 13) % 2048) - 1024) AS a FROM s)
+         SELECT doc_id, CAST(MIN(ns) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(SUM(a) AS BIGINT) AS sum_abs, CAST(MAX(a) AS BIGINT) AS max_abs
+         FROM v GROUP BY 1""",
+    // truth via the canonical a<b<c three-way self-join — the engine's
+    // degree-ordered orientation must reproduce it
+    "graph_triangles" ->
+      s"""WITH e AS (${graft.graph.PageRank.textrankEdgesSql}),
+          und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst),
+          tri AS (SELECT COUNT(*) AS c FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM (SELECT a AS nd FROM und UNION SELECT b FROM und)) AS n_nodes,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+            (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""",
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic
     "mm_features" ->

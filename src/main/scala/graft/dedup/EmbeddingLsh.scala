@@ -80,12 +80,14 @@ object EmbeddingLsh {
       // ONE native pass for all raw projections (the per-plane HOF stack
       // was the whole-query bottleneck at 288 planes), then Spark's own
       // round(…,6) >= 0 per element — the rounding surface the oracle
-      // mirrors is untouched. The proj alias is referenced numPlanes
-      // times, which keeps CollapseProject from inlining (re-evaluating)
-      // the expression per bit.
+      // mirrors is untouched. The bit extraction is ONE transform() over
+      // the projection array, not numPlanes unrolled element_at chains:
+      // the unrolled form generated an 11k-line processNext() that blew
+      // Janino's 64 KB method limit at 288 planes and silently disabled
+      // whole-stage codegen for the signature stage.
       .withColumn("proj", graft.functions.VecOps.planeProjCol(col("emb"), planesFor(numPlanes)))
-      .withColumn("bits", array((0 until numPlanes).map(j =>
-        when(round(element_at(col("proj"), j + 1), 6) >= 0, 1).otherwise(0)): _*))
+      .withColumn("bits", expr(
+        "transform(proj, x -> CASE WHEN round(x, 6) >= 0 THEN 1 ELSE 0 END)"))
       .drop("proj")
 
   /** One row per (vector, band): the band's key is the little-endian integer
@@ -98,12 +100,14 @@ object EmbeddingLsh {
     require(bands * width <= sigPlanes,
       s"band config ${bands}x$width needs ${bands * width} planes but the " +
         s"signatures carry only $sigPlanes")
-    val bandStructs = (0 until bands).map { b =>
-      val key = (0 until width).map(i =>
-        element_at(col("bits"), b * width + i + 1) * (1 << i)).reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
-    sig.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+    // one HOF builds every band's little-endian key — same arithmetic as
+    // the unrolled element_at·2^i sum, but O(1) generated code regardless
+    // of bands×width (the unrolled form was the other 64 KB codegen blowout)
+    sig.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> struct(b AS band,
+              aggregate(transform(slice(bits, b * $width + 1, $width),
+                (x, i) -> shiftleft(x, i)), 0, (a, x) -> a + x) AS key))"""))
+        .as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 

@@ -100,6 +100,45 @@ class ImageIoDecoder extends Decoder {
   override def close(): Unit = { opened = false }
 }
 
+/** REAL audio codec behind the same seam: [[Multimodal.syntheticWav]]
+  * writes a deterministic 16-bit mono PCM recipe as genuine RIFF/WAVE
+  * bytes, and this decoder parses them back through
+  * `javax.sound.sampled.AudioSystem` (a real WAV parser, no audio device
+  * needed) and reports sample count / rate / amplitude stats. PCM WAV is
+  * lossless, so the decoded stats equal the generating recipe — modular
+  * integer arithmetic DuckDB re-derives from `doc_id` alone, the exact
+  * `mm_image_decode` device one modality over. Amplitudes are bounded to
+  * ±1023 and clips to ≤311 samples, so every reported value stays below
+  * 2²⁴ and is exact in Float.
+  * Feature vector: [nSamples, sampleRate, sumAbs, maxAbs]. */
+class WavDecoder extends Decoder {
+  val dim = 4
+  private var opened = false
+  override def open(): Unit = { opened = true }
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+    require(opened, "WavDecoder.decode before open(): lifecycle violation")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      var i = 0; var sumAbs = 0L; var maxAbs = 0L
+      while (i < n) {
+        // little-endian signed 16-bit
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
+        val a = math.abs(s)
+        sumAbs += a; if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      Array(n.toFloat, fmt.getSampleRate, sumAbs.toFloat, maxAbs.toFloat)
+    } finally in.close()
+  }
+  override def close(): Unit = { opened = false }
+}
+
 object Multimodal {
 
   final case class Media(doc_id: Long, media_type: String, bytes: Array[Byte],
@@ -311,6 +350,55 @@ object Multimodal {
       element_at(col("features"), 3).cast("bigint").as("sum_r"),
       element_at(col("features"), 4).cast("bigint").as("sum_g"),
       element_at(col("features"), 5).cast("bigint").as("sum_b"))
+  }
+
+  /** Deterministic 16-bit mono PCM clip as REAL RIFF/WAVE bytes: sample i
+    * = ((doc_id·7 + i·13) mod 2048) − 1024, nSamples = 100 + doc_id mod
+    * 211, rate 8000 Hz — plain integer arithmetic the oracle replays.
+    * Written via `javax.sound.sampled.AudioSystem` so the container is a
+    * genuine encoder product, not hand-rolled bytes. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (100 + docId % 211).toInt
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 7 + i * 13L) % 2048) - 1024).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A media table whose payloads are REAL WAV clips (one per document). */
+  def audioProjection(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val wav = syntheticWav(id)
+      Media(id, "audio", wav, 0, 0, (100 + id % 211) * 1000L / 8000L)
+    }
+  }
+
+  /** The registered `mm_audio_decode` query: encode every document's PCM
+    * recipe to WAV, decode through [[WavDecoder]] under the per-partition
+    * lifecycle, and report sample count / rate / amplitude sums — all
+    * BIGINT, all equal to the generating recipe because PCM is lossless,
+    * hence re-derivable by DuckDB from `doc_id` alone. Map-only; encode
+    * and decode fuse in the same task, no shuffle. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeaturesWith(
+      audioProjection(Tables.documents(spark, dir)), () => new WavDecoder).toDF()
+    feats.select(col("doc_id"),
+      element_at(col("features"), 1).cast("bigint").as("n_samples"),
+      element_at(col("features"), 2).cast("bigint").as("sample_rate"),
+      element_at(col("features"), 3).cast("bigint").as("sum_abs"),
+      element_at(col("features"), 4).cast("bigint").as("max_abs"))
   }
 
   /** Oracle-friendly summary: per media_type, row/byte counts and mean

@@ -997,6 +997,92 @@ object RelationalQueries {
         col("new_price").cast("double").as("new_price"))
   }
 
+  /** The co-located fact-fact join THROUGH the at-rest bucketed layout
+    * ([[graft.sources.Layout.bucketedWrite]]): orders and lineitem are
+    * written bucketed-and-sorted on orderkey into a fresh generation, then
+    * joined with ZERO exchange below the join (the one shuffle left is the
+    * 3-group rollup). Registered against the plain-join oracle — the
+    * layout must buy the exchange-free plan without changing a single
+    * value. At 100 TB the bucketed write is paid once per ingest batch and
+    * amortized over every orderkey join after it. */
+  def qBucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    graft.sources.Layout.bucketedWrite(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_bkt_orders", s"$wh/orders", "o_orderkey", buckets)
+    graft.sources.Layout.bucketedWrite(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("rev")),
+      "graft_bkt_lineitem", s"$wh/lineitem", "l_orderkey", buckets)
+    graft.sources.Layout.bucketedJoin(spark,
+        "graft_bkt_orders", "graft_bkt_lineitem", "o_orderkey", "l_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15 (top supplier): suppliers achieving the maximum revenue in
+    * a ship-year window — the aggregate-vs-its-own-max shape (the classic
+    * phrasing is a view referenced twice; here the revenue aggregate is
+    * computed once and its max joins back as a broadcast 1-row frame, so
+    * the fact table is scanned exactly once). All comparisons are on exact
+    * DECIMAL sums — equality against the max cannot float-drift. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1998)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("total_dec"))
+    val mx = rev.agg(max(col("total_dec")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_dec") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_dec").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct supplier counts per
+    * (brand, type, size) bucket, excluding suppliers on a complaint list
+    * (stand-in: negative account balance — the fixture has no comment
+    * column). The exclusion is a broadcast anti join BEFORE the aggregate;
+    * the distinct count is the one expensive exchange. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+          .filter(col("p_brand") =!= "Brand#15" && col("p_size").isin(1, 5, 9, 13))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** User-journey transition mining: the event-type Markov transition
+    * matrix — for each user's time-ordered event stream, count (from →
+    * to) consecutive pairs and each from-state's outgoing share. The
+    * sequential structure comes from ONE lead() window per user (unique
+    * (ms, event_id) ordering, so the successor is engine-deterministic);
+    * the share is integer counts divided once at the boundary. At 100 TB
+    * this is one shuffle on user_id + one on the 5×5 transition key. */
+  def evTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.eventMs.as("ms"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val w2 = Window.partitionBy(col("from_type"))
+    t.withColumn("share",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(w2).cast("double"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"), col("share"))
+  }
+
   /** TPC-H Q18 (large-volume orders): customers whose order's total line
     * quantity exceeds a threshold — the aggregate-HAVING-subquery shape.
     *

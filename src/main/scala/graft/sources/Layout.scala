@@ -124,4 +124,29 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes.toLong)
       .parquet(path)
   }
+
+  /** Write `df` as a BUCKETED (and per-bucket sorted) table: rows are
+    * hash-placed into `buckets` files by `bucketCol` at write time, and the
+    * catalog records the layout. Two tables bucketed the same way on their
+    * join key then sort-merge join with ZERO exchange on either side — the
+    * repeated-join shuffle is paid once at ingest instead of per query.
+    * This is the at-rest form of the co-located fact-fact join (the same
+    * argument as the CC engine's bucketed edge table, generalized): at
+    * 100 TB, orders⋈lineitem on orderkey is THE recurring join, and
+    * bucketing both sides makes every instance of it exchange-free. */
+  def bucketedWrite(df: DataFrame, table: String, path: String,
+                    bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables written by [[bucketedWrite]]; the
+    * physical plan must show a SortMergeJoin with NO Exchange below it
+    * (plan-asserted by LayoutSpec). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
 }

@@ -139,6 +139,40 @@ object EventStreams {
       }
   }
 
+  final case class TransIn(user_id: Long, event_type: String, ms: Long,
+                           event_id: Long)
+  final case class TransState(last_type: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of
+    * [[graft.relational.RelationalQueries.evTransitions]]: the (from → to)
+    * transition pairs emitted ON ARRIVAL, with only each user's LAST event
+    * type held as state — one tiny row per user forever, no timeout needed
+    * (the state never grows with history, unlike sessionize's open
+    * session). Within a micro-batch rows fold in (ms, event_id) order —
+    * the batch query's exact window order; across batches the fold
+    * assumes time-ordered arrival, the same contract every stateful op
+    * here shares (an event older than the folded state would register a
+    * transition out of order). Downstream aggregation of the pairs is
+    * ordinary streaming groupBy — counts match the batch matrix. */
+  def transitionsStream(events: Dataset[TransIn]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TransIn], state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.last_type).orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          rows.toArray.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (last != null) out += Transition(user, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(TransState(last))
+          out.iterator
+      }
+  }
+
   final case class FunIn(user_id: Long, event_type: String, ms: Long,
                          ts_ts: java.sql.Timestamp)
   final case class FunnelState(view: Long, click: Long, purchase: Long,

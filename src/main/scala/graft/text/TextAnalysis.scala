@@ -506,6 +506,49 @@ object TextAnalysis {
        |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1)
        |SELECT word, cnt, n_total FROM c, t WHERE cnt * $denom >= n_total""".stripMargin
 
+  /** Typo-tolerant vocabulary join (SymSpell blocking, Garbe 2012): match
+    * query strings to all dictionary words within edit distance ≤ 1 —
+    * spell-correction / fuzzy entity matching at corpus scale.
+    *
+    * The naive plan is queries × vocabulary with a levenshtein filter —
+    * quadratic and unshippable at 100 TB. SymSpell restores an EQUI key:
+    * two strings are within edit distance 1 iff their delete-1
+    * neighborhoods ({w} ∪ {w minus one char}) intersect, so both sides
+    * explode to their ≤ len+1 variants (bounded, map-only), hash-join on
+    * the variant, and the exact levenshtein runs only on candidates. The
+    * blocking is complete for distance ≤ 1 (spec-pinned equal to the
+    * direct cross join); extra candidates are harmless — the verify
+    * keeps only true matches.
+    *
+    * Queries are planted misspellings (the fixture has none): every 11th
+    * doc's first token with the character at position (doc_id/11) mod len
+    * deleted — re-derived identically by the oracle, which, being truth,
+    * verifies via the direct cross join instead of the blocking. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val queries = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), element_at(split(col("text"), " "), 1).as("qtok"))
+      .withColumn("q", expr(
+        """concat(substring(qtok, 1, CAST((doc_id DIV 11) % length(qtok) AS INT)),
+                  substring(qtok, CAST((doc_id DIV 11) % length(qtok) AS INT) + 2, 1000000))"""))
+      .select(col("doc_id"), col("q"))
+    def variants(c: String): Column = expr(
+      s"""array_distinct(concat(array($c),
+            transform(sequence(1, length($c)),
+              i -> concat(substring($c, 1, i - 1), substring($c, i + 1, 1000000)))))""")
+    val vSide = vocab.select(col("word"), explode(variants("word")).as("v"))
+    val qSide = queries.select(col("doc_id"), col("q"), explode(variants("q")).as("v"))
+    qSide.join(vSide, "v")
+      .select(col("doc_id"), col("q"), col("word")).distinct()
+      .withColumn("dist", levenshtein(col("q"), col("word")))
+      .filter(col("dist") <= 1)
+      .select(col("doc_id"), col("q").as("query_token"),
+        col("word").as("match_word"), col("dist"))
+  }
+
   /** DuckDB re-derivation of [[chunks]] (64-token windows, 16 overlap). */
   def chunksOracleSql(chunkTokens: Int = 64, overlap: Int = 16): String = {
     val stride = chunkTokens - overlap

@@ -193,4 +193,53 @@ class LayoutSpec extends AnyFunSuite {
     val b = spark.read.parquet(p2).collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
     assert(a.sameElements(b), "compaction must not change content")
   }
+
+  def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = pf.lift(p).toSeq
+    val through = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ through.flatMap(deepCollect(_)(pf))
+  }
+
+  test("bucketedJoin: zero Exchange below the join, values equal the plain shuffle join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val sf = SparkTestSession.sf
+    val wh = java.nio.file.Files.createTempDirectory("bktspec").toString
+    val orders = graft.Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus"))
+    val li = graft.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    Layout.bucketedWrite(orders, "bktspec_orders", s"$wh/o", "o_orderkey", 4)
+    Layout.bucketedWrite(li, "bktspec_lineitem", s"$wh/l", "l_orderkey", 4)
+    // force the big-table regime: at fixture scale the planner would just
+    // broadcast (bucketing "disabled by query planner" — a BHJ has no
+    // shuffle to avoid); the property under test is the 100 TB plan, where
+    // broadcast is off the table and bucketing must eat both exchanges
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val joined = Layout.bucketedJoin(spark, "bktspec_orders", "bktspec_lineitem",
+        "o_orderkey", "l_orderkey")
+      // run the frame's OWN QueryExecution so the inspected plan is AQE-final
+      joined.queryExecution.toRdd.count()
+      joined.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    val exchanges = deepCollect(plan) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"bucketed join must not exchange:\n$plan")
+    assert(deepCollect(plan) { case j: SortMergeJoinExec => j }.nonEmpty,
+      s"expected a sort-merge join over the bucketed scans:\n$plan")
+    val joined = Layout.bucketedJoin(spark, "bktspec_orders", "bktspec_lineitem",
+      "o_orderkey", "l_orderkey")
+    // the layout buys the plan, never the answer: equal to the plain join
+    val plain = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(canon(joined).sameElements(canon(plain)))
+    spark.sql("DROP TABLE IF EXISTS bktspec_orders")
+    spark.sql("DROP TABLE IF EXISTS bktspec_lineitem")
+  }
 }

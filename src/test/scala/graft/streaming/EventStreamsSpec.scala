@@ -188,6 +188,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming transitions (per-user last-type state, cross-batch) equal the batch matrix") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("transin").toString
+    val out = java.nio.file.Files.createTempDirectory("transout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("transckpt").toString
+
+    val real = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), graft.Tables.eventMs.as("ms"), col("event_id"))
+      .as[EventStreams.TransIn].collect().sortBy(e => (e.ms, e.event_id))
+    // three TIME-SLICED files + maxFilesPerTrigger=1: transitions that span
+    // micro-batch boundaries must come from carried per-user state
+    val cuts = Seq(real.length / 3, 2 * real.length / 3).map(i => real(i).ms)
+    Seq(
+      real.filter(_.ms < cuts(0)),
+      real.filter(e => e.ms >= cuts(0) && e.ms < cuts(1)),
+      real.filter(_.ms >= cuts(1))
+    ).zipWithIndex.foreach { case (slice, i) =>
+      slice.toSeq.toDS().coalesce(1).write.parquet(s"$in/f$i")
+    }
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.TransIn].schema
+    val q = EventStreams.transitionsStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/f*").as[EventStreams.TransIn]).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.relational.RelationalQueries.evTransitions(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming funnel (flatMapGroupsWithState + event-time timeout) equals batch") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("funin").toString
