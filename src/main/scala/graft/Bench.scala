@@ -31,6 +31,7 @@ object Bench {
     // dedup_token_jaccard measured 10x its warm cost on a contended host.
     bench.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      Checkpoints.releaseTracked()
     }
     // best-of-2 per query: the second run measures the engine (plan cache +
     // JIT warm), not Janino/JIT first-compile noise on a shared host
@@ -38,7 +39,11 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // outside the clock: blocks belong to the invocation that just
+        // finished; the next invocation builds (and re-pays) its own
+        Checkpoints.releaseTracked()
+        dt
       }
       name -> times.min
     }

@@ -300,6 +300,10 @@ object SparkEntry {
     // end-to-end embedding dedup: LSH pairs -> components -> canonical
     // keep-list (the vector twin of dedup_components, same CC engine)
     "dedup_lsh_components" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.dedupKeep(s, d)),
+    // the SAME end-to-end pipeline at the production operating point
+    // (τ=0.9, 24×12 over the planted-dup corpus) — the scaling twin whose
+    // candidate volume inherits pairs_prod's ~1.1 exponent
+    "dedup_lsh_components_prod" -> ((s: SparkSession, d: String) => graft.dedup.EmbeddingLsh.dedupKeepProd(s, d)),
     // THE capstone: the full training-data assembly funnel in one row —
     // hygiene -> dedup -> decontam -> mixture -> packing accounting, every
     // verdict fused map-only except the dedup keep-list join
@@ -323,6 +327,11 @@ object SparkEntry {
     // exact kNN JOIN (every vector a query): bounded chunk-pair local
     // top-k + per-vector merge — the SemDeDup/kNN-descent building block
     "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d).toDF()),
+    // the IVF-PRUNED kNN join scale path: candidates per query =
+    // nprobe·listsize (ratio-stable rungs, corpus-scaled nlist), swept
+    // with a recall-thresholded contract whose nprobe=nlist endpoint must
+    // EQUAL the exact graph by construction
+    "sim_knn_graph_pruned" -> ((s: SparkSession, d: String) => Similarity.knnGraphPrunedSweep(s, d)),
     // MMR diversity re-ranking (Carbonell-Goldstein): greedy
     // relevance-vs-redundancy over the brute top-20 pool, λ=0.7; rounded
     // sims + interpolated λ/(1−λ) literals + id tie-break make the greedy
@@ -1499,8 +1508,9 @@ object SparkEntry {
     "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql,
     "dedup_lsh_pairs_prod" -> graft.dedup.EmbeddingLsh.oraclePairsProdSql,
     "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql(
-      fnvBucket("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
+      fnvFull("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
     "dedup_lsh_components" -> graft.dedup.EmbeddingLsh.oracleDedupKeepSql,
+    "dedup_lsh_components_prod" -> graft.dedup.EmbeddingLsh.oracleDedupKeepProdSql,
     // the funnel re-derived end-to-end: hygiene (wordlist + Gopher rules),
     // dedup keep (recursive-CTE components over jaccard+exact edges),
     // decontamination (5-gram strings vs the eval split), mixture (fnv
@@ -1593,6 +1603,21 @@ object SparkEntry {
                FROM c)
          SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 3""",
+    // pruned-kNN sweep: engine-guaranteed booleans over the ratio-stable
+    // rung surface (nlist/8, nlist/4, nlist), completeness (3 edges per
+    // query) and recall floors; the endpoint row's guarantee is exact
+    // equality with the brute truth by construction. Every value derives
+    // from COUNT(embeddings) alone — same integer arithmetic as the engine
+    // (nlist = max(16, ceil(n/256)), int division for the rungs).
+    "sim_knn_graph_pruned" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         p AS (SELECT GREATEST(16, CAST((n + 255) // 256 AS INT)) AS nlist, n FROM n)
+         SELECT CAST(GREATEST(1, nlist // 8) AS INT) AS nprobe, n AS n_queries,
+                CAST(3 * n AS BIGINT) AS n_edges, TRUE AS recall_ok FROM p
+         UNION ALL SELECT CAST(GREATEST(2, nlist // 4) AS INT), n,
+                CAST(3 * n AS BIGINT), TRUE FROM p
+         UNION ALL SELECT CAST(nlist AS INT), LEAST(128, n),
+                CAST(3 * LEAST(128, n) AS BIGINT), TRUE FROM p""",
     "sim_topk_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 8),

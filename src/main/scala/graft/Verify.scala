@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the previous query's result is on disk — drop any checkpoint
+      // blocks its builder registered (see Checkpoints)
+      Checkpoints.releaseTracked()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -48,11 +51,13 @@ object Verify {
       .getOrElse(graft.text.TrainedOracles.names)
     // a training failure must degrade those queries to rows-only, never
     // take down the whole dump (an unwritten oracle_sql.json would zero
-    // every query's correctness signal for the round)
+    // every query's correctness signal for the round) — but only NonFatal
+    // failures: an OOM/LinkageError must abort rather than write a
+    // partially valid oracle_sql.json
     val trained: Map[String, String] =
       if (wanted.isEmpty) Map.empty
       else try graft.text.TrainedOracles.all(spark, sfDir, wanted)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] trained-oracle generation failed: ${e.getMessage}")
         Map.empty
       }

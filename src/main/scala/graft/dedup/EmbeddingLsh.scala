@@ -149,7 +149,8 @@ object EmbeddingLsh {
     // both verify sides), and without the checkpoint each consumer
     // recomputes every projection — measured 7.3 → 2.9 s on the 288-plane
     // production config at bench SF (the sweep's countedOnce precedent)
-    val sig = signaturesFrame(emb, bands * width).localCheckpoint(true)
+    val sig = graft.Checkpoints.track(
+      signaturesFrame(emb, bands * width).localCheckpoint(true))
     val e = sig.select(col("vec_id"), col("emb"))
     candidates(sig, bands, width, bands * width)
       .join(e.as("x"), col("d1") === col("x.vec_id"))
@@ -158,18 +159,33 @@ object EmbeddingLsh {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Deterministic hash-fate vector sample (the sampling family's salted
-    * FNV bucket): the sweep is a TUNING PROBE, so it runs on a fixed-rate
-    * sample — the recall/candidate ratios it estimates are scale-free,
-    * while the all-pairs truth it must compute is quadratic and would
-    * dominate the corpus at full rate. 100 means "no sampling". */
-  private def sampleFilter(pct: Int): Column =
-    graft.functions.Fnv32.fnv32(
-      concat(col("vec_id").cast("string"), lit(":lshsweep"))) % 100 < pct
+  /** The sweep's FIXED-COUNT hash-fate sample: the `sampleN` vectors with
+    * the smallest salted-FNV hash (vec_id tiebreak — a total order, so the
+    * sample is deterministic in both engines). A fixed RATE sample keeps
+    * the dashboard itself quadratic — its all-pairs truth side grows as
+    * (p·n)², 21× at the 10× recording — while a fixed COUNT caps the truth
+    * at sampleN²/2 cosines forever. Hash-fate keeps the estimate unbiased;
+    * the recall/cand_frac ratios carry ~1/√sampleN ≈ 3% sampling error at
+    * the default 1000, constant at any corpus size. Physically a
+    * TakeOrdered (per-partition top-sampleN heaps, driver merge of sampleN
+    * rows), then repartitioned back out so the quadratic truth scan
+    * parallelizes. */
+  private def sampleTopN(df: DataFrame, sampleN: Int): DataFrame =
+    df.orderBy(graft.functions.Fnv32.fnv32(
+        concat(col("vec_id").cast("string"), lit(":lshsweep"))), col("vec_id"))
+      .limit(sampleN)
+      .repartition(16)
 
   /** All-pairs exact truth (broadcast nested-loop over the small build side;
     * the chunk-pair decomposition of [[graft.sim.Similarity]] is the path
     * for corpora whose embedding table no longer broadcasts). */
+  /** Deterministic hash-fate rate sample (the sampling family's salted FNV
+    * bucket); 100 means "no sampling". Only the exact-truth helper below
+    * still rate-samples — the sweep moved to [[sampleTopN]]. */
+  private def sampleFilter(pct: Int): Column =
+    graft.functions.Fnv32.fnv32(
+      concat(col("vec_id").cast("string"), lit(":lshsweep"))) % 100 < pct
+
   def allPairs(spark: SparkSession, dir: String, threshold: Double = 0.35,
                samplePct: Int = 100): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -186,20 +202,22 @@ object EmbeddingLsh {
     * fraction of all n·(n−1)/2 pairs — the numbers that pick a band/width
     * operating point before a 100 TB run. One row per configuration; every
     * number re-derivable by the oracle from the same plane literals.
-    * Runs on the deterministic `samplePct` vector sample: the ratios it
-    * estimates are scale-free while its exact-truth side is quadratic
-    * (full-rate at bench SF measured 60 s; the 20% sample, 1.6 s). */
+    * Runs on the deterministic FIXED-COUNT [[sampleTopN]] sample: the
+    * ratios it estimates are scale-free while its exact-truth side is
+    * quadratic, so the truth cost is pinned at sampleN²/2 cosines no
+    * matter how the corpus grows (the fixed-RATE 20% sample this replaced
+    * was itself quadratic — 0.66 → 13.8 s at the 10× recording). */
   def sweep(spark: SparkSession, dir: String,
             configs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8)),
-            threshold: Double = 0.35, samplePct: Int = 20): DataFrame = {
+            threshold: Double = 0.35, sampleN: Int = 1000): DataFrame = {
     require(configs.nonEmpty)
     val maxPlanes = configs.map { case (b, w) => b * w }.max
     // ONE projection pass, materialized: every config's candidate join,
     // both verify sides, the truth, and the vector count all reuse the
     // checkpointed sample (the Packing countedOnce precedent — without it
     // the scan + projections recompute once per consumer, 6+ times here)
-    val sig = signatures(spark, dir, maxPlanes)
-      .filter(sampleFilter(samplePct)).localCheckpoint(true)
+    val sig = graft.Checkpoints.track(
+      sampleTopN(signatures(spark, dir, maxPlanes), sampleN).localCheckpoint(true))
     val e = sig.select(col("vec_id"), col("emb"))
     val nTrue = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .filter(cosineCol(col("a.emb"), col("b.emb")) >= threshold)
@@ -250,6 +268,24 @@ object EmbeddingLsh {
     * threshold while random pairs stay far below it. */
   def pairsProd(spark: SparkSession, dir: String): DataFrame =
     pairsFrame(prodFrame(spark, dir), bands = 24, width = 12, threshold = 0.9)
+
+  /** The END-TO-END dedup pipeline (pairs → connected components →
+    * canonical keep-list) at the SAME production operating point as
+    * [[pairsProd]] — the user-facing composition a 100 TB run would
+    * actually execute, registered as `dedup_lsh_components_prod`. The
+    * fixture-config [[dedupKeep]] stays registered as the low-τ physics
+    * exhibit; THIS is the scaling twin: candidate volume inherits
+    * `pairs_prod`'s measured ~1.1 exponent (3.7× at 10× data), and the
+    * components engine is the same auto-cutover iteration every other
+    * dedup family shares. */
+  def dedupKeepProd(spark: SparkSession, dir: String): DataFrame = {
+    val frame = prodFrame(spark, dir)
+    val p = pairsProd(spark, dir).select(col("d1"), col("d2"))
+    val nodes = frame.select(col("vec_id").as("node"))
+    Dedup.connectedComponentsAuto(p, nodes)
+      .select(col("node").as("vec_id"), col("label").as("canonical_id"),
+        (col("node") === col("label")).as("keep"))
+  }
 
   /** ±1 perturbation signs: the planes' LCG recipe under seed 43 (seed 42
     * is the signature stream; a distinct seed keeps the planted direction
@@ -314,12 +350,13 @@ object EmbeddingLsh {
     s"""WITH $pairsCtes
        |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.35""".stripMargin
 
-  /** DuckDB re-derivation of [[pairsProd]]: re-plant the perturbed copies
-    * from the parquet (same sign literals, same operand order), then the
-    * 24×12 band pipeline over the first 288 planes of the same stream. */
-  def oraclePairsProdSql: String = {
+  /** The production-point pairs pipeline as a CTE list — re-plant the
+    * perturbed copies from the parquet (same sign literals, same operand
+    * order), then the 24×12 band pipeline over the first 288 planes of the
+    * same stream. Shared by the prod pairs and prod keep-list oracles. */
+  private def prodPairsCtes: String = {
     val s = perturbSigns.map(v => s"$v").mkString("[", ",", "]")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |pert AS (SELECT vec_id + 1000000 AS vec_id,
        |           list_transform(generate_series(1, $Dims),
        |             j -> emb[j] * (CAST(1.0 AS DOUBLE) + CAST(0.45 AS DOUBLE) * ($s)[j])) AS emb
@@ -331,9 +368,25 @@ object EmbeddingLsh {
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
        |           AND a.vec_id < b.vec_id),
        |v AS (SELECT d1, d2, $cosineSql AS cosine
-       |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)
-       |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.9""".stripMargin
+       |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)""".stripMargin
   }
+
+  /** DuckDB re-derivation of [[pairsProd]]. */
+  def oraclePairsProdSql: String =
+    s"""WITH $prodPairsCtes
+       |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.9""".stripMargin
+
+  /** DuckDB re-derivation of [[dedupKeepProd]]: the prod pairs CTEs, then
+    * min-label connected components as a recursive CTE over base ∪ planted
+    * nodes (the dedup_components oracle shape). */
+  def oracleDedupKeepProdSql: String =
+    s"""WITH RECURSIVE $prodPairsCtes,
+       |p AS (SELECT d1, d2 FROM v WHERE cosine >= 0.9),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2 AS src, d1 AS dst FROM p),
+       |cc AS (SELECT vec_id AS node, vec_id AS label FROM e
+       |       UNION SELECT e2.dst AS node, cc.label FROM cc JOIN edges e2 ON cc.node = e2.src)
+       |SELECT node AS vec_id, MIN(label) AS canonical_id, (node = MIN(label)) AS keep
+       |FROM cc GROUP BY node""".stripMargin
 
   /** DuckDB re-derivation of [[dedupKeep]]: the same pairs pipeline, then
     * min-label connected components as a recursive CTE (the
@@ -347,17 +400,19 @@ object EmbeddingLsh {
        |SELECT node AS vec_id, MIN(label) AS canonical_id, (node = MIN(label)) AS keep
        |FROM cc GROUP BY node""".stripMargin
 
-  /** DuckDB re-derivation of [[sweep]]: `sampleBucketSql` is the caller's
-    * FNV re-derivation of `fnv32(vec_id || ':lshsweep') % 100` (the shared
-    * oracle helper lives with the other fnv-sampling oracles). The final
-    * select LEFT-JOINs from the config list so a configuration with zero
+  /** DuckDB re-derivation of [[sweep]]: `sampleHashSql` is the caller's
+    * FNV re-derivation of `fnv32(vec_id || ':lshsweep')` (the shared
+    * oracle helper lives with the other fnv-sampling oracles); the sample
+    * CTE mirrors [[sampleTopN]]'s fixed-count total order exactly
+    * (hash asc, vec_id tiebreak, LIMIT sampleN). The final select
+    * LEFT-JOINs from the config list so a configuration with zero
     * candidates still emits its (zeroed) dashboard row, matching the
     * engine's empty-frame aggregation. */
-  def oracleSweepSql(sampleBucketSql: String, samplePct: Int = 20): String = {
+  def oracleSweepSql(sampleHashSql: String, sampleN: Int = 1000): String = {
     val cfgs = Seq((16, 2), (8, 4), (4, 8))
     val cfgValues = cfgs.map { case (b, w) => s"('${b}x$w')" }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-       |           WHERE $sampleBucketSql < $samplePct),
+       |           ORDER BY $sampleHashSql, vec_id LIMIT $sampleN),
        |sig AS (SELECT vec_id, emb, $bitsCols FROM e),
        |bands AS (${bandsUnion(cfgs)}),
        |cand AS (SELECT DISTINCT cfg, a.vec_id AS d1, b.vec_id AS d2

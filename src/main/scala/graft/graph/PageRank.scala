@@ -77,6 +77,10 @@ object PageRank {
     }
     graft.dedup.Dedup.releaseLocalCheckpoint(ej)
     graft.dedup.Dedup.releaseLocalCheckpoint(nodes)
+    // the returned frame IS the last round's checkpoint — it must outlive
+    // this builder, so its release is deferred to the harness's
+    // between-queries drain rather than leaked to ContextCleaner GC
+    graft.Checkpoints.track(ranks)
     ranks
   }
 

@@ -997,6 +997,22 @@ object RelationalQueries {
         col("new_price").cast("double").as("new_price"))
   }
 
+  /** One JVM-exit cleanup hook per scratch path (idempotent across
+    * invocations): the bucketed-ingest generation lives outside Spark's
+    * managed warehouse, so nothing else deletes it. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+
   /** The co-located fact-fact join THROUGH the at-rest bucketed layout
     * ([[graft.sources.Layout.bucketedWrite]]): orders and lineitem are
     * written bucketed-and-sorted on orderkey into a fresh generation, then
@@ -1006,7 +1022,12 @@ object RelationalQueries {
     * value. At 100 TB the bucketed write is paid once per ingest batch and
     * amortized over every orderkey join after it. */
   def qBucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    // one deterministic generation per session, overwritten in place on
+    // every invocation (a fresh createTempDirectory per call accumulated
+    // unbounded /tmp data across bench runs — DROP TABLE does not delete
+    // an external table's path) and deleted on JVM exit
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_${spark.sparkContext.applicationId}"
+    registerCleanup(wh)
     graft.sources.Layout.bucketedWrite(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
       "graft_bkt_orders", s"$wh/orders", "o_orderkey", buckets)

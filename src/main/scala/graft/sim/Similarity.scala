@@ -976,4 +976,206 @@ object Similarity {
             BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r + 1) }
     }
   }
+
+  // ---------------------------------------- pruned kNN graph (IVF composition)
+
+  /** argmax-cosine list id; first index wins ties — identical to the rank-1
+    * entry of [[rankedLists]], so a member's home list is always the first
+    * list it would probe. */
+  private def nearestList(cs: Array[Array[Float]], e: Array[Float]): Int = {
+    var best = 0; var bestC = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val c = cosine(e, cs(i))
+      if (c > bestC) { bestC = c; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The `np` nearest list ids by (cosine desc, index asc). */
+  private def rankedLists(cs: Array[Array[Float]], e: Array[Float], np: Int): Array[Int] =
+    cs.indices.map(i => (cosine(e, cs(i)), i))
+      .sortBy { case (c, i) => (-c, i) }.take(np).map(_._2).toArray
+
+  /** Local top-k of `e` against `others` (self excluded), tie-broken
+    * (cosine desc, id asc) — the [[knnGraph]] per-chunk kernel, shared by
+    * the pruned variant. */
+  private def localTopKAgainst(id: Long, e: Array[Float], k: Int,
+      others: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), (Double, Long)] { case (c, nid) => (-c, nid) })
+    others.foreach { case (oid, oe) =>
+      if (oid != id) {
+        val c = cosine(e, oe)
+        if (heap.size < k) heap.enqueue((c, oid))
+        else if (c > heap.head._1 || (c == heap.head._1 && oid < heap.head._2)) {
+          heap.dequeue(); heap.enqueue((c, oid))
+        }
+      }
+    }
+    heap.iterator.map { case (c, nid) => (id, nid, c) }
+  }
+
+  /** IVF-PRUNED kNN join: every query vector scores ONLY the members of its
+    * `nprobe` nearest lists (frozen codebook), instead of every chunk pair.
+    * This is the scale path [[knnGraph]]'s scaladoc promises: candidate
+    * volume is n·nprobe·listsize (shuffle rows n·nprobe·⌈listsize/maxBlock⌉
+    * + k per probe group), not n²/maxBlock — the ratio nprobe/nlist is the
+    * pruning factor, and nlist grows with the corpus (targeting ~256-row
+    * lists) so per-query work stays ~k·nprobe·256 at any scale.
+    *
+    * Decomposition: members key by (home list, member chunk) — chunk count
+    * per list derived from measured list sizes so no task materializes more
+    * than `maxBlock` member vectors; queries replicate to every chunk of
+    * each probed list. The two sides meet in a `cogroup` so members buffer
+    * (bounded) while queries STREAM through the kernel — a hot list costs
+    * task time, never task memory. Per-query partials then merge to the
+    * global top-k exactly as in [[knnGraph]]. A further refinement at
+    * extreme query skew (many queries probing one list) would salt the
+    * query side into sub-groups; the fixture's k-means lists are balanced
+    * enough that the member-side chunking alone bounds every task. */
+  private[graft] def prunedKnnEdges(queries: Dataset[Vec], members: Dataset[Vec],
+      centroids: Array[Array[Float]], nprobe: Int, k: Int,
+      maxBlock: Int = 256): Dataset[(Long, Long)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned = members.map(v => (nearestList(bcC.value, v.embedding), v.vec_id, v.embedding))
+    // nlist rows — the only driver-side state, same shape as chunkedNearDups
+    val listCounts: Map[Int, Long] = assigned.groupByKey(_._1).count().collect().toMap
+    val nmc: Map[Int, Int] = centroids.indices.map(l => l ->
+      math.max(1, ((listCounts.getOrElse(l, 0L) + maxBlock - 1) / maxBlock).toInt)).toMap
+    val bcNmc = spark.sparkContext.broadcast(nmc)
+    val memberRows = assigned.map { case (l, id, e) =>
+      (l, math.floorMod(mix64(id), bcNmc.value(l).toLong).toInt, id, e)
+    }
+    val probeRows = queries.flatMap { q =>
+      val lists = rankedLists(bcC.value, q.embedding, nprobe)
+      lists.iterator.flatMap { l =>
+        (0 until bcNmc.value(l)).iterator.map(c => (l, c, q.vec_id, q.embedding))
+      }
+    }
+    val partials = memberRows.groupByKey(t => (t._1, t._2))
+      .cogroup(probeRows.groupByKey(t => (t._1, t._2))) { (_, mIt, pIt) =>
+        val mem = mIt.map(t => (t._3, t._4)).toArray
+        pIt.flatMap { case (_, _, qid, qe) =>
+          localTopKAgainst(qid, qe, k, mem.iterator) }
+      }
+    partials.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
+      it.toArray.sortBy { case (_, nid, c) => (-c, nid) }.take(k).iterator
+        .map { case (_, nid, _) => (qid, nid) }
+    }
+  }
+
+  /** Exact top-k for a BOUNDED broadcast query set against the full corpus
+    * — one map-only scan with per-query heaps, then a Q-key merge (the
+    * [[bruteForceTopK]] physics with an explicit query array). The truth
+    * side of the pruned-graph sweep: linear in n at fixed |queries|. */
+  private[graft] def exactTopKBroadcast(corpus: Dataset[Vec], queries: Array[Vec],
+                                        k: Int): Dataset[(Long, Long)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val partials = corpus.mapPartitions { it =>
+      val qs = bcQ.value
+      val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+      it.foreach { v =>
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          if (v.vec_id != q.vec_id) {
+            val c = cosine(q.embedding, v.embedding)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, v.vec_id))
+            else if (c > h.head._1 || (c == h.head._1 && v.vec_id < h.head._2)) {
+              h.dequeue(); h.enqueue((c, v.vec_id))
+            }
+          }
+          qi += 1
+        }
+      }
+      qs.iterator.zip(heaps.iterator).flatMap { case (q, h) =>
+        h.iterator.map { case (c, id) => (q.vec_id, id, c) }
+      }
+    }
+    partials.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
+      it.toArray.sortBy { case (_, id, c) => (-c, id) }.take(k).iterator
+        .map { case (_, id, _) => (qid, id) }
+    }
+  }
+
+  /** Recall floors for the pruned-graph sweep, per rung, as exact integer
+    * fractions (num/den — engine-side only, so no float contract needed).
+    * Measured sampled recalls (KnnProbe, BASELINE.md round-11 notes):
+    * rung nlist/8 → 0.417 (sf0.01, n=500), 0.398 (sf0.1, n=2000), 0.966
+    * (10×, n=20000, where the clustered TenX corpus lets IVF prune hard);
+    * rung nlist/4 → 0.641 / 0.583 / 0.992. Floors 1/10 and 1/5 sit 4-6×
+    * below the worst measured point. The endpoint floor is 1/1 — EXACT
+    * equality with the brute-force truth, which holds by construction
+    * (probing every list IS the all-pairs scan, and both sides rank by the
+    * same (cosine desc, id asc) fold). */
+  private val PrunedRecallFloors: Seq[(Long, Long)] = Seq((1L, 10L), (1L, 5L), (1L, 1L))
+
+  /** The registered `sim_knn_graph_pruned` query: the pruned kNN join
+    * swept over nprobe ∈ {nlist/8, nlist/4, nlist} with a recall-thresholded
+    * contract (the sim_topk_pq shape):
+    *
+    *   - nlist scales with the corpus — max(16, ⌈n/256⌉) — so the rungs are
+    *     RATIO-stable (probe 1/8, 1/4, all of the lists) and the candidate
+    *     volume per query is ~nprobe·256 at every scale;
+    *   - the codebook trains on a fixed-count hash-fate sample (the faiss
+    *     stance: k-means on a subsample, assignment over everything), so
+    *     training cost is bounded at any corpus size;
+    *   - recall per rung is measured on a fixed-count sampled query set
+    *     against [[exactTopKBroadcast]] truth (linear in n), and
+    *     `recall_ok` asserts the measured value clears the rung's floor;
+    *   - the nprobe = nlist endpoint runs the SAME pruned operator over the
+    *     sampled queries and must equal the exact graph outright (floor
+    *     1/1) — the by-construction exactness anchor;
+    *   - `n_edges` asserts completeness: every query emits exactly k edges
+    *     (full corpus on the sub-nlist rungs, the sample at the endpoint).
+    *
+    * The oracle pins the whole surface from COUNT(embeddings) alone —
+    * engine-guaranteed booleans, SF-independent (the sim_ivf_recall
+    * contract). */
+  def knnGraphPrunedSweep(spark: SparkSession, dir: String, k: Int = 3,
+                          maxBlock: Int = 256, sampleN: Int = 128,
+                          trainN: Int = 2048): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val n = vecs.count()
+    val nlist = math.max(16, ((n + 255) / 256).toInt)
+    // bounded collects: the k-means training sample and the truth query
+    // sample are fixed-count by design (trainN rows ≈ 0.5 MB at 64 dims)
+    val trainArr = vecs.orderBy(xxhash64(col("vec_id"), lit("knntrain")), col("vec_id"))
+      .limit(math.min(trainN.toLong, n).toInt).as[Vec].collect()
+    val centroids = trainCentroids(spark.createDataset(trainArr.toIndexedSeq), nlist)
+    val sampleArr = vecs.orderBy(xxhash64(col("vec_id"), lit("knnsample")), col("vec_id"))
+      .limit(sampleN).as[Vec].collect()
+    val sampleDs = spark.createDataset(sampleArr.toIndexedSeq)
+    val truth = exactTopKBroadcast(vecs, sampleArr, k).toDF("query_id", "neighbor_id")
+    val nTruth = truth.count()
+    val rungs = Seq(math.max(1, nlist / 8), math.max(2, nlist / 4), nlist)
+    val edges = rungs.map { np =>
+      val queries = if (np == nlist) sampleDs else vecs
+      prunedKnnEdges(queries, vecs, centroids, np, k, maxBlock)
+        .map { case (q, nb) => (np, q, nb) }
+    }.reduce(_ unionAll _).toDF("nprobe", "query_id", "neighbor_id")
+    val totals = edges.groupBy(col("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_edges"))
+    val matched = edges.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_matched"))
+    val floors = rungs.zip(PrunedRecallFloors)
+    def caseOf(pick: ((Long, Long)) => Long) =
+      floors.tail.foldLeft(
+        when(col("nprobe") === floors.head._1, lit(pick(floors.head._2)))) {
+        case (acc, (np, f)) => acc.when(col("nprobe") === np, lit(pick(f))) }
+    val caseOfNums = caseOf(_._1); val caseOfDens = caseOf(_._2)
+    totals.join(matched, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("int").as("nprobe"), col("n_queries"), col("n_edges"),
+        (coalesce(col("n_matched"), lit(0L)) * caseOfDens >=
+          lit(nTruth) * caseOfNums).as("recall_ok"))
+  }
 }

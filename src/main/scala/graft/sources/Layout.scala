@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftrightunsigned}
 
 /** Data-layout control for at-rest tables — the scan-pruning lever that
@@ -138,7 +138,10 @@ object Layout {
                     bucketCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+    // Overwrite replaces the path's previous generation in place — callers
+    // reuse one deterministic path per session instead of leaking a fresh
+    // directory per invocation
+    df.write.mode(SaveMode.Overwrite).bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", path).saveAsTable(table)
   }
 

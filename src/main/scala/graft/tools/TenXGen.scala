@@ -32,6 +32,29 @@ object TenXGen {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // The per-copy ID offsets below assume the base fixture's ID ranges;
+    // a larger source fixture or more copies would silently collide IDs
+    // across copies and break uniqueness contracts downstream (ev_ohlc's
+    // injectivity, the LSH planted-ID disjointness at +10^6) — so assert
+    // the assumptions loudly up front, the evOhlc-guard stance.
+    def guard(df: DataFrame, idCol: String, bound: Long): Unit = {
+      val mx = df.agg(max(col(idCol))).head().getLong(0)
+      require(mx < bound, s"[tenx] max($idCol) = $mx >= offset stride $bound: " +
+        s"copies would collide; shrink the source fixture or widen the stride")
+    }
+    guard(graft.Tables.events(spark, src), "event_id", 100000L)
+    guard(graft.Tables.embeddings(spark, src).select(col("vec_id")), "vec_id", 100000L)
+    guard(graft.Tables.documents(spark, src).select(col("doc_id")), "doc_id", 1000000L)
+    guard(graft.Tables.orders(spark, src).select(col("o_orderkey")), "o_orderkey", 10000000L)
+    guard(graft.Tables.lineitem(spark, src)
+      .select(greatest(col("l_orderkey"), col("l_partkey"), col("l_suppkey")).as("k")),
+      "k", 10000000L)
+    guard(graft.Tables.customer(spark, src).select(col("c_custkey")), "c_custkey", 10000000L)
+    guard(graft.Tables.supplier(spark, src).select(col("s_suppkey")), "s_suppkey", 10000000L)
+    guard(graft.Tables.part(spark, src).select(col("p_partkey")), "p_partkey", 10000000L)
+    require(nCopies <= 10, s"[tenx] $nCopies copies would overflow the " +
+      "100k event/vec strides (10 copies max at the base fixture ranges)")
+
     val cps = spark.range(nCopies).select(col("id").as("cp"))
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")

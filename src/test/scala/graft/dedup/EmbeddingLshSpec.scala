@@ -73,6 +73,51 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(got.count(!_._2._2) > 0, "no vector ever dropped — degenerate fixture")
   }
 
+  test("sweep's fixed-count sample caps the truth side regardless of corpus size") {
+    val sampleN = 100
+    val rows = EmbeddingLsh.sweep(spark, sf, sampleN = sampleN).collect()
+    assert(rows.length == 3)
+    val maxPairs = sampleN.toLong * (sampleN - 1) / 2
+    rows.foreach { r =>
+      assert(r.getLong(1) <= maxPairs, s"cand ${r.getLong(1)} exceeds the $sampleN-sample bound")
+      assert(r.getLong(3) <= maxPairs, s"truth ${r.getLong(3)} exceeds the $sampleN-sample bound")
+    }
+    // the sample is a deterministic prefix of the hash order: re-running
+    // yields identical dashboards (the cross-engine device the oracle replays)
+    val again = EmbeddingLsh.sweep(spark, sf, sampleN = sampleN).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("dedupKeepProd equals a local union-find over the prod pair set") {
+    val pairs = EmbeddingLsh.pairsProd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "prod plant found no pairs")
+    val base = graft.Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    val nodes = base ++ base.filter(_ % 5 == 0).map(_ + 1000000L)
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = EmbeddingLsh.dedupKeepProd(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    got.foreach { case (id, (canon, keep)) =>
+      assert(canon == want(id), s"vec $id: canonical $canon != ${want(id)}")
+      assert(keep == (canon == id))
+    }
+    // every dropped vector is a planted copy whose canonical is its base
+    val dropped = got.filter(!_._2._2)
+    assert(dropped.nonEmpty, "no planted copy was ever dropped")
+    dropped.foreach { case (id, (canon, _)) =>
+      assert(id >= 1000000L && canon == id - 1000000L,
+        s"unexpected drop: $id -> $canon (prod pairs must only link plant to base)")
+    }
+  }
+
   test("non-default band configs build exactly their planes and stay a subset of truth") {
     // the signature builder is parameterized by the config (prefix-stable
     // planes): a wider-than-32-planes config must work, not NULL out
