@@ -405,6 +405,10 @@ object SparkEntry {
     // REAL WAV codec (javax.sound PCM parse) behind the same per-partition
     // Decoder lifecycle; lossless, so the recipe is the oracle
     "mm_audio_decode" -> Multimodal.audioDecode _,
+    // multimodal NEAR-DUP dedup: real PNG decode -> 8x8 aHash grid ->
+    // hamming-banded candidates (pigeonhole-complete at radius 3) -> exact
+    // verify; planted brightness-shifted copies are the near-dup regime
+    "mm_dedup_phash" -> ((s: SparkSession, d: String) => Multimodal.imageDedupPhash(s, d)),
     // linearizability (A7): per-user append history from events (nanos call/
     // ret — unique per user, so the fold is sequential and checks in linear
     // time), with a PLANTED violation for every user_id % 7 == 0: a trailing
@@ -1835,6 +1839,7 @@ object SparkEntry {
            CAST(8000 AS BIGINT) AS sample_rate,
            CAST(SUM(a) AS BIGINT) AS sum_abs, CAST(MAX(a) AS BIGINT) AS max_abs
          FROM v GROUP BY 1""",
+    "mm_dedup_phash" -> Multimodal.oracleDedupPhashSql(),
     // truth via the canonical a<b<c three-way self-join — the engine's
     // degree-ordered orientation must reproduce it
     "graph_triangles" ->

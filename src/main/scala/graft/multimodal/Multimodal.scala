@@ -139,6 +139,41 @@ class WavDecoder extends Decoder {
   override def close(): Unit = { opened = false }
 }
 
+/** Perceptual-hash feature extractor through the same [[Decoder]] seam: an
+  * aHash-style 8×8 luminance grid over the DECODED image — nearest-neighbor
+  * sampled at (x, y) = (j·w/8, i·h/8) (integer division, the SQL-replayable
+  * resize), luminance = r+g+b (an integer ≤ 765, exact in Float). The
+  * decoder reports the RAW grid, row-major (t = i·8 + j); the hash bits
+  * (grid cell vs grid mean) are computed downstream in plain column
+  * expressions so the oracle mirrors them verbatim. Per-instance lifecycle
+  * state like [[ImageIoDecoder]] — construct fresh per partition. */
+class PHashDecoder extends Decoder {
+  val dim = 64
+  private var opened = false
+  override def open(): Unit = { opened = true }
+  def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
+    require(opened, "PHashDecoder.decode before open(): lifecycle violation")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val rgb = img.getRGB(j * w / 8, i * h / 8)
+        out(i * 8 + j) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toFloat
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+  override def close(): Unit = { opened = false }
+}
+
 object Multimodal {
 
   final case class Media(doc_id: Long, media_type: String, bytes: Array[Byte],
@@ -294,7 +329,14 @@ object Multimodal {
     * (id·31 + y·w·3 + x·3 + c) mod 256 — plain integer arithmetic the
     * oracle replays in SQL. The returned bytes are genuine PNG
     * (JDK `javax.imageio` writer). */
-  def syntheticPng(docId: Long): Array[Byte] = {
+  def syntheticPng(docId: Long): Array[Byte] = syntheticPngWith(docId, 0)
+
+  /** [[syntheticPng]] with a per-channel brightness shift, clamped at 255
+    * (`min(ch + delta, 255)` — the clamp, not a mod wrap, keeps the
+    * perturbation SMALL everywhere, so a shifted copy is a perceptual
+    * near-dup of its base, never a scrambled one). delta = 0 is the
+    * original recipe exactly. */
+  def syntheticPngWith(docId: Long, delta: Int): Array[Byte] = {
     val w = 4 + (docId % 13).toInt
     val h = 4 + (docId % 11).toInt
     val img = new java.awt.image.BufferedImage(w, h,
@@ -303,7 +345,8 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        def ch(c: Int): Int = ((docId * 31 + y * w * 3 + x * 3 + c) % 256).toInt
+        def ch(c: Int): Int =
+          math.min(((docId * 31 + y * w * 3 + x * 3 + c) % 256).toInt + delta, 255)
         img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
         x += 1
       }
@@ -399,6 +442,151 @@ object Multimodal {
       element_at(col("features"), 2).cast("bigint").as("sample_rate"),
       element_at(col("features"), 3).cast("bigint").as("sum_abs"),
       element_at(col("features"), 4).cast("bigint").as("max_abs"))
+  }
+
+  /** Plant offset/delta for the perceptual-hash dedup corpus: copies land
+    * far above any real doc_id (base ids stay < 10^7 even at the 10×
+    * fixture's +copy·10^6 offsets), shifted +3 per channel — a few lum
+    * units on a 0..765 scale, so copies hash within a couple of bits of
+    * their base while distinct recipe images sit ~32/64 apart. */
+  val PhashPlantOffset = 100000000L
+  val PhashPlantDelta = 3
+
+  /** The phash corpus's OWN pixel recipe: channel = middle-square scramble
+    * of (doc_id·31 + position), clamp-shifted by `delta`. The
+    * [[syntheticPng]] recipe is deliberately NOT reused here: its linear
+    * gradient means same-geometry images differ only by a mod-256 phase —
+    * genuine brightness shifts of each other — so ANY honest perceptual
+    * hash pairs a constant fraction of the corpus (measured: 9k pairs on
+    * 571 images) and the reported pair set itself grows quadratically. The
+    * square term decorrelates cells across doc_ids, so base images are
+    * perceptually distinct and only the PLANTED shifted copies collide —
+    * the linear-at-scale regime a real deduped corpus looks like.
+    * `v·v ≤ 9.7·10^16` at the largest 10×-fixture doc_id — no Long/BIGINT
+    * overflow on either engine. */
+  def phashPng(docId: Long, delta: Int): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 4 + (docId % 11).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Int = {
+          val v = docId * 31 + y * w * 3 + x * 3 + c
+          math.min(((v * v / 256 + v) % 256).toInt + delta, 255)
+        }
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The planted image-dedup corpus: every document's scrambled-recipe PNG
+    * ([[phashPng]]), plus a brightness-shifted copy for each doc_id ≡ 0
+    * (mod 7) — the [[graft.dedup.EmbeddingLsh.prodFrame]] stance one
+    * modality over: the fixture has no near-dup IMAGES, so the production
+    * regime is planted deterministically from the parquet and the oracle
+    * re-plants it. */
+  def phashCorpus(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].flatMap { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 11).toInt
+      val base = Media(id, "image", phashPng(id, 0), w, h, 0L)
+      if (id % 7 == 0)
+        Iterator(base,
+          Media(id + PhashPlantOffset, "image",
+            phashPng(id, PhashPlantDelta), w, h, 0L))
+      else Iterator(base)
+    }
+  }
+
+  /** The registered `mm_dedup_phash` query: multimodal NEAR-DUP dedup —
+    * encode → REAL PNG decode ([[PHashDecoder]]) → 8×8 aHash bits (cell
+    * luminance vs grid mean, exact integers) → hamming-banded candidate
+    * join (4 bands × 16 bits: any pair within hamming ≤ 3 shares a band by
+    * pigeonhole, so banding loses nothing at the reported radius) → exact
+    * hamming verify on candidates only. The planted shifted copies land
+    * within a few bits of their base; unrelated recipe images hash ~32/64
+    * apart, so random band collisions are rare and verified away.
+    *
+    * Scale shape: decode + hash is one map-only pass (the signature frame
+    * is checkpointed once for its three consumers); candidates are a linear
+    * equi-shuffle on (band, key), never a product; the verify join touches
+    * candidates only. Value-oracled end-to-end: PNG is lossless, so DuckDB
+    * replays pixel recipe → grid → bits → bands → hamming from `doc_id`
+    * alone ([[oracleDedupPhashSql]]). */
+  def imageDedupPhash(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val feats = extractFeaturesWith(
+      phashCorpus(Tables.documents(spark, dir)), () => new PHashDecoder).toDF()
+    // one decode pass feeds the band rows AND both verify sides
+    val sig = graft.Checkpoints.track(
+      feats.select(col("doc_id"),
+          expr("transform(features, x -> CAST(x AS INT))").as("lums"))
+        .withColumn("tot", expr("aggregate(lums, 0, (a, x) -> a + x)"))
+        .withColumn("bits",
+          expr("transform(lums, x -> CASE WHEN 64 * x > tot THEN 1 ELSE 0 END)"))
+        .select(col("doc_id"), col("bits"))
+        .localCheckpoint(true))
+    val bk = sig.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band,
+             aggregate(transform(slice(bits, b * 16 + 1, 16),
+               (x, i) -> shiftleft(x, i)), 0, (a, x) -> a + x) AS key))"""))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    cand.join(sig.as("x"), col("d1") === col("x.doc_id"))
+      .join(sig.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        expr("""aggregate(zip_with(x.bits, y.bits,
+                 (p, q) -> CASE WHEN p = q THEN 0 ELSE 1 END),
+                 0, (a, v) -> a + v)""").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** DuckDB re-derivation of [[imageDedupPhash]]: replay the (possibly
+    * shifted) scrambled pixel recipe per grid cell, then the identical
+    * bits → bands → candidates → hamming pipeline in SQL. The per-channel
+    * clamp mirrors [[phashPng]] exactly:
+    * LEAST((v·v // 256 + v) % 256 + delta, 255). */
+  def oracleDedupPhashSql(maxDist: Int = 3): String = {
+    // one channel's sampled value at grid cell t (x = (t%8)*w/8, y = (t/8)*h/8)
+    def ch(c: Int): String = {
+      val v = s"(src * 31 + ((t // 8) * h // 8) * w * 3 + ((t % 8) * w // 8) * 3 + $c)"
+      s"LEAST(($v * $v // 256 + $v) % 256 + delta, 255)"
+    }
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS src, doc_id AS out_id, 0 AS delta FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + $PhashPlantOffset, $PhashPlantDelta
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |g AS (SELECT out_id AS doc_id, src, delta,
+       |        4 + src % 13 AS w, 4 + src % 11 AS h FROM imgs),
+       |lum AS (SELECT doc_id, list_transform(range(64), t ->
+       |          CAST(${ch(0)} + ${ch(1)} + ${ch(2)} AS INT)) AS lums FROM g),
+       |sig AS (SELECT doc_id, lums, list_sum(lums) AS tot FROM lum),
+       |bits AS (SELECT doc_id, list_transform(lums,
+       |           v -> CASE WHEN 64 * v > tot THEN 1 ELSE 0 END) AS bits FROM sig),
+       |bands AS (SELECT doc_id, b, list_sum(list_transform(range(16),
+       |            i -> bits[b * 16 + i + 1] * (1 << i))) AS key
+       |          FROM bits, (VALUES (0), (1), (2), (3)) AS bb(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |         ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ham AS (SELECT d1, d2, CAST(list_sum(list_transform(range(64), i ->
+       |          CASE WHEN x.bits[i + 1] <> y.bits[i + 1] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |        FROM cand JOIN bits x ON x.doc_id = cand.d1
+       |                  JOIN bits y ON y.doc_id = cand.d2)
+       |SELECT d1, d2, hamming FROM ham WHERE hamming <= $maxDist""".stripMargin
   }
 
   /** Oracle-friendly summary: per media_type, row/byte counts and mean

@@ -192,6 +192,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PHashDecoder: 8x8 grid equals a driver-local replay of the scrambled recipe") {
+    val ids = Seq(0L, 1L, 7L, 42L, 499L)
+    val dec = new PHashDecoder
+    dec.open()
+    ids.foreach { id =>
+      val got = dec.decode("image", Multimodal.phashPng(id, 0))
+      val (w, h) = (4 + (id % 13).toInt, 4 + (id % 11).toInt)
+      def ch(pos: Long, c: Int): Long = {
+        val v = id * 31 + pos * 3 + c
+        (v * v / 256 + v) % 256
+      }
+      val want = (0 until 64).map { t =>
+        val x = (t % 8) * w / 8; val y = (t / 8) * h / 8
+        val pos = y.toLong * w + x
+        (ch(pos, 0) + ch(pos, 1) + ch(pos, 2)).toFloat
+      }
+      assert(got.toSeq == want, s"doc $id grid mismatch")
+    }
+    dec.close()
+  }
+
+  test("mm_dedup_phash: finds every planted shifted copy; reported pairs verified at hamming <= 3") {
+    val pairs = Multimodal.imageDedupPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val planted = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 7 == 0)
+      .map(id => (id, id + Multimodal.PhashPlantOffset)).toSet
+    val got = pairs.map { case (a, b, _) => (a, b) }.toSet
+    assert(planted.subsetOf(got),
+      s"missed planted pairs: ${(planted -- got).take(3)}")
+    pairs.foreach { case (a, b, ham) =>
+      assert(a < b && ham >= 0 && ham <= 3, s"bad pair ($a, $b, $ham)")
+    }
+    // the scrambled base corpus stays perceptually diverse: incidental
+    // (non-planted) collisions are a sliver, not a quadratic clique
+    assert(got.size - planted.size < nDocs / 10,
+      s"${got.size - planted.size} incidental pairs on $nDocs docs — hash degenerating")
+  }
+
   test("WavDecoder: REAL RIFF/WAVE round trip — payload is genuine WAV, decoded stats equal the recipe") {
     val ids = Seq(0L, 1L, 7L, 42L, 499L)
     ids.foreach { id =>
