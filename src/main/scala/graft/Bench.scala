@@ -21,6 +21,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A long full-GC or host-contention stall must not dismantle the
+      // session: at the 10x recording a 134 s freeze exceeded the 120 s
+      // default and HeartbeatReceiver removed the (only) local executor,
+      // unraveling the whole run. 600 s is the common large-batch cluster
+      // setting; in local mode heartbeats are intra-JVM bookkeeping only.
+      .config("spark.network.timeout", "600s")
       .withExtensions(new GraftExtensions) // custom exprs + AsOfJoinRule
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
