@@ -63,6 +63,12 @@ object SparkEntry {
     // user-journey Markov transitions: one lead() window per user,
     // outgoing share from integer counts
     "ev_transitions" -> RelationalQueries.evTransitions _,
+    // SCD2 history build: consecutive repeats collapse, versioned validity
+    // intervals closed by the next change (two per-user windows)
+    "ev_scd2" -> RelationalQueries.evScd2 _,
+    // materialized-aggregate refresh: stored base partials ∪ delta
+    // partials re-summed (exact DECIMAL merge) == full recompute
+    "q_incremental_agg" -> RelationalQueries.qIncrementalAgg _,
     // the bucketed at-rest layout driven end-to-end: write both fact sides
     // bucketed on orderkey, join with zero exchange, same values as the
     // plain-join oracle
@@ -216,6 +222,12 @@ object SparkEntry {
     // exact triangle census by degree-ordered orientation (√m-bounded
     // out-degrees); oracle re-counts via the canonical a<b<c self-join
     "graph_triangles" -> graft.graph.Triangles.tokenTriangles _,
+    // depth-bounded BFS hop distances: frontier iteration under the CC
+    // round discipline; oracle = depth-bounded recursive CTE + MIN(dist)
+    "graph_bfs" -> graft.graph.Bfs.graphBfs _,
+    // windowed co-occurrence counts + PMI: map-only fused pair generation
+    // (no positional self-join), marginals AQE-broadcast back
+    "text_window_cooc" -> ((s: SparkSession, d: String) => TextAnalysis.windowCooc(s, d)),
     // typo-tolerant vocabulary join: SymSpell delete-1 variant blocking
     // restores an equi key, exact levenshtein verifies candidates only
     "text_fuzzy_join" -> TextAnalysis.fuzzyJoin _,
@@ -238,6 +250,12 @@ object SparkEntry {
     // epoch-based upsampling (the replication half of data mixing):
     // floor(e) copies + hash-fate fractional copy, map-only explode
     "sample_epochs" -> ((s: SparkSession, d: String) => graft.sample.Sampling.epochUpsample(s, d)),
+    // token-budget selection: two-phase exact threshold (layer agg +
+    // boundary-layer residual), never the oracle's global corpus window
+    "sample_budget_select" -> ((s: SparkSession, d: String) => graft.sample.Sampling.budgetSelect(s, d)),
+    // exact stratified sampling: Hamilton largest-remainder allocation on
+    // the strata table, salted-hash in-stratum selection
+    "sample_stratified" -> ((s: SparkSession, d: String) => graft.sample.Sampling.stratifiedSample(s, d)),
     // boundary-respecting shelf packing: whole docs into budget bins via
     // the same two-phase prefix sum as pack_sequences; bins = contiguous
     // doc runs with bounded overshoot
@@ -248,6 +266,10 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => graft.sample.Packing.packSequences(s, d)),
     // dedup family
     "dedup_exact" -> Dedup.exact _,
+    // normalization-aware exact dedup (casefold + non-alnum collapse, then
+    // hash) over the planted formatting-variant corpus; same one-exchange
+    // shape as dedup_exact
+    "dedup_normalized" -> ((s: SparkSession, d: String) => Dedup.normalized(s, d)),
     // CCNet paragraph-granular dedup: first-occurrence-wins on paragraph
     // hash (planted boilerplate paragraph), cleaned doc value-hashed
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -280,6 +302,9 @@ object SparkEntry {
     // the cut-list APPLIED: corpus with every duplicated span excised —
     // per-doc token counts + the cleaned text itself
     "dedup_span_clean" -> ((s: SparkSession, d: String) => Dedup.spanClean(s, d)),
+    // asymmetric containment join (quote/excerpt detection): probe-side
+    // rarity prefix vs full-gram index, sorted-merge verify
+    "dedup_containment" -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     // per-source near-dup rate: greedy keep-first drop policy over the
     // token-jaccard pairs, aggregated per source — dedup observability
     "dedup_source_rate" -> ((s: SparkSession, d: String) => Dedup.sourceDupRate(s, d)),
@@ -319,6 +344,10 @@ object SparkEntry {
     // smallest-id seeds stand in for k-means — re-derivable in SQL), then
     // greedy min-id ε-ball pruning WITHIN clusters; no global pair graph
     "dedup_semantic" -> ((s: SparkSession, d: String) => graft.dedup.SemDedup.semanticKeep(s, d)),
+    // embedding-space decontamination: broadcast eval split, map-only
+    // cosine pass over the (planted) contaminated train split, struct-max
+    // per-train argmax; τ=0.9 isolates exactly the planted leak
+    "decontam_semantic" -> ((s: SparkSession, d: String) => graft.dedup.SemDedup.semanticDecontam(s, d)),
     // DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
     // target-vs-raw on the fixed-point micro-llr surface; top-N selection
     "sample_dsir" -> ((s: SparkSession, d: String) => graft.sample.Dsir.importanceTop(s, d)),
@@ -877,6 +906,32 @@ object SparkEntry {
             CAST(n_transitions AS DOUBLE) /
               CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS share
           FROM t""",
+    // the merge's truth is the one-pass full recompute: exact DECIMAL
+    // sums make partial-merge == recompute to the bit
+    "q_incremental_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          $revenue AS sum_revenue,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY 1, 2""",
+    // SCD2: lag marks changes (null-safe: first event always opens), lead
+    // over survivors closes intervals, +inf sentinel keeps it NULL-free
+    "ev_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+              event_id, event_type FROM events),
+          c AS (SELECT user_id, ms, event_id, event_type,
+              LAG(event_type) OVER (PARTITION BY user_id
+                ORDER BY ms, event_id) AS prev_type
+            FROM e),
+          k AS (SELECT user_id, ms, event_id, event_type FROM c
+            WHERE prev_type IS DISTINCT FROM event_type)
+          SELECT user_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ms, event_id) AS INT) AS version,
+            event_type, ms AS valid_from_ms,
+            COALESCE(LEAD(ms) OVER (PARTITION BY user_id
+              ORDER BY ms, event_id), 253402300800000) AS valid_to_ms
+          FROM k""",
     "q_bucketed_join" ->
       s"""SELECT o_orderstatus, $revenue AS revenue, COUNT(*) AS n_items
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -1235,6 +1290,18 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
+    // re-plant the formatting variants, normalize, group on the normalized
+    // hash; only groups that actually collapsed (n_docs > 1) report
+    "dedup_normalized" ->
+      s"""WITH d AS (${graft.Fixtures.caseVariantDocsSql}),
+          n AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+              md5(text) AS raw_hash
+            FROM d)
+          SELECT norm_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs,
+            COUNT(DISTINCT raw_hash) AS n_raw,
+            string_agg(doc_id, ',' ORDER BY doc_id) AS members
+          FROM n GROUP BY norm_hash HAVING COUNT(*) > 1""",
     // paragraph chunking + planted boilerplate re-derived; winner election
     // = lexicographic MIN([doc_id, para_idx]) per paragraph hash
     "dedup_paragraphs" ->
@@ -1273,6 +1340,23 @@ object SparkEntry {
             CAST(c AS DOUBLE) / sz.n AS contamination
           FROM p JOIN sz ON eval_id = sz.doc_id
           WHERE c >= 1""",
+    // containment re-derived on gram STRINGS (count parity + collision
+    // acceptance); the oracle's all-pairs gram join IS the completeness
+    // proof for the engine's prefix-filtered candidates
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                 ELSE list_distinct(list_transform(generate_series(1, len(tk)-4),
+                   i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) END AS sh FROM t),
+          w AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s WHERE len(sh) > 0),
+          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS shared
+                FROM w a JOIN w b ON a.g = b.g AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+          SELECT d1, d2, sz.n AS n_grams, shared,
+            CAST(shared AS DOUBLE) / sz.n AS containment
+          FROM p JOIN sz ON d1 = sz.doc_id
+          WHERE CAST(shared AS DOUBLE) / sz.n >= CAST(0.5 AS DOUBLE)""",
     // duplicated-span fractions re-derived on gram STRINGS (the engine
     // joins on 64-bit gram hashes — same count parity + collision
     // acceptance as decontam_overlap: per-doc gram sets are distinct)
@@ -1594,6 +1678,7 @@ object SparkEntry {
                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT d1, d2, cosine FROM p WHERE cosine >= 0.35""",
     "dedup_semantic" -> graft.dedup.SemDedup.oracleSql(),
+    "decontam_semantic" -> graft.dedup.SemDedup.decontamOracleSql(),
     "sample_dsir" -> graft.sample.Dsir.oracleSql(s => fnvFull(s)),
     // the kNN join is exact: all-pairs truth, every vector as its own query
     "sim_knn_graph" ->
@@ -1854,6 +1939,8 @@ object SparkEntry {
                FROM (SELECT a AS nd FROM und UNION SELECT b FROM und)) AS n_nodes,
             (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
             (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""",
+    "graph_bfs" -> graft.graph.Bfs.oracleSql,
+    "text_window_cooc" -> TextAnalysis.windowCoocOracleSql(),
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic
     "mm_features" ->
@@ -1955,6 +2042,46 @@ object SparkEntry {
             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS BIGINT) AS rank
           FROM b)
           SELECT doc_id, source, h, rank FROM r WHERE rank <= 10""",
+    // naive single-window truth of the engine's two-phase threshold
+    // selection: identical set by the prefix-sum/boundary-layer algebra
+    "sample_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, source, ${toks("text")} AS tk FROM documents),
+          s AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(tk)) AS BIGINT) * 1000000 // CAST(len(tk) AS BIGINT) AS score
+            FROM t WHERE len(tk) > 0),
+          b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 5 AS budget FROM s),
+          c AS (SELECT source, n_tokens,
+              SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM s)
+          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens
+          FROM c, b WHERE cum <= budget GROUP BY source""",
+    // Hamilton allocation re-derived on the strata table; in-stratum
+    // selection by the same salted-hash rank
+    "sample_stratified" ->
+      s"""WITH st AS (SELECT source, lang, COUNT(*) AS n_h FROM documents GROUP BY 1, 2),
+          t AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n_total FROM st),
+          a0 AS (SELECT source, lang, n_h, n_total, n_total // 20 AS n_sample,
+              n_h * (n_total // 20) // n_total AS base,
+              (n_h * (n_total // 20)) % n_total AS rem
+            FROM st, t),
+          bs AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM a0),
+          a AS (SELECT source, lang, n_h,
+              base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source, lang)
+                             <= n_sample - base_sum THEN 1 ELSE 0 END) AS alloc
+            FROM a0, bs),
+          r AS (SELECT doc_id, source, lang,
+              ROW_NUMBER() OVER (PARTITION BY source, lang
+                ORDER BY ${fnvFull("CAST(doc_id AS VARCHAR) || ':st'")} DESC, doc_id) AS rn
+            FROM documents),
+          p AS (SELECT r.source, r.lang, COUNT(*) AS n_picked,
+              string_agg(r.doc_id, ',' ORDER BY r.doc_id) AS members
+            FROM r JOIN a ON r.source = a.source AND r.lang = a.lang
+            WHERE r.rn <= a.alloc GROUP BY r.source, r.lang)
+          SELECT a.source, a.lang, a.n_h, a.alloc,
+            COALESCE(p.n_picked, 0) AS n_picked,
+            COALESCE(p.members, '') AS members
+          FROM a LEFT JOIN p ON a.source = p.source AND a.lang = p.lang""",
     // the windowed-cumsum twin of the engine's two-phase prefix sum
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),

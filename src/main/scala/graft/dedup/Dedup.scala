@@ -26,6 +26,38 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** NORMALIZATION-AWARE exact dedup — the "fuzzy exact" rule production
+    * crawl pipelines actually run (Dolma, FineWeb): casefold, collapse
+    * every non-alphanumeric run to one space, trim, THEN hash — so a page
+    * and its mirrored copy with different markup/caps/punctuation land in
+    * one group even though their raw bytes differ. Emits only the
+    * interesting groups (n_docs > 1): canonical keep (min doc_id), group
+    * size, how many RAW variants collapsed (n_raw > 1 proves the win over
+    * [[exact]], which scores 0 groups on this corpus), and the member list.
+    *
+    * Runs over [[graft.Fixtures.caseVariantDocs]] — the base fixture has
+    * no formatting variants, so the contract plants them deterministically
+    * (the oracle re-plants the same rows from the same parquet).
+    *
+    * Scale shape: identical to [[exact]] — normalize+hash fuse into the
+    * scan (map-only codegen), ONE map-side-combined exchange on the hash.
+    * The member list is bounded by the group size, which the plant bounds
+    * at 3; a boilerplate-heavy real corpus would cap the list with
+    * `slice` after sort (the inverted-index discipline) — the count
+    * columns, not the roster, are the dedup decision surface. */
+  def normalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    graft.Fixtures.caseVariantDocs(spark, dir)
+      .select(col("doc_id"), md5(norm).as("norm_hash"), md5(col("text")).as("raw_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_raw"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("members"))
+      .filter(col("n_docs") > 1)
+  }
+
   // ------------------------------------------------- token-set jaccard
 
   /** N-gram (unigram token-set) Jaccard near-dup pairs within
@@ -70,6 +102,61 @@ object Dedup {
     val cut = m - m / 5
     jaccardPairs(spark, dir, threshold,
       split = Some((col("doc_id") <= cut, col("doc_id") > cut)))
+  }
+
+  /** ASYMMETRIC CONTAINMENT join — find documents CONTAINED in another
+    * (C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ τ): the quote/excerpt/
+    * boilerplate-wrapper detector that symmetric Jaccard structurally
+    * misses (a 50-token excerpt inside a 5k-token page has J ≈ 0.01 but
+    * containment 1.0). Grams are the family's distinct 5-gram shingles;
+    * output is (contained d1, container d2, |A|, shared, containment).
+    *
+    * Scale shape — the PREFIX FILTER adapted to the asymmetric predicate,
+    * still lossless: C(A→B) ≥ τ means ≥ ⌈τ|A|⌉ of A's grams live in B, so
+    * if NONE of A's (|A| − ⌈τ|A|⌉ + 1) rarest grams did, the shared count
+    * would be ≤ ⌈τ|A|⌉ − 1 — contradiction. Hence only the PROBE side
+    * explodes a rarity-ordered prefix; the index side must carry every
+    * gram (the container has no size bound — that asymmetry is the whole
+    * operator), so candidate volume is Σ_prefix-gram df(g), kept linear by
+    * the same Zipf economics as the jaccard prefix (rare grams have tiny
+    * df; a corpus-wide boilerplate gram is never in anyone's rarest
+    * prefix). Verify is the allocation-free sorted-merge intersect on the
+    * (already sorted, distinct) hash arrays. Engine joins 64-bit gram
+    * hashes; the oracle re-derives on gram strings — the decontam
+    * count-parity + collision acceptance. */
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                  w: Int = 5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextHash.shingleHashesCol(
+          TextAnalysis.tokensCol(lower(col("text"))), w).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val g = docs.select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("g"))
+    // gram document frequency: groupBy (map-side combined), AQE broadcasts
+    // the Zipf-small vocabulary back — the jaccard dfreq discipline
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+    val prefixes = g.join(dfreq, Seq("g"))
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("g"))))
+      // 1e-9 slack as in the jaccard length filter: only loosens the bound
+      .filter(col("rank") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("g"), col("doc_id").as("d1"))
+    val cand = prefixes
+      .join(g.select(col("g"), col("doc_id").as("d2")), Seq("g"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).dropDuplicates("d1", "d2")
+    val arr = docs.select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
+    cand
+      .join(arr.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n_grams")), "d1")
+      .join(arr.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
+      .select(col("d1"), col("d2"), col("n_grams"),
+        graft.functions.SetOps.sortedIntersectCountCol(col("g1"), col("g2"))
+          .cast("bigint").as("shared"))
+      .select(col("d1"), col("d2"), col("n_grams").cast("bigint").as("n_grams"),
+        col("shared"),
+        (col("shared").cast("double") / col("n_grams")).as("containment"))
+      .filter(col("containment") >= lit(threshold))
   }
 
   private def jaccardPairs(spark: SparkSession, dir: String, threshold: Double,

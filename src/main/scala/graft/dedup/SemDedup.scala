@@ -97,6 +97,64 @@ object SemDedup {
         coalesce(col("dup"), lit(false)).unary_!.as("keep"))
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space twin of the n-gram
+    * [[Dedup.decontamOverlap]]: flag train vectors whose cosine to ANY
+    * held-out eval vector crosses τ (the leak class n-gram overlap misses —
+    * an eval document paraphrased or lightly reformatted into the crawl).
+    * Emits one row per train vector: its nearest eval neighbor, the rounded
+    * cosine, and the τ = 0.9 flag — the report a decontamination run
+    * reviews, not just the kill list.
+    *
+    * Runs over [[graft.Fixtures.contaminatedTrainVecs]]: the fixture's own
+    * train↔eval cosines top out at ≈ 0.45, so the contract plants the
+    * contamination regime deterministically (perturbed eval copies at
+    * cosine ≈ 0.95); exactly the planted rows flag.
+    *
+    * Scale shape: the eval side is a BENCHMARK SUITE — constant-sized by
+    * nature — so it broadcasts and the whole operator is ONE map-side pass
+    * over train (|eval| fused codegen cosines per row) followed by a
+    * map-side-combinable struct-max agg per train id: no corpus-sized
+    * window, no shuffle beyond the final per-train agg (which AQE coalesces
+    * to the train row count). At a multi-million-row eval suite the
+    * documented cutover is IVF: assign both sides under the frozen codebook
+    * and score only shared lists ([[graft.sim.Similarity.knnGraphPrunedSweep]]'s
+    * machinery). */
+  def semanticDecontam(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    val ev = graft.Fixtures.evalVecs(spark, dir)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    val tr = graft.Fixtures.contaminatedTrainVecs(spark, dir)
+      .select(col("vec_id").as("train_id"), col("embedding").as("te"))
+    tr.crossJoin(broadcast(ev))
+      .select(col("train_id"), col("eval_id"),
+        graft.functions.VecOps.cosine6Col(col("te"), col("ee")).as("cosine"))
+      // per-train argmax as ONE struct-max agg (map-side combinable; the
+      // window form would shuffle train×|eval| rows): highest rounded
+      // cosine, ties to the SMALLER eval_id via the negated second field
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval"))).as("m"))
+      .select(col("train_id"), (-col("m.neg_eval")).as("eval_id"),
+        col("m.cosine").as("cosine"),
+        (col("m.cosine") >= lit(threshold)).as("flagged"))
+  }
+
+  /** DuckDB re-derivation of [[semanticDecontam]] (τ = 0.9): re-plant the
+    * contaminated train split from the parquet, cross-score against the
+    * eval split, rank on the SAME rounded cosine with the eval-id
+    * tie-break. */
+  def decontamOracleSql(threshold: Double = 0.9): String =
+    s"""WITH ${graft.Fixtures.contamCtesSql},
+       |c AS (SELECT train_id, eval_id,
+       |        ROUND(list_inner_product(te, ee) /
+       |          sqrt(list_inner_product(te, te) * list_inner_product(ee, ee)), 6) AS cosine
+       |      FROM tr CROSS JOIN ev),
+       |r AS (SELECT train_id, eval_id, cosine,
+       |        row_number() OVER (PARTITION BY train_id ORDER BY cosine DESC, eval_id) AS rn
+       |      FROM c)
+       |SELECT train_id, eval_id, cosine,
+       |  (cosine >= CAST($threshold AS DOUBLE)) AS flagged
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** DuckDB re-derivation of [[semanticKeep]] (k=8, τ=0.35): seeds from
     * `ORDER BY vec_id LIMIT 8`, nearest-seed by the rounded cosine with the
     * seed-id tie-break, intra-cluster pairs, greedy min-id keep. */

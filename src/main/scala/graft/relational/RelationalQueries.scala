@@ -1104,6 +1104,80 @@ object RelationalQueries {
       .select(col("from_type"), col("to_type"), col("n_transitions"), col("share"))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — keep a materialized aggregate
+    * current under an arriving batch WITHOUT rescanning the base corpus:
+    * the base partition's pricing summary is aggregated once and STORED
+    * (the materialized view); the delta batch (every 97th order — standing
+    * in for a late-arriving ingest partition) is aggregated alone; the
+    * refresh merges the two group-level partials. Summable state makes the
+    * merge exact: DECIMAL sums re-sum (associative — the reason the money
+    * contract is decimal, not double), counts add, and the oracle's
+    * full-recompute over base ∪ delta must agree to the bit.
+    *
+    * The 100 TB economics this demonstrates: a full-corpus rollup costs a
+    * corpus scan per refresh; the merge costs ONE delta scan plus a
+    * groups-sized parquet read (here literally a few rows). In-query the
+    * base build is paid once so the oracle can check the whole lifecycle —
+    * the [[qBucketedJoin]] amortized-ingest stance; a production pipeline
+    * would refresh against yesterday's stored view. Same per-session
+    * deterministic path + JVM-exit cleanup as the bucketed layout. */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev_dec"),
+        count(lit(1)).as("count_order"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val isDelta = col("l_orderkey") % 97 === 0
+    val mv = s"${System.getProperty("java.io.tmpdir")}/graft_mv_${spark.sparkContext.applicationId}"
+    registerCleanup(mv)
+    partials(li.filter(!isDelta)).write.mode("overwrite").parquet(mv)
+    // the refresh: stored view (groups-sized) ∪ delta partials, re-summed
+    spark.read.parquet(mv).unionByName(partials(li.filter(isDelta)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty_dec")).as("q"), sum(col("rev_dec")).as("r"),
+        sum(col("count_order")).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("q").cast("double").as("sum_qty"),
+        col("r").cast("double").as("sum_revenue"), col("count_order"))
+  }
+
+  /** SLOWLY-CHANGING-DIMENSION (type 2) history build — turn each user's
+    * event stream into versioned validity intervals of their current
+    * event_type: consecutive repeats collapse (an SCD2 row records a
+    * CHANGE, not an occurrence), each surviving change opens an interval
+    * [valid_from, valid_to) closed by the next change (the last one runs
+    * to the +∞ sentinel 253402300800000 ms = year 9999 — a NULL-free
+    * boundary both engines carry as exact BIGINT). The standard
+    * warehouse maintenance op: the dimension a fact table joins by
+    * `valid_from <= ts < valid_to` (the [[evRangeJoin]] shape) to answer
+    * "what was this user's state WHEN the fact happened".
+    *
+    * Scale shape: two per-user windows (lag to mark changes, lead +
+    * row_number over survivors to close intervals and number versions) —
+    * both partitioned by user_id, so one exchange on the user key and
+    * bounded per-group sorts; no global window, no corpus-sized state.
+    * Unique (ms, event_id) ordering makes every interval engine-
+    * deterministic. */
+  def evScd2(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), Tables.eventMs.as("ms"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wAll))
+      // null-safe change test: the first event (prev NULL) always opens
+      .filter(!(col("prev_type") <=> col("event_type")))
+    val wKept = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    changes
+      .withColumn("valid_to_ms",
+        coalesce(lead(col("ms"), 1).over(wKept), lit(253402300800000L)))
+      .withColumn("version", row_number().over(wKept))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ms").as("valid_from_ms"), col("valid_to_ms"))
+  }
+
   /** TPC-H Q18 (large-volume orders): customers whose order's total line
     * quantity exceeds a threshold — the aggregate-HAVING-subquery shape.
     *

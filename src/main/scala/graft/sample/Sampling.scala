@@ -167,6 +167,128 @@ object Sampling {
       .withColumn("epochs", round(col("budget_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /** TOKEN-BUDGET SELECTION — "keep the best documents that fit a token
+    * budget": rank by an integer quality score, take documents in
+    * (score desc, doc_id) order while cumulative tokens fit B = ⌊total/5⌋
+    * (data selection under a compute budget — the step after quality
+    * scoring in every curated-pretraining recipe). The score here is
+    * lexical diversity in exact integer parts-per-million
+    * (distinct_tokens·10⁶ DIV tokens) so both engines rank identically
+    * with no float anywhere.
+    *
+    * Scale shape — the oracle's naive form is a GLOBAL window over the
+    * corpus (one task sorts 100 TB: non-plan). The engine instead runs the
+    * classic TWO-PHASE exact selection:
+    *   1. aggregate tokens per score value — corpus → ≤10⁶-row layer
+    *      table (score is ppm-granular), map-side combined;
+    *   2. cumulative-sum the LAYER table (tiny global window), find the
+    *      boundary layer s* and its residual budget;
+    *   3. map-only: keep score > s* outright; rank only the s* layer's
+    *      docs by doc_id for the residual.
+    * Only step 3's boundary-layer window touches per-doc rows, and only
+    * for ONE score layer (~corpus/10⁶ under the ppm granularity; a
+    * degenerate constant-score corpus would recurse the same trick on a
+    * doc_id sub-key — documented, not needed at any tested sf). Two corpus
+    * scans total (layer agg + selection), both column-pruned to 4 narrow
+    * fields. Output is the per-source audit of the selected set. */
+  def budgetSelect(spark: SparkSession, dir: String, budgetFrac: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextAnalysis.tokensCol(col("text"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_dist"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("n_dist * 1000000 DIV n_tokens").as("score"))
+    val layers = perDoc.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("layer_tokens"))
+    // budget and cumsum live on the LAYER table (≤ 10^6 rows at any
+    // corpus size): the global window here is over that aggregate, never
+    // the corpus (the temperatureMixture discipline)
+    val wc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = layers.agg(sum(col("layer_tokens")).as("t"))
+      .select(expr(s"t DIV $budgetFrac").as("budget"))
+    val thr = layers.withColumn("cum", sum(col("layer_tokens")).over(wc))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") > col("budget") &&
+        col("cum") - col("layer_tokens") <= col("budget"))
+      .select(col("score").as("thr_score"),
+        (col("budget") - (col("cum") - col("layer_tokens"))).as("layer_budget"))
+    val withThr = perDoc.crossJoin(broadcast(thr)) // thr: exactly one row
+    val full = withThr.filter(col("score") > col("thr_score"))
+    // boundary layer only: one ppm score stratum of the corpus
+    val wl = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = withThr.filter(col("score") === col("thr_score"))
+      .withColumn("lcum", sum(col("n_tokens")).over(wl))
+      .filter(col("lcum") <= col("layer_budget"))
+    full.select(col("source"), col("n_tokens"))
+      .unionAll(boundary.select(col("source"), col("n_tokens")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sel_tokens"))
+  }
+
+  /** EXACT STRATIFIED SAMPLING — proportional allocation over
+    * (source, lang) strata with LARGEST-REMAINDER (Hamilton) rounding, so
+    * the per-stratum counts sum to EXACTLY n = ⌊N/20⌋ and every value is
+    * integer-derivable by an independent engine (Neyman/proportional
+    * allocation is how a 100 TB corpus gets an audit sample whose strata
+    * mirror the corpus — `mixture`'s hash fates keep rows independently
+    * and can't hit exact counts). Selection within a stratum is the
+    * house salted-hash fate (top-alloc by fnv32(doc_id:st), ties to the
+    * smaller doc_id): reproducible, engine-independent, and stable under
+    * corpus growth. Emits the per-stratum audit row: population, exact
+    * allocation, picked count (== allocation by construction — the
+    * Hamilton bound base+1 ≤ N_h makes over-allocation impossible), and
+    * the picked ids.
+    *
+    * Scale shape: stratum stats and the Hamilton ranking live on the
+    * strata-sized table (sources × langs — broadcast-sized by nature);
+    * per-doc work is one fused hash projection and one per-stratum
+    * row_number window (per-key, shuffle on the stratum key; at skewed
+    * stratum sizes the TopKPerKey heap operator is the documented
+    * cutover, as in [[sourceCap]] — varying k per stratum is why the
+    * window form ships here). */
+  def stratifiedSample(spark: SparkSession, dir: String, frac: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val strata = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_h"))
+    val tot = strata.agg(sum(col("n_h")).as("n_total"))
+    val a0 = strata.crossJoin(broadcast(tot))
+      .withColumn("n_sample", expr(s"n_total DIV $frac"))
+      .withColumn("base", expr("n_h * n_sample DIV n_total"))
+      .withColumn("rem", expr("(n_h * n_sample) % n_total"))
+    val baseSum = a0.agg(sum(col("base")).as("base_sum"))
+    // Hamilton top-up: the (n_sample − Σbase) strata with the largest
+    // remainders get +1, ties by stratum key — a row_number over the
+    // strata-sized frame (tiny global window, never per-doc)
+    val wr = Window.orderBy(col("rem").desc, col("source"), col("lang"))
+    val alloc = a0.crossJoin(broadcast(baseSum))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("n_sample") - col("base_sum"), 1L).otherwise(0L))
+      .select(col("source"), col("lang"), col("n_h"), col("alloc"))
+    val ws = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("h").desc, col("doc_id"))
+    val picked = docs
+      .withColumn("h", Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":st"))))
+      .withColumn("rn", row_number().over(ws))
+      .join(broadcast(alloc.select(col("source"), col("lang"), col("alloc"))),
+        Seq("source", "lang"))
+      .filter(col("rn") <= col("alloc"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_picked"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string"))).as("members"))
+    alloc.join(picked, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("n_h"), col("alloc"),
+        coalesce(col("n_picked"), lit(0L)).as("n_picked"),
+        coalesce(col("members"), lit("")).as("members"))
+  }
+
   /** EPOCH-BASED UPSAMPLING — the replication half of data mixing that
     * `mixture`/`temperatureMixture` (keep/drop) cannot express: a data
     * recipe assigns each source an epoch factor e ≥ 1 (possibly

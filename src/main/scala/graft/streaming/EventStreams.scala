@@ -173,6 +173,43 @@ object EventStreams {
       }
   }
 
+  final case class Scd2State(last_type: String, since_ms: Long, version: Int)
+  final case class Scd2Row(user_id: Long, version: Int, event_type: String,
+                           valid_from_ms: Long, valid_to_ms: Long)
+
+  /** Streaming twin of [[graft.relational.RelationalQueries.evScd2]]: the
+    * SCD2 history built ON ARRIVAL — per-user state carries the OPEN
+    * interval (current type, its start, its version); an arriving CHANGE
+    * closes the previous interval (emitting the finished SCD2 row — the
+    * natural Append-mode contract: a closed interval is immutable) and
+    * opens the next. Repeats fold into the open state and emit nothing,
+    * exactly the batch collapse rule. State is one tiny row per user
+    * forever — the transitionsStream economics; the open interval itself
+    * never emits (batch's sentinel-closed last row), which is the honest
+    * streaming semantics: you can't publish an interval that is still
+    * being lived. Parity: streamed rows == batch rows minus each user's
+    * sentinel row (spec-pinned, micro-batch-boundary-spanning). */
+  def scd2Stream(events: Dataset[TransIn]): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TransIn], state: GroupState[Scd2State]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          rows.toArray.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (st == null) st = Scd2State(e.event_type, e.ms, 1)
+            else if (st.last_type != e.event_type) {
+              out += Scd2Row(user, st.version, st.last_type, st.since_ms, e.ms)
+              st = Scd2State(e.event_type, e.ms, st.version + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   final case class FunIn(user_id: Long, event_type: String, ms: Long,
                          ts_ts: java.sql.Timestamp)
   final case class FunnelState(view: Long, click: Long, purchase: Long,

@@ -549,6 +549,67 @@ object TextAnalysis {
         col("word").as("match_word"), col("dist"))
   }
 
+  /** WINDOWED CO-OCCURRENCE + PMI — the association statistics a
+    * distributional pipeline extracts before training embeddings (GloVe's
+    * co-occurrence pass; PMI per Church & Hanks 1990): for every unordered
+    * token pair co-occurring within a 3-token window, its count and
+    * pointwise mutual information ln(c_xy·N / (c_x·c_y)), N the corpus
+    * token count. Only pairs with c_xy ≥ 5 report (the standard sparsity
+    * cut — and what keeps the output vocabulary²-bounded in practice).
+    *
+    * Scale shape: pair generation is MAP-ONLY — a fused flatten/transform
+    * over each doc's token array emits its ≤ w·|doc| window pairs with no
+    * positional self-join (the textrankEdges device; a position self-join
+    * shuffles the exploded corpus twice). One map-side-combined exchange
+    * counts pairs, one counts tokens; marginals join back AQE-broadcast
+    * (vocabulary-sized). The PMI double is a product/ratio of exact
+    * integer-valued doubles (< 2^53), rounded 6 — the ln acceptance.
+    * Orientation (least, greatest) halves the pair space. */
+  def windowCooc(spark: SparkSession, dir: String, w: Int = 3,
+                 minCount: Long = 5L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(tokensCol(lower(col("text"))).as("t"))
+    val toksE = docs.select(explode(col("t")).as("tok"))
+    val cx = toksE.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTot = toksE.agg(count(lit(1)).as("n_tok"))
+    val pairs = docs.select(explode(expr(
+      s"""flatten(transform(
+            CASE WHEN size(t) >= 2 THEN sequence(0, size(t) - 2) ELSE array() END,
+            i -> transform(sequence(i + 1, least(i + $w, size(t) - 1)),
+              j -> struct(least(t[i], t[j]) AS w1, greatest(t[i], t[j]) AS w2))))""")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .join(cx.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(cx.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy").cast("double") * col("n_tok").cast("double")) /
+          (col("c_x").cast("double") * col("c_y").cast("double"))), 6).as("pmi"))
+  }
+
+  /** DuckDB re-derivation of [[windowCooc]] — the positional self-join
+    * truth of the engine's map-only pair generation. */
+  def windowCoocOracleSql(w: Int = 3, minCount: Long = 5L): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok),
+       |cx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       |pr AS (SELECT LEAST(a.tok, b.tok) AS w1, GREATEST(a.tok, b.tok) AS w2
+       |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+       |         AND b.i > a.i AND b.i <= a.i + $w
+       |       WHERE a.tok <> b.tok),
+       |cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM pr
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= $minCount)
+       |SELECT cxy.w1, cxy.w2, cxy.c_xy,
+       |  ROUND(ln((CAST(cxy.c_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) /
+       |    (CAST(cx1.c AS DOUBLE) * CAST(cx2.c AS DOUBLE))), 6) AS pmi
+       |FROM cxy JOIN cx cx1 ON cxy.w1 = cx1.tok
+       |  JOIN cx cx2 ON cxy.w2 = cx2.tok, n""".stripMargin
+
   /** DuckDB re-derivation of [[chunks]] (64-token windows, 16 overlap). */
   def chunksOracleSql(chunkTokens: Int = 64, overlap: Int = 16): String = {
     val stride = chunkTokens - overlap

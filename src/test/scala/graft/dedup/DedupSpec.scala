@@ -403,4 +403,50 @@ class DedupSpec extends AnyFunSuite {
     // uniquely: total kept == number of distinct paragraphs corpus-wide
     assert(out.values.forall { case (n, k) => k <= n && k >= 0 })
   }
+
+  test("dedup_containment prefix filter is lossless vs the naive all-gram join") {
+    import org.apache.spark.sql.functions._
+    // naive truth: full gram self-join (the oracle's shape), hash-space
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextHash.shingleHashesCol(
+          graft.text.TextAnalysis.tokensCol(lower(col("text"))), 5).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val g = docs.select(col("doc_id"), size(col("gs")).cast("bigint").as("n"),
+      explode(col("gs")).as("g"))
+    val naive = g.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
+      .join(g.select(col("doc_id").as("d2"), col("g")), Seq("g"))
+      .filter(col("d1") =!= col("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / col("n1") >= 0.5)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got.map(t => (t._1, t._2)).toSet == naive,
+      s"prefix filter lost/invented pairs: got ${got.size}, naive ${naive.size}")
+    // every reported pair satisfies its own predicate with exact counts
+    got.foreach { case (d1, d2, n, shared) =>
+      assert(shared <= n && shared * 2 >= n, s"($d1,$d2) fails containment arithmetic")
+    }
+  }
+
+  test("dedup_normalized collapses the formatting variants raw hashing misses") {
+    val docs = graft.Tables.documents(spark, sf)
+    // raw-exact dedup sees nothing on this corpus
+    val exactGroups = Dedup.exact(spark, sf).filter(col("n_dups") > 1).count()
+    assert(exactGroups == 0, "fixture unexpectedly grew raw exact dups")
+    val groups = Dedup.normalized(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val nUpper = docs.filter(col("doc_id") % 40 === 0).count()
+    val nPunct = docs.filter(col("doc_id") % 40 === 20).count()
+    assert(groups.length == nUpper + nPunct, "one group per planted variant")
+    groups.foreach { case (keepId, nDocs, nRaw, members) =>
+      assert(nDocs == 2 && nRaw == 2, s"group $keepId not a {base, variant} pair")
+      val ids = members.split(',').map(_.toLong)
+      assert(ids.head == keepId, "canonical keep must lead the sorted roster")
+      assert(ids(1) == keepId + 10000000L || ids(1) == keepId + 20000000L,
+        s"group $keepId pairs unrelated docs: $members")
+    }
+  }
 }

@@ -65,4 +65,27 @@ class SemDedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan:\n${plan.take(1500)}")
     assert(plan.contains("BroadcastHashJoin"), "seed-id mapping should broadcast")
   }
+
+  test("decontam_semantic flags exactly the planted leaks, one row per train vector") {
+    val rows = SemDedup.semanticDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val base = graft.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val evalIds = base.filter(_ % 50 == 0)
+    val trainIds = (base -- evalIds) ++ evalIds.map(_ + 2000000L)
+    assert(rows.map(_._1).toSet == trainIds, "one report row per train vector")
+    val flagged = rows.filter(_._4)
+    assert(flagged.map(_._1).toSet == evalIds.map(_ + 2000000L),
+      "flagged set must be exactly the planted copies")
+    // each plant's nearest eval IS its source, in the designed cosine band
+    flagged.foreach { case (tid, eid, cos, _) =>
+      assert(eid == tid - 2000000L, s"plant $tid matched wrong eval $eid")
+      assert(cos > 0.93 && cos < 0.99, s"plant cosine $cos outside the designed band")
+    }
+    // the clean fixture stays far below the flag threshold
+    rows.filterNot(_._4).foreach { case (tid, _, cos, _) =>
+      assert(cos < 0.6, s"natural train $tid suspiciously close to eval: $cos")
+    }
+  }
 }

@@ -41,6 +41,48 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_budget_select two-phase == naive global-window selection") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // naive truth: one global window over the per-doc frame (fine at spec
+    // scale; the operator exists precisely to avoid this shape at 100 TB)
+    val toks = graft.text.TextAnalysis.tokensCol(col("text"))
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_dist"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("n_dist * 1000000 DIV n_tokens").as("score"))
+    val budget = perDoc.agg(expr("sum(n_tokens) DIV 5").as("b")).head().getLong(0)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = perDoc.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sel_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twoPhase = Sampling.budgetSelect(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase == naive, s"two-phase $twoPhase != naive $naive")
+    // and the selection genuinely fits the budget
+    assert(twoPhase.toSeq.map(_._3).sum <= budget)
+  }
+
+  test("sample_stratified: Hamilton allocation is exact and fully picked") {
+    val rows = Sampling.stratifiedSample(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count() / 20
+    assert(rows.map(_.getLong(3)).sum == n, s"sum(alloc) != $n")
+    rows.foreach { r =>
+      val (nh, alloc, picked, members) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      assert(alloc <= nh, s"stratum ${r.getString(0)}/${r.getString(1)} over-allocated")
+      assert(picked == alloc, "picked != alloc")
+      val ids = if (members.isEmpty) Array.empty[String] else members.split(',')
+      assert(ids.length == picked, "member roster disagrees with n_picked")
+    }
+  }
+
   test("salted buckets are independent across salts") {
     import org.apache.spark.sql.functions._
     val b = graft.Tables.documents(spark, sf).select(

@@ -227,6 +227,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming SCD2 (closed intervals on arrival, cross-batch) equals batch minus open rows") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("scdin").toString
+    val out = java.nio.file.Files.createTempDirectory("scdout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scdckpt").toString
+    val real = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), graft.Tables.eventMs.as("ms"), col("event_id"))
+      .as[EventStreams.TransIn].collect().sortBy(e => (e.ms, e.event_id))
+    // time-sliced files: intervals that OPEN in one micro-batch and CLOSE
+    // in a later one must come from carried state
+    val cuts = Seq(real.length / 3, 2 * real.length / 3).map(i => real(i).ms)
+    Seq(
+      real.filter(_.ms < cuts(0)),
+      real.filter(e => e.ms >= cuts(0) && e.ms < cuts(1)),
+      real.filter(_.ms >= cuts(1))
+    ).zipWithIndex.foreach { case (slice, i) =>
+      slice.toSeq.toDS().coalesce(1).write.parquet(s"$in/f$i")
+    }
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.TransIn].schema
+    val q = EventStreams.scd2Stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/f*").as[EventStreams.TransIn]).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // batch truth minus each user's open (sentinel-closed) interval
+    val batch = graft.relational.RelationalQueries.evScd2(spark, sf)
+      .filter(col("valid_to_ms") =!= 253402300800000L).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming funnel (flatMapGroupsWithState + event-time timeout) equals batch") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("funin").toString
