@@ -74,7 +74,13 @@ object Bench {
     // "value" sits LAST so the total always survives) and the COMMITTED
     // artifact below is the authoritative per-query record. BENCH_LOCAL
     // .json stays the gitignored scratch mirror for local A/B archaeology.
-    for (p <- Seq("BENCH_LOCAL.json", "BENCH_FULL.json"))
+    // BENCH_FULL.json is the committed sf0.1 full-set recording — a gate's
+    // sf0.001 smoke or a subset/10× A/B must NOT clobber it (it did,
+    // twice), so it is written only when this run IS that contract.
+    val artifactPaths =
+      if (only.isEmpty && sfName == "sf0.1") Seq("BENCH_LOCAL.json", "BENCH_FULL.json")
+      else Seq("BENCH_LOCAL.json")
+    for (p <- artifactPaths)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8")
       ) catch { case _: Throwable => () }

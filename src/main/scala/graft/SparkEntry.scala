@@ -58,6 +58,23 @@ object SparkEntry {
     "q22_idle_customers" -> RelationalQueries.q22IdleCustomers _,
     // aggregate-vs-its-own-max: one fact scan, max joined back broadcast (Q15)
     "q15_top_supplier" -> RelationalQueries.q15TopSupplier _,
+    // correlated EXISTS → one LEFT SEMI hash join co-keyed on orderkey (Q4)
+    "q4_order_priority" -> RelationalQueries.q4OrderPriority _,
+    // national market share: all dims broadcast, one fact-fact shuffle (Q8)
+    "q8_market_share" -> RelationalQueries.q8MarketShare _,
+    // profit per supplier nation per year; retail price stands in for
+    // supply cost (no partsupp in the fixture) (Q9)
+    "q9_profit_by_nation" -> RelationalQueries.q9ProfitByNation _,
+    // top-20 return-loss customers: exact-decimal ordering + tiebreak (Q10)
+    "q10_returned_items" -> RelationalQueries.q10ReturnedItems _,
+    // HAVING-vs-global-scalar: per-part value vs broadcast corpus total (Q11)
+    "q11_important_parts" -> RelationalQueries.q11ImportantParts _,
+    // order-count histogram incl. zero: fact collapsed BEFORE the join (Q13)
+    "q13_customer_distribution" -> RelationalQueries.q13CustomerDistribution _,
+    // below-fifth-of-average predicate in pure BIGINT centiunits (Q17)
+    "q17_small_qty_revenue" -> RelationalQueries.q17SmallQtyRevenue _,
+    // aggregated-subquery semi-join: shipped-quantity HAVING per supplier (Q20)
+    "q20_promo_suppliers" -> RelationalQueries.q20PromoSuppliers _,
     // distinct-count per dim bucket with a broadcast anti-join exclusion (Q16)
     "q16_supplier_counts" -> RelationalQueries.q16SupplierCounts _,
     // user-journey Markov transitions: one lead() window per user,
@@ -66,6 +83,12 @@ object SparkEntry {
     // SCD2 history build: consecutive repeats collapse, versioned validity
     // intervals closed by the next change (two per-user windows)
     "ev_scd2" -> RelationalQueries.evScd2 _,
+    // CDC MERGE-apply: last-writer-wins snapshot with tombstones via ONE
+    // map-side-combining struct-max argmax — no per-key window over the log
+    "q_cdc_apply" -> RelationalQueries.qCdcApply _,
+    // last/first-touch purchase attribution: running integer extrema over
+    // the packed (ms,event_id) composite — never a purchases⋈clicks join
+    "ev_attribution" -> ((s: SparkSession, d: String) => RelationalQueries.evAttribution(s, d)),
     // materialized-aggregate refresh: stored base partials ∪ delta
     // partials re-summed (exact DECIMAL merge) == full recompute
     "q_incremental_agg" -> RelationalQueries.qIncrementalAgg _,
@@ -247,6 +270,9 @@ object SparkEntry {
     // exchange to a sources-sized table, broadcast grand total, rounded-share
     // integer budget contract
     "sample_temperature" -> ((s: SparkSession, d: String) => graft.sample.Sampling.temperatureMixture(s, d)),
+    // BM25 ∪ dense cosine lists fused by reciprocal-rank (1/(60+r)) — the
+    // zero-tuning hybrid-retrieval standard; ranks only, never raw scores
+    "sim_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.sim.Similarity.hybridRrf(s, d)),
     // epoch-based upsampling (the replication half of data mixing):
     // floor(e) copies + hash-fate fractional copy, map-only explode
     "sample_epochs" -> ((s: SparkSession, d: String) => graft.sample.Sampling.epochUpsample(s, d)),
@@ -893,6 +919,137 @@ object SparkEntry {
          WHERE p_brand <> 'Brand#15' AND p_size IN (1, 5, 9, 13)
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
          GROUP BY 1, 2, 3""",
+    "ev_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+              epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id AS ord
+            FROM events),
+          w AS (SELECT user_id, event_type, value, ord,
+              MAX(CASE WHEN event_type = 'click' THEN ord END) OVER
+                (PARTITION BY user_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lco,
+              MIN(CASE WHEN event_type = 'click' THEN ord END) OVER
+                (PARTITION BY user_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fco
+            FROM e)
+        SELECT user_id, CAST(ord % 1000000 AS BIGINT) AS purchase_id,
+          CAST(ord // 1000000 AS BIGINT) AS purchase_ms, value,
+          CAST(lco % 1000000 AS BIGINT) AS click_id,
+          CAST(lco // 1000000 AS BIGINT) AS click_ms,
+          CAST(ord // 1000000 - lco // 1000000 AS BIGINT) AS gap_ms,
+          COALESCE(ord // 1000000 - lco // 1000000 <= 604800000, FALSE) AS attributed,
+          CAST(fco % 1000000 AS BIGINT) AS first_click_id
+        FROM w WHERE event_type = 'purchase'""",
+    // CDC truth is the per-key last row by (ms, event_id): tombstoned keys
+    // drop, count is the full log depth per key
+    "q_cdc_apply" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id,
+              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+            FROM events),
+          r AS (SELECT user_id, ms, op, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ms DESC, event_id DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM e)
+        SELECT user_id, value AS last_value, ms AS last_ms,
+          CAST(cnt AS BIGINT) AS n_changes
+        FROM r WHERE rn = 1 AND op = 'U'""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <= TIMESTAMP '1997-12-31'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q8_market_share" ->
+      """WITH j AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+            CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+            sn.n_name AS supp_nation
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey AND cn.n_regionkey = 2
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        SELECT o_year,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+          CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        FROM j GROUP BY 1""",
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            - CAST(p_retailprice AS DECIMAL(18,2)) *
+              CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2""",
+    "q10_returned_items" ->
+      """WITH g AS (
+          SELECT c_custkey, c_name, n_name, c_acctbal,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o_orderdate < TIMESTAMP '1998-07-01'
+          GROUP BY 1, 2, 3, 4)
+        SELECT c_custkey, c_name, n_name, c_acctbal,
+          CAST(rev_dec AS DOUBLE) AS revenue
+        FROM g ORDER BY rev_dec DESC, c_custkey LIMIT 20""",
+    // the share compare is double-vs-double ON PURPOSE: both engines divide
+    // the same two exact-decimal bit patterns, so the quotient (and the
+    // comparison) is identical — while decimal·decimal at this precision
+    // overflows the 38-digit cap engine-dependently
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val_dec
+          FROM lineitem GROUP BY 1),
+         t AS (SELECT SUM(val_dec) AS tot_dec FROM v)
+        SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value,
+          CAST(val_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS part_share
+        FROM v, t
+        WHERE CAST(val_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) > CAST(0.0006 AS DOUBLE)""",
+    "q13_customer_distribution" ->
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+            WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        SELECT COALESCE(n, 0) AS c_count, COUNT(*) AS custdist
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        GROUP BY 1""",
+    // quantity carried as exact integer centiunits so the fifth-of-average
+    // predicate (5·qty·n < s) is pure BIGINT — no float ever exists
+    "q17_small_qty_revenue" ->
+      """WITH a AS (SELECT l_partkey AS pk,
+            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey JOIN a ON l_partkey = pk
+        WHERE p_brand = 'Brand#23'
+          AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * 5 * n < s""",
+    "q20_promo_suppliers" ->
+      """WITH q AS (SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%' GROUP BY 1)
+        SELECT s_suppkey, s_name, s_acctbal, CAST(tq AS DOUBLE) AS shipped_qty
+        FROM supplier JOIN q ON s_suppkey = l_suppkey
+        WHERE tq > CAST(2200 AS DECIMAL(18,2))""",
     "ev_transitions" ->
       """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
               event_id, event_type FROM events),
@@ -1719,6 +1876,7 @@ object SparkEntry {
                FROM c)
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10""",
+    "sim_hybrid_rrf" -> graft.sim.Similarity.hybridRrfOracleSql(),
     "sim_topk_mmr" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_topk_mmr_ivf" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_hard_negatives" ->

@@ -1256,4 +1256,281 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_custs"),
         sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
   }
+  /** Touch ATTRIBUTION over the event stream (the marketing-analytics
+    * staple): every purchase is credited to the user's LAST preceding
+    * click (last-touch, 7-day lookback) and FIRST click ever
+    * (first-touch). The "preceding click" is a running MAX/MIN over the
+    * packed (ms·10⁶ + event_id) BIGINT — the [[evOhlc]] injective
+    * composite, same loud overflow guard — so the whole attribution is
+    * ONE user-partitioned window of integer extrema: no purchases⋈clicks
+    * self-join, no per-purchase rescans, and the window order is total,
+    * so both engines agree to the bit. At 100 TB this is a single
+    * user-hash exchange; the alternative (range self-join) would shuffle
+    * clicks once per purchase. */
+  def evAttribution(spark: SparkSession, dir: String,
+                    lookbackMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    val ms = Tables.eventMs
+    val guardedId = when(col("event_id") >= 1000000L,
+      raise_error(lit("evAttribution ord overflow: event_id >= 1e6 breaks " +
+        "the ms*1e6+event_id composite — widen the multiplier")))
+      .otherwise(col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickOrd = when(col("event_type") === "click", col("ord"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (ms * 1000000L + guardedId).as("ord"))
+      .withColumn("lco", max(clickOrd).over(w))
+      .withColumn("fco", min(clickOrd).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("ord % 1000000").as("purchase_id"),
+        expr("ord DIV 1000000").as("purchase_ms"),
+        col("value"),
+        expr("lco % 1000000").as("click_id"),
+        expr("lco DIV 1000000").as("click_ms"),
+        expr("(ord DIV 1000000) - (lco DIV 1000000)").as("gap_ms"),
+        coalesce(expr("(ord DIV 1000000) - (lco DIV 1000000)") <= lookbackMs,
+          lit(false)).as("attributed"),
+        expr("fco % 1000000").as("first_click_id"))
+  }
+
+  /** CDC MERGE-apply (the lakehouse `MERGE INTO` compaction): a keyed
+    * change log — every event upserts `value` for its user; 'error' events
+    * are deletes — collapsed to the last-writer-wins snapshot. ONE
+    * exchange: `groupBy(user)` with a `max(struct(seq…))` argmax (the
+    * struct-max device), so the log collapses MAP-SIDE exactly like a
+    * count would — never a per-key window or a sort of the full log, the
+    * shapes that break at a 100 TB change stream. Deletes ride the same
+    * max and suppress the row at the end: an order-correct tombstone
+    * (a late upsert under the delete's seq stays dead). */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir).select(
+      col("user_id"), Tables.eventMs.as("ms"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("value"))
+    log.groupBy(col("user_id"))
+      .agg(max(struct(col("ms"), col("event_id"), col("op"), col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") === "U") // tombstoned keys vanish from the snapshot
+      .select(col("user_id"), col("last.value").as("last_value"),
+        col("last.ms").as("last_ms"), col("n_changes"))
+  }
+
+  // ---- TPC-H tail batch (round 11): Q4, Q8, Q9, Q10, Q11, Q13, Q17, Q20 ----
+
+  /** TPC-H Q4 (order priority checking). The fixture carries no
+    * commit/receipt dates, so "late" is a line shipped more than 60 days
+    * after its order date — the same correlated-EXISTS shape as the spec's
+    * l_commitdate < l_receiptdate. The date filter is pushed to the orders
+    * scan; the EXISTS becomes one LEFT SEMI hash join co-keyed on orderkey
+    * (the compound condition carries o_orderdate into the probe), so at
+    * 100 TB both sides shuffle once on the same key and the semi join stops
+    * at the first matching line — no row explosion, no second scan. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1997-12-31").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q8 (national market share): among STANDARD-part purchases by
+    * ASIA-region customers, NATION_2's supplier revenue share per order
+    * year. One lineitem scan; part / customer⋈nation / supplier⋈nation are
+    * all broadcast dims (the dim-side joins run inside the broadcast build,
+    * never touching the fact); share is one double division of two exact
+    * DECIMAL sums (the q14 device). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    val nat = Tables.nation(spark, dir)
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val asiaCust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(nat.filter(col("n_regionkey") === 2).select(col("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev.as("rev"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("nat_dec"),
+        sum(col("rev")).as("tot_dec"))
+      .select(col("o_year"),
+        col("nat_dec").cast("double").as("nation_revenue"),
+        col("tot_dec").cast("double").as("total_revenue"),
+        (col("nat_dec").cast("double") / col("tot_dec").cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 (product-type profit). The fixture has no partsupp, so unit
+    * cost is the part's retail price: profit = Σ extprice·(1−disc) −
+    * retail·qty over parts whose name contains 'gear', per supplier nation
+    * per order year. part and supplier⋈nation broadcast; the only raw
+    * shuffle is lineitem ⋈ orders on orderkey; all money math is exact
+    * DECIMAL until the output cast. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val profit = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))) -
+      dec(col("p_retailprice")) * dec(col("l_quantity"))
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name").as("nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): top 20 customers by revenue lost
+    * to returns in 1998-H1. Fact⋈fact co-keyed on orderkey (both filters —
+    * returnflag on lineitem, the date window on orders — are pushed to the
+    * scans, so the shuffle carries only survivors); customer⋈nation
+    * broadcast. The top-20 orders on the EXACT decimal revenue with a
+    * custkey tiebreak, then casts at the boundary — engine-deterministic. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .join(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("rev"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("rev")).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("rev_dec").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q11 (important stock, adapted: part "value" is its lineitem
+    * revenue, no partsupp in the fixture): parts whose revenue exceeds
+    * 0.0006 of the corpus total. Per-part DECIMAL agg (one shuffle), the
+    * global total is a 1-row agg broadcast back via cross join — the
+    * HAVING-vs-global-scalar shape. The share compare happens in DOUBLE on
+    * purpose: decimal·decimal at the needed precision overflows both
+    * engines' 38-digit cap differently, while one division of two exact
+    * decimals is the same two input bit patterns — hence the same quotient
+    * — everywhere. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), rev.as("rev"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rev")).as("val_dec"))
+    val tot = v.agg(sum(col("val_dec")).as("tot_dec"))
+    v.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"),
+        (col("val_dec").cast("double") / col("tot_dec").cast("double")).as("part_share"))
+      .filter(col("part_share") > 0.0006)
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): how many customers
+    * placed k non-urgent orders, including k = 0. Orders is aggregated per
+    * custkey FIRST (one map-side-combined shuffle collapses the fact to one
+    * row per customer), the LEFT join back to customer is co-keyed on
+    * custkey, and the second agg groups a |customers|-row frame by a tiny
+    * integer — the groupBy-of-groupBy shape with the fact collapsed before
+    * any join. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): Brand#23 lines whose
+    * quantity is below 20% of their part's average quantity. The per-part
+    * average never exists as a float: qty < 0.2·(s/n) ⇔ 5·qty·n < s, and
+    * quantities are carried as exact integer centiunits (the 2-dp DECIMAL
+    * ×100), so the predicate is pure BIGINT math — engine-bit-identical by
+    * construction. The per-part agg and the re-join are co-keyed on
+    * partkey — at scale one shuffle produces both sides; Brand#23 is a
+    * broadcast-dim filter applied to the probe before the agg join. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val qtyC = (dec(col("l_quantity")) * lit(100)).cast("long")
+    val stats = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qtyC).as("s"), count(lit(1)).as("n"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("pk"))
+      .filter(qtyC * lit(5L) * col("n") < col("s"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q20 (part promotion, adapted: no partsupp — a supplier
+    * qualifies by having SHIPPED more than 2200 units of 'small…' parts).
+    * lineitem ⋈ broadcast(name-filtered part) collapses to one row per
+    * supplier (map-side combine), the HAVING is a post-agg filter, and the
+    * supplier join is against that tiny agg — the
+    * aggregated-subquery-semi-join shape. */
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").startsWith("small")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("tq"))
+      .filter(col("tq") > lit(2200).cast(DecimalType(18, 2)))
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .join(shipped, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("tq").cast("double").as("shipped_qty"))
+  }
 }

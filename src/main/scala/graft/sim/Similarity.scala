@@ -1178,4 +1178,67 @@ object Similarity {
         (coalesce(col("n_matched"), lit(0L)) * caseOfDens >=
           lit(nTruth) * caseOfNums).as("recall_ok"))
   }
+  /** HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al. 2009):
+    * the lexical list (BM25 over a fixed term set) and the dense list
+    * (exact cosine top-N for one query vector) fused by
+    * score = Σ 1/(60 + rank) — the standard zero-tuning fusion that needs
+    * only RANKS, never the incomparable raw scores.
+    *
+    * The fixture's item space is shared by construction: doc_id and
+    * vec_id coincide (500/500 at sf0.01), so the full-outer rank join IS
+    * the item join. Scale shape: each side is one corpus scan with a
+    * bounded top-N heap ([[graft.text.TextAnalysis.bm25]]'s
+    * TakeOrderedAndProject / [[bruteForceTopK]]'s per-partition heaps);
+    * fusion then joins two N-row frames — driver-trivial at any corpus
+    * size because N is fixed. The rank window on the lexical side runs on
+    * the already-LIMITed N rows, not the corpus.
+    *
+    * Cross-engine: 1/(60+rank) is one double division of exact ints,
+    * summed in a fixed order — bit-identical in both engines; ties broken
+    * on item_id. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                terms: Seq[String] = Seq("table", "query", "window"),
+                n: Int = 100, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.TextAnalysis.bm25(spark, dir, terms, topN = n)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .as("lex_rank"))
+    val vec = bruteForceTopK(spark, dir, numQueries = 1, k = n).toDF()
+      .select(col("neighbor_id"), col("rank").as("vec_rank"))
+    val contrib = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(rrfK) + r).cast("double"), lit(0.0))
+    lex.join(vec, col("doc_id") === col("neighbor_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("neighbor_id")).as("item_id"),
+        col("lex_rank"), col("vec_rank"),
+        (contrib(col("lex_rank")) + contrib(col("vec_rank"))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("item_id"))
+      .limit(k)
+  }
+
+  /** DuckDB re-derivation of [[hybridRrf]] — same term set, same rank
+    * windows, same fixed-order double fusion. */
+  def hybridRrfOracleSql(terms: Seq[String] = Seq("table", "query", "window"),
+                         n: Int = 100, k: Int = 20, rrfK: Int = 60): String = {
+    val bm25 = graft.text.TextAnalysis.bm25OracleSql(terms, topN = n)
+    s"""WITH lex AS (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM ($bm25) b),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+       |c AS (SELECT v.vec_id AS neighbor_id,
+       |    list_inner_product(qe, v.emb) /
+       |      sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)) AS cos
+       |  FROM q JOIN e v ON v.vec_id <> 0),
+       |vec AS (SELECT neighbor_id, vec_rank FROM (
+       |    SELECT neighbor_id,
+       |      ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS vec_rank
+       |    FROM c) WHERE vec_rank <= $n)
+       |SELECT COALESCE(l.doc_id, v.neighbor_id) AS item_id,
+       |  CAST(l.lex_rank AS INT) AS lex_rank, CAST(v.vec_rank AS INT) AS vec_rank,
+       |  COALESCE(CAST(1 AS DOUBLE) / CAST($rrfK + l.lex_rank AS DOUBLE), CAST(0 AS DOUBLE)) +
+       |  COALESCE(CAST(1 AS DOUBLE) / CAST($rrfK + v.vec_rank AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf_score
+       |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.neighbor_id
+       |ORDER BY rrf_score DESC, item_id LIMIT $k""".stripMargin
+  }
 }

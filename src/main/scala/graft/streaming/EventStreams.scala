@@ -210,6 +210,46 @@ object EventStreams {
       }
   }
 
+  final case class CdcIn(user_id: Long, ms: Long, event_id: Long,
+                         event_type: String, value: Double)
+  final case class CdcState(ms: Long, event_id: Long, op: String,
+                            value: Double, n: Long)
+  final case class CdcSnap(user_id: Long, op: String, last_value: Double,
+                           last_ms: Long, n_changes: Long)
+
+  /** Streaming twin of [[graft.relational.RelationalQueries.qCdcApply]]:
+    * the CDC snapshot maintained ON ARRIVAL. Unlike the transition/SCD2
+    * twins, last-writer-wins is a COMMUTATIVE max-fold — (ms, event_id)
+    * argmax plus a count — so this state is correct under ARBITRARY
+    * arrival order, in and across micro-batches, with no watermark
+    * contract needed: a late upsert under the current seq folds into the
+    * count and changes nothing, exactly as the batch argmax would have
+    * ignored it. Update-mode output: one snapshot row per user touched in
+    * the micro-batch; tombstoned users emit with op='D' (the subscriber's
+    * delete signal) rather than vanishing — a retraction has to be SAID
+    * downstream, while the batch snapshot can simply omit the row. */
+  def cdcStream(events: Dataset[CdcIn]): Dataset[CdcSnap] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcSnap](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[CdcIn], state: GroupState[CdcState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            val newer = st == null || e.ms > st.ms ||
+              (e.ms == st.ms && e.event_id > st.event_id)
+            val n = (if (st == null) 0L else st.n) + 1
+            st =
+              if (newer)
+                CdcState(e.ms, e.event_id,
+                  if (e.event_type == "error") "D" else "U", e.value, n)
+              else st.copy(n = n)
+          }
+          state.update(st)
+          CdcSnap(user, st.op, st.value, st.ms, st.n)
+      }
+  }
+
   final case class FunIn(user_id: Long, event_type: String, ms: Long,
                          ts_ts: java.sql.Timestamp)
   final case class FunnelState(view: Long, click: Long, purchase: Long,

@@ -502,4 +502,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.count() == nDistinct, "every event exactly once despite redelivery")
     assert(got.select("event_id").distinct().count() == nDistinct)
   }
+  test("streaming CDC snapshot (commutative argmax state) equals batch MERGE-apply, " +
+    "even with SHUFFLED arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("cdcin").toString
+    val out = java.nio.file.Files.createTempDirectory("cdcout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcckpt").toString
+    val real = graft.Tables.events(spark, sf)
+      .select(col("user_id"), graft.Tables.eventMs.as("ms"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.CdcIn].collect()
+    // DISORDERED slices on purpose (sorted by a hash of event_id, not time):
+    // the commutative fold must not care — this is the property that
+    // distinguishes CDC apply from the order-contracted transition twins
+    val shuffled = real.sortBy(e => (e.event_id * 2654435761L) % 1000003)
+    val k = shuffled.length / 3
+    Seq(shuffled.take(k), shuffled.slice(k, 2 * k), shuffled.drop(2 * k))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.toSeq.toDS().coalesce(1).write.parquet(s"$in/f$i")
+      }
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.CdcIn].schema
+    val q = EventStreams.cdcStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/f*").as[EventStreams.CdcIn]).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the LAST emission per user is the settled snapshot
+    val emitted = spark.read.parquet(out).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        val last = rs.maxBy(_.getLong(5))
+        u -> (last.getString(1), last.getDouble(2), last.getLong(3), last.getLong(4))
+      }
+    val batch = graft.relational.RelationalQueries.qCdcApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    val streamedLive = emitted.collect { case (u, ("U", v, ms, n)) => u -> (v, ms, n) }.toMap
+    assert(streamedLive == batch, "settled streaming snapshot != batch MERGE-apply")
+    // tombstones are SAID in the stream (op D), merely OMITTED in batch
+    val dead = emitted.collect { case (u, ("D", _, _, _)) => u }.toSet
+    assert(dead.nonEmpty && (dead & batch.keySet).isEmpty)
+    assert(emitted.size == dead.size + batch.size, "every user settles exactly once")
+  }
 }
