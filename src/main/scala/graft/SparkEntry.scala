@@ -248,6 +248,14 @@ object SparkEntry {
     // depth-bounded BFS hop distances: frontier iteration under the CC
     // round discipline; oracle = depth-bounded recursive CTE + MIN(dist)
     "graph_bfs" -> graft.graph.Bfs.graphBfs _,
+    // 3-core of the repeat-interaction graph: round-synchronous peel to
+    // the (order-independent) fixpoint; oracle = the peel unrolled 16 CTE
+    // rounds, idempotent past convergence
+    "graph_kcore" -> ((s: SparkSession, d: String) => graft.graph.KCore.graphKcore(s, d)),
+    // Adamic-Adar link prediction: wedge join bounded by the apex-degree
+    // cut; 1/ln(deg) weights precomputed ONCE as integer micro-units and
+    // interpolated into both engines — ln never runs at query time
+    "graph_adamic_adar" -> ((s: SparkSession, d: String) => graft.graph.LinkPrediction.graphAdamicAdar(s, d)),
     // windowed co-occurrence counts + PMI: map-only fused pair generation
     // (no positional self-join), marginals AQE-broadcast back
     "text_window_cooc" -> ((s: SparkSession, d: String) => TextAnalysis.windowCooc(s, d)),
@@ -273,6 +281,9 @@ object SparkEntry {
     // BM25 ∪ dense cosine lists fused by reciprocal-rank (1/(60+r)) — the
     // zero-tuning hybrid-retrieval standard; ranks only, never raw scores
     "sim_hybrid_rrf" -> ((s: SparkSession, d: String) => graft.sim.Similarity.hybridRrf(s, d)),
+    // ε-ball radius retrieval, EXACT under the IVF ball bound with the
+    // fixed τ as the cut — admitted lists decided driver-side, one scan
+    "sim_radius_search" -> ((s: SparkSession, d: String) => graft.sim.Similarity.radiusSearch(s, d)),
     // epoch-based upsampling (the replication half of data mixing):
     // floor(e) copies + hash-fate fractional copy, map-only explode
     "sample_epochs" -> ((s: SparkSession, d: String) => graft.sample.Sampling.epochUpsample(s, d)),
@@ -282,6 +293,9 @@ object SparkEntry {
     // exact stratified sampling: Hamilton largest-remainder allocation on
     // the strata table, salted-hash in-stratum selection
     "sample_stratified" -> ((s: SparkSession, d: String) => graft.sample.Sampling.stratifiedSample(s, d)),
+    // greedy k-center coreset: k map-only cover-cosine passes, one argmin
+    // row to the driver per round; oracle = the greedy unrolled (MMR device)
+    "sample_kcenter" -> ((s: SparkSession, d: String) => graft.sample.KCenter.kcenter(s, d)),
     // boundary-respecting shelf packing: whole docs into budget bins via
     // the same two-phase prefix sum as pack_sequences; bins = contiguous
     // doc runs with bounded overshoot
@@ -296,6 +310,12 @@ object SparkEntry {
     // hash) over the planted formatting-variant corpus; same one-exchange
     // shape as dedup_exact
     "dedup_normalized" -> ((s: SparkSession, d: String) => Dedup.normalized(s, d)),
+    // content-defined chunking census: map-only CDC fold per doc, one
+    // (md5, n_tok) exchange — insertions shift only the boundaries they touch
+    "dedup_cdc_chunks" -> ((s: SparkSession, d: String) => graft.dedup.CdcChunks.cdcChunkDedup(s, d)),
+    // feature hashing: vocabulary-free 16-dim integer tf vectors built
+    // map-only at ZERO exchanges; scalar-exact vector summaries
+    "text_feature_hash" -> ((s: SparkSession, d: String) => TextAnalysis.featureHash(s, d)),
     // CCNet paragraph-granular dedup: first-occurrence-wins on paragraph
     // hash (planted boilerplate paragraph), cleaned doc value-hashed
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -1750,11 +1770,13 @@ object SparkEntry {
     // hyperplane-LSH pairs and tuning sweep: the oracle re-derives the
     // signatures from the SAME ±1 plane literals the engine projects onto
     // (interpolated from one Scala constant — zero duplication)
-    "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql,
+    "dedup_lsh_pairs" -> graft.dedup.EmbeddingLsh.oraclePairsSql(
+      fnvFull("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
     "dedup_lsh_pairs_prod" -> graft.dedup.EmbeddingLsh.oraclePairsProdSql,
     "dedup_lsh_sweep" -> graft.dedup.EmbeddingLsh.oracleSweepSql(
       fnvFull("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
-    "dedup_lsh_components" -> graft.dedup.EmbeddingLsh.oracleDedupKeepSql,
+    "dedup_lsh_components" -> graft.dedup.EmbeddingLsh.oracleDedupKeepSql(
+      fnvFull("CAST(vec_id AS VARCHAR) || ':lshsweep'")),
     "dedup_lsh_components_prod" -> graft.dedup.EmbeddingLsh.oracleDedupKeepProdSql,
     // the funnel re-derived end-to-end: hygiene (wordlist + Gopher rules),
     // dedup keep (recursive-CTE components over jaccard+exact edges),
@@ -1877,6 +1899,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10""",
     "sim_hybrid_rrf" -> graft.sim.Similarity.hybridRrfOracleSql(),
+    "sim_radius_search" -> graft.sim.Similarity.radiusSearchOracleSql(),
     "sim_topk_mmr" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_topk_mmr_ivf" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_hard_negatives" ->
@@ -2098,6 +2121,11 @@ object SparkEntry {
             (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
             (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""",
     "graph_bfs" -> graft.graph.Bfs.oracleSql,
+    "graph_kcore" -> graft.graph.KCore.oracleSql(),
+    "graph_adamic_adar" -> graft.graph.LinkPrediction.oracleSql(),
+    "sample_kcenter" -> graft.sample.KCenter.oracleSql(),
+    "dedup_cdc_chunks" -> graft.dedup.CdcChunks.oracleSql(),
+    "text_feature_hash" -> TextAnalysis.featureHashOracleSql(),
     "text_window_cooc" -> TextAnalysis.windowCoocOracleSql(),
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic

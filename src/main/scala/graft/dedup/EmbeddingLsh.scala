@@ -45,6 +45,18 @@ object EmbeddingLsh {
   val Dims = 64
   val NumPlanes = 32
 
+  /** The fixture-config (τ = 0.35, 8×2) trio is a DIAGNOSTIC — the sweep's
+    * physics says no hyperplane config prunes at 69°, so its candidate set
+    * is inherently near-quadratic. Since round 11 the whole trio therefore
+    * runs on a FIXED-COUNT hash-order subcorpus (the sweep-truth device):
+    * the diagnostic's cost is pinned at DiagSampleN²/2 forever instead of
+    * following the corpus, while the production configs (`*_prod`, τ=0.9,
+    * 24×12) remain the full-corpus scale path. At sf ≤ 0.1 the sample IS
+    * the whole table (n ≤ 2000), so recorded values and baselines are
+    * unchanged; only the 10×+ growth collapses from measured-quadratic
+    * (106× at 10×) to flat. */
+  val DiagSampleN = 2000
+
   /** ±1 hyperplane matrix from a fixed LCG (seed 42, the classic glibc
     * multiplier; sign from bit 16 of the 31-bit state — the LOW bits of a
     * power-of-two-modulus LCG alternate with period 2 and are unusable).
@@ -128,13 +140,23 @@ object EmbeddingLsh {
   private def cosineCol(a: Column, b: Column): Column =
     graft.functions.VecOps.cosine6Col(a, b)
 
+  /** The diagnostic subcorpus: the [[DiagSampleN]] vectors with the
+    * smallest salted-FNV hash (vec_id tiebreak — [[sampleTopN]]'s total
+    * order, shared with the sweep so one oracle device serves all three
+    * fixture-config queries). */
+  private def diagFrame(spark: SparkSession, dir: String): DataFrame =
+    sampleTopN(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")), DiagSampleN)
+
   /** LSH-found near-dup pairs at the default 8 bands × 2 bits, exactly
     * verified at `threshold` — every output row is a true near-dup pair
     * (subset of the all-pairs truth by construction; recall is pinned by
-    * the spec and measured by [[sweep]]). */
+    * the spec and measured by [[sweep]]). Runs on the fixed-count
+    * [[diagFrame]] — see [[DiagSampleN]] for why the low-τ diagnostic must
+    * not follow the corpus. */
   def pairs(spark: SparkSession, dir: String, bands: Int = 8, width: Int = 2,
             threshold: Double = 0.35): DataFrame =
-    pairsFrame(Tables.embeddings(spark, dir), bands, width, threshold)
+    pairsFrame(diagFrame(spark, dir), bands, width, threshold)
 
   /** [[pairs]] over any embeddings-shaped frame. At PRODUCTION operating
     * points (τ ≥ 0.9, wide bands — e.g. 24×12) the spec demonstrates the
@@ -247,7 +269,7 @@ object EmbeddingLsh {
   def dedupKeep(spark: SparkSession, dir: String, bands: Int = 8, width: Int = 2,
                 threshold: Double = 0.35): DataFrame = {
     val p = pairs(spark, dir, bands, width, threshold).select(col("d1"), col("d2"))
-    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node"))
+    val nodes = diagFrame(spark, dir).select(col("vec_id").as("node"))
     Dedup.connectedComponentsAuto(p, nodes)
       .select(col("node").as("vec_id"), col("label").as("canonical_id"),
         (col("node") === col("label")).as("keep"))
@@ -334,9 +356,12 @@ object EmbeddingLsh {
       |sqrt(list_inner_product(x.emb, x.emb) * list_inner_product(y.emb, y.emb)), 6)""".stripMargin
 
   /** The pairs pipeline as a CTE list, shared by the pairs and keep-list
-    * oracles (8×2 default config). */
-  private def pairsCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    * oracles (8×2 default config, over the same fixed-count diagnostic
+    * sample as the engine — `sampleHashSql` is the caller's FNV
+    * re-derivation, the sweep-oracle contract). */
+  private def pairsCtes(sampleHashSql: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |       ORDER BY $sampleHashSql, vec_id LIMIT $DiagSampleN),
        |sig AS (SELECT vec_id, emb, $bitsCols FROM e),
        |bands AS (${bandsUnion(Seq((8, 2)))}),
        |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -346,8 +371,8 @@ object EmbeddingLsh {
        |      FROM cand JOIN e x ON x.vec_id = cand.d1 JOIN e y ON y.vec_id = cand.d2)""".stripMargin
 
   /** DuckDB re-derivation of [[pairs]] (8×2 default). */
-  def oraclePairsSql: String =
-    s"""WITH $pairsCtes
+  def oraclePairsSql(sampleHashSql: String): String =
+    s"""WITH ${pairsCtes(sampleHashSql)}
        |SELECT d1, d2, cosine FROM v WHERE cosine >= 0.35""".stripMargin
 
   /** The production-point pairs pipeline as a CTE list — re-plant the
@@ -390,12 +415,12 @@ object EmbeddingLsh {
 
   /** DuckDB re-derivation of [[dedupKeep]]: the same pairs pipeline, then
     * min-label connected components as a recursive CTE (the
-    * dedup_components oracle shape). */
-  def oracleDedupKeepSql: String =
-    s"""WITH RECURSIVE $pairsCtes,
+    * dedup_components oracle shape) over the diagnostic sample's nodes. */
+  def oracleDedupKeepSql(sampleHashSql: String): String =
+    s"""WITH RECURSIVE ${pairsCtes(sampleHashSql)},
        |p AS (SELECT d1, d2 FROM v WHERE cosine >= 0.35),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2 AS src, d1 AS dst FROM p),
-       |cc AS (SELECT vec_id AS node, vec_id AS label FROM embeddings
+       |cc AS (SELECT vec_id AS node, vec_id AS label FROM e
        |       UNION SELECT e2.dst AS node, cc.label FROM cc JOIN edges e2 ON cc.node = e2.src)
        |SELECT node AS vec_id, MIN(label) AS canonical_id, (node = MIN(label)) AS keep
        |FROM cc GROUP BY node""".stripMargin

@@ -1241,4 +1241,78 @@ object Similarity {
        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.neighbor_id
        |ORDER BY rrf_score DESC, item_id LIMIT $k""".stripMargin
   }
+
+  /** RADIUS (ε-ball) SEARCH — the retrieval dual of top-k: every neighbor
+    * with cosine ≥ τ, however many there are. The primitive behind
+    * duplicate lookup ("anything this close to the new doc?"), recall-set
+    * construction and density estimation, where a k cap would silently
+    * truncate dense neighborhoods and pad sparse ones.
+    *
+    * EXACT under IVF pruning, one scan: a list at angle θ from the query
+    * with angular radius r cannot hold anything above cos(max(θ − r, 0)) —
+    * the [[ivfTopKExact]] ball bound with the FIXED τ as the cut (no probe
+    * phase needed: τ is known before the scan, so admitted-list sets are
+    * decided driver-side per query against nlist radii). A 1e-6 slack on
+    * the admission keeps borderline vectors whose unrounded cosine sits
+    * just under a τ their rounded surface reaches. On this isotropic
+    * fixture the bound admits most lists (correctness at IVF cost); on
+    * clustered corpora the same cut skips most of them, and the
+    * list-partitioned stored layout turns skips into partition pruning. */
+  def radiusSearch(spark: SparkSession, dir: String, numQueries: Int = 8,
+                   tau: Double = 0.3, nlist: Int = 16): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val centroids = trainCentroids(vecs, nlist)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val nearestList: (Array[Array[Float]], Array[Float]) => Int = (cs, e) => {
+      var best = 0; var bestC = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cosine(e, cs(i)); if (c > bestC) { bestC = c; best = i }; i += 1
+      }
+      best
+    }
+    val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v)).persist()
+    val radius = listRadii(assigned.rdd.map { case (l, v) => (l, v.embedding) },
+      bcCent, nlist)
+    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    // driver-side: per query, the lists the ball bound cannot exclude
+    val admitted: Array[(Vec, Set[Int])] = queries.map { q =>
+      val cs = bcCent.value
+      val lists = cs.indices.filter { l =>
+        radius.get(l).exists { r =>
+          val theta = math.acos(math.max(-1.0, math.min(1.0, cosine(q.embedding, cs(l)))))
+          math.cos(math.max(theta - r, 0.0)) >= tau - 1e-6
+        }
+      }.toSet
+      (q, lists)
+    }
+    val bcQ = spark.sparkContext.broadcast(admitted)
+    val out = assigned.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (list, v) =>
+        qs.iterator.flatMap { case (q, lists) =>
+          if (lists.contains(list) && v.vec_id != q.vec_id) {
+            val c = cosine6(q.embedding, v.embedding)
+            if (c >= tau) Iterator.single((q.vec_id, v.vec_id, c)) else Iterator.empty
+          } else Iterator.empty
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
+    assigned.unpersist()
+    out
+  }
+
+  /** DuckDB re-derivation of [[radiusSearch]]: the plain brute filter —
+    * the ball bound only skips provably-below-τ lists, so the pruned scan
+    * must equal it exactly. */
+  def radiusSearchOracleSql(numQueries: Int = 8, tau: Double = 0.3): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $numQueries),
+       |c AS (SELECT query_id, v.vec_id AS neighbor_id,
+       |    ROUND(list_inner_product(qe, v.emb) /
+       |      sqrt(list_inner_product(qe, qe) * list_inner_product(v.emb, v.emb)), 6) AS cosine
+       |  FROM q JOIN e v ON v.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, cosine FROM c
+       |WHERE cosine >= CAST($tau AS DOUBLE)""".stripMargin
 }

@@ -250,6 +250,57 @@ object EventStreams {
       }
   }
 
+  final case class AttrIn(user_id: Long, ms: Long, event_id: Long,
+                          event_type: String, value: Double)
+  final case class AttrState(lco: Long, fco: Long)
+  final case class AttrOut(user_id: Long, purchase_id: Long, purchase_ms: Long,
+                           value: Double, click_id: Option[Long],
+                           click_ms: Option[Long], gap_ms: Option[Long],
+                           attributed: Boolean, first_click_id: Option[Long])
+
+  /** Streaming twin of [[graft.relational.RelationalQueries.evAttribution]]:
+    * last/first-touch attribution ON ARRIVAL. State per user is two packed
+    * longs — the max and min click ord (ms·10⁶ + event_id) seen so far —
+    * so a purchase is attributed the moment it arrives, against exactly
+    * the clicks that preceded it in the composite order (rows are
+    * processed (ms, event_id)-sorted within each micro-batch, the
+    * transition-twin contract: arrival slices respect event time). An
+    * attribution, once emitted, is immutable — the natural Append-mode
+    * row, unlike the CDC snapshot whose rows revise. */
+  def attributionStream(events: Dataset[AttrIn],
+                        lookbackMs: Long = 7L * 24 * 3600 * 1000): Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[AttrIn], state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          rows.toArray.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            require(e.event_id < 1000000L,
+              "attributionStream ord overflow: event_id >= 1e6 breaks the composite")
+            val ord = e.ms * 1000000L + e.event_id
+            e.event_type match {
+              case "click" =>
+                st = AttrState(math.max(st.lco, ord),
+                  if (st.fco < 0) ord else math.min(st.fco, ord))
+              case "purchase" =>
+                val clicked = st.lco >= 0
+                val gap = if (clicked) Some(e.ms - st.lco / 1000000L) else None
+                out += AttrOut(user, e.event_id, e.ms, e.value,
+                  if (clicked) Some(st.lco % 1000000L) else None,
+                  if (clicked) Some(st.lco / 1000000L) else None,
+                  gap, gap.exists(_ <= lookbackMs),
+                  if (st.fco >= 0) Some(st.fco % 1000000L) else None)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class FunIn(user_id: Long, event_type: String, ms: Long,
                          ts_ts: java.sql.Timestamp)
   final case class FunnelState(view: Long, click: Long, purchase: Long,

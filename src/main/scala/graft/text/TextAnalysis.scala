@@ -623,4 +623,57 @@ object TextAnalysis {
        |SELECT doc_id, chunk_idx, start_tok, CAST(len(c) AS INT) AS n_tok,
        |  array_to_string(c, ' ') AS chunk_text FROM ck""".stripMargin
   }
+
+  /** FEATURE HASHING (Weinberger et al. 2009, the "hashing trick"): each
+    * document's bag of tokens folded into a fixed `dims`-dimensional
+    * integer term-frequency vector by hashing tokens to dimensions —
+    * vocabulary-free featurization, the input layer of every
+    * logistic/linear quality filter that can't afford a vocabulary
+    * (the [[QualityClassifier]] already buckets tokens this way; this is
+    * the operator stand-alone).
+    *
+    * Scale shape: the whole featurization is MAP-ONLY — the vector is
+    * built per row by `dims` filtered-size passes over the token array
+    * (O(dims·tokens) inside one codegen stage, no explode), so the query
+    * runs at ZERO exchanges at any corpus size; the naive
+    * explode→groupBy(doc,dim) shape the oracle uses would shuffle one row
+    * per token. Emitted surface: exact integer summaries of the vector
+    * (nnz / L2²-norm / argmax dim with the smallest-dim tie) rather than
+    * the array itself, so the compare is scalar-exact. */
+  def featureHash(spark: SparkSession, dir: String, dims: Int = 16): DataFrame = {
+    val fnvDim = (t: Column) => pmod(graft.functions.Fnv32.fnv32(t), lit(dims))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => size(filter(col("tk"), t => fnvDim(t) === d)).cast("bigint")).as("vec"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("vec"), x => x > 0)).cast("int").as("nnz"),
+        aggregate(col("vec"), lit(0L), (a, x) => a + x * x).as("norm2"),
+        (array_position(col("vec"), array_max(col("vec"))) - 1).cast("int").as("top_dim"),
+        array_max(col("vec")).as("top_tf"))
+  }
+
+  /** DuckDB re-derivation of [[featureHash]]: the naive explode →
+    * GROUP BY (doc, dim) with in-SQL UTF-8 FNV-1a
+    * ([[TrainedOracles.fnvSql]] — the classifier-oracle device), zero-token
+    * docs re-joined with all-zero summaries (engine: a zero vector's
+    * argmax is position 1 → dim 0). */
+  def featureHashOracleSql(dims: Int = 16): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |x AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+       |g AS (SELECT doc_id, ${TrainedOracles.fnvSql("tok")} % $dims AS dim,
+       |        COUNT(*) AS tf FROM x GROUP BY 1, 2),
+       |s AS (SELECT doc_id, COUNT(*) AS nnz, SUM(tf * tf) AS norm2 FROM g GROUP BY 1),
+       |top AS (SELECT doc_id, dim AS top_dim, tf AS top_tf FROM (
+       |    SELECT doc_id, dim, tf, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tf DESC, dim) AS rn FROM g) WHERE rn = 1)
+       |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(s.nnz, 0) AS INT) AS nnz,
+       |  CAST(COALESCE(s.norm2, 0) AS BIGINT) AS norm2,
+       |  CAST(COALESCE(top.top_dim, 0) AS INT) AS top_dim,
+       |  CAST(COALESCE(top.top_tf, 0) AS BIGINT) AS top_tf
+       |FROM t LEFT JOIN s USING (doc_id) LEFT JOIN top USING (doc_id)""".stripMargin
 }

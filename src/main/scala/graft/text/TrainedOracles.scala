@@ -121,7 +121,7 @@ object TrainedOracles {
   /** FNV-1a (32-bit, sign-bit-masked — byte-compatible with
     * [[graft.functions.Fnv32.hash]]) as a `list_reduce` over the UTF-8
     * bytes of `$col`, recovered from `hex(encode(…))` pairs. */
-  private def fnvSql(col: String): String = {
+  private[graft] def fnvSql(col: String): String = {
     val hx = s"hex(encode($col))"
     s"""list_reduce(
          list_prepend(CAST(2166136261 AS BIGINT),

@@ -547,4 +547,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(dead.nonEmpty && (dead & batch.keySet).isEmpty)
     assert(emitted.size == dead.size + batch.size, "every user settles exactly once")
   }
+
+  test("streaming attribution (on-arrival last/first-touch) equals batch ev_attribution " +
+    "across time-sliced micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("attrin").toString
+    val out = java.nio.file.Files.createTempDirectory("attrout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("attrckpt").toString
+    val real = graft.Tables.events(spark, sf)
+      .select(col("user_id"), graft.Tables.eventMs.as("ms"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.AttrIn].collect()
+      .sortBy(e => (e.ms, e.event_id)) // arrival respects event time — the twin's contract
+    val k = real.length / 3
+    Seq(real.take(k), real.slice(k, 2 * k), real.drop(2 * k))
+      .zipWithIndex.foreach { case (slice, i) =>
+        slice.toSeq.toDS().coalesce(1).write.parquet(s"$in/f$i")
+      }
+    val schema = org.apache.spark.sql.Encoders.product[EventStreams.AttrIn].schema
+    val q = EventStreams.attributionStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/f*").as[EventStreams.AttrIn]).toDF()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row): (Long, Long) = (r.getLong(0), r.getLong(1))
+    def payload(r: org.apache.spark.sql.Row) =
+      (r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        r.getBoolean(7),
+        if (r.isNullAt(8)) -1L else r.getLong(8))
+    val streamed = spark.read.parquet(out)
+      .select("user_id", "purchase_id", "purchase_ms", "value", "click_id",
+        "click_ms", "gap_ms", "attributed", "first_click_id")
+      .collect().map(r => key(r) -> payload(r)).toMap
+    val batch = graft.relational.RelationalQueries.evAttribution(spark, sf)
+      .select(col("user_id"), col("purchase_id"), col("purchase_ms"), col("value"),
+        col("click_id"), col("click_ms"), col("gap_ms"), col("attributed"),
+        col("first_click_id"))
+      .collect().map(r => key(r) -> payload(r)).toMap
+    assert(streamed == batch, {
+      val extra = (streamed.keySet -- batch.keySet).take(3)
+      val missing = (batch.keySet -- streamed.keySet).take(3)
+      val diff = streamed.collect {
+        case (k2, v) if batch.get(k2).exists(_ != v) => (k2, v, batch(k2))
+      }.take(2)
+      s"extra=$extra missing=$missing diff=$diff"
+    })
+    assert(streamed.nonEmpty && streamed.values.exists(_._6),
+      "no attributed purchase at fixture scale — degenerate")
+  }
 }
