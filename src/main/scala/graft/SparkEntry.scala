@@ -86,6 +86,15 @@ object SparkEntry {
     // CDC MERGE-apply: last-writer-wins snapshot with tombstones via ONE
     // map-side-combining struct-max argmax — no per-key window over the log
     "q_cdc_apply" -> RelationalQueries.qCdcApply _,
+    // k-anonymity audit: quasi-identifier groups below the k floor —
+    // shifted-non-negative integer banding so both engines bucket alike
+    "q_kanon_audit" -> ((s: SparkSession, d: String) => RelationalQueries.qKanonAudit(s, d)),
+    // dirty-CSV ingest: planted-unparseable rows under PERMISSIVE +
+    // corrupt-record column; the reader's semantics value-pinned per nation
+    "src_csv_dirty" -> graft.sources.Formats.csvDirty _,
+    // ORC write->read roundtrip aggregated FROM the ORC copy — the second
+    // columnar format proven value-lossless incl. DECIMAL fidelity
+    "src_orc_roundtrip" -> graft.sources.Formats.orcRoundtrip _,
     // last/first-touch purchase attribution: running integer extrema over
     // the packed (ms,event_id) composite — never a purchases⋈clicks join
     "ev_attribution" -> ((s: SparkSession, d: String) => RelationalQueries.evAttribution(s, d)),
@@ -468,6 +477,10 @@ object SparkEntry {
     // frame sampling over the binary payload: evenly spaced fixed-size
     // windows per video row; the oracle recomputes offsets + frame md5
     "mm_frame_sample" -> Multimodal.frameSample _,
+    // shot-boundary detection over the video rows: per-frame integer
+    // intensity stats, adaptive 1.5×-mean delta threshold as one integer
+    // cross-multiplication — map-only, zero shuffle
+    "mm_scene_cuts" -> Multimodal.mmSceneCuts _,
     // payload resize to a byte budget: stride-kept bytes (content
     // checksummed) + integer-rescaled metadata; oracle rebuilds the UTF-8
     // byte stream and replicates the stride/DIV arithmetic
@@ -959,6 +972,13 @@ object SparkEntry {
           COALESCE(ord // 1000000 - lco // 1000000 <= 604800000, FALSE) AS attributed,
           CAST(fco % 1000000 AS BIGINT) AS first_click_id
         FROM w WHERE event_type = 'purchase'""",
+    "q_kanon_audit" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_band,
+           COUNT(*) AS n_members
+         FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 5""",
+    "src_csv_dirty" -> graft.sources.Formats.csvDirtyOracleSql,
+    "src_orc_roundtrip" -> graft.sources.Formats.orcRoundtripOracleSql,
     // CDC truth is the per-key last row by (ms, event_id): tombstoned keys
     // drop, count is the full log depth per key
     "q_cdc_apply" ->
@@ -2284,6 +2304,42 @@ object SparkEntry {
           FROM c""",
     // the payload is ASCII (strlen == byte length), so VARCHAR substring md5
     // equals Spark's binary-slice md5 byte-for-byte
+    // scene cuts replay the frame offsets + byte sums from the UTF-8
+    // expansion of the same payload recipe (the mm_resize byte device)
+    "mm_scene_cuts" ->
+      """WITH m AS (SELECT doc_id, text FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+         b AS (SELECT doc_id,
+             flatten(list_transform(string_split(text, ''), c -> CASE
+               WHEN unicode(c) < 128 THEN [unicode(c)]
+               WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+               WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+               ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+             END)) AS bl FROM m),
+         s AS (SELECT doc_id, bl, len(bl) AS n FROM b WHERE len(bl) > 0),
+         f AS (SELECT doc_id, n, bl, unnest(range(0, 16)) AS i FROM s),
+         st AS (SELECT doc_id, CAST(i AS INT) AS i,
+             CAST(list_sum(list_slice(bl,
+               LEAST(n * i // 16, GREATEST(n - 1, 0)) + 1,
+               LEAST(LEAST(n * i // 16, GREATEST(n - 1, 0)) + 32, n))) AS BIGINT) AS stat
+           FROM f),
+         d AS (SELECT doc_id, i,
+             ABS(stat - LAG(stat) OVER (PARTITION BY doc_id ORDER BY i)) AS delta
+           FROM st),
+         dd AS (SELECT doc_id, i, delta FROM d WHERE delta IS NOT NULL),
+         ag AS (SELECT doc_id, COUNT(*) AS nd, SUM(delta) AS sum_delta,
+                  MAX(delta) AS max_delta FROM dd GROUP BY 1),
+         cuts AS (SELECT dd.doc_id,
+                    COUNT(*) AS n_cuts,
+                    string_agg(CAST(dd.i AS VARCHAR), ',' ORDER BY dd.i) AS cut_frames
+                  FROM dd JOIN ag USING (doc_id)
+                  WHERE 2 * nd * delta >= 3 * sum_delta AND delta > 0
+                  GROUP BY 1)
+         SELECT ag.doc_id, CAST(16 AS INT) AS n_frames,
+           CAST(sum_delta AS BIGINT) AS sum_delta,
+           CAST(max_delta AS BIGINT) AS max_delta,
+           CAST(COALESCE(n_cuts, 0) AS BIGINT) AS n_cuts,
+           COALESCE(cut_frames, '') AS cut_frames
+         FROM ag LEFT JOIN cuts USING (doc_id)""",
     "mm_frame_sample" ->
       """WITH v AS (SELECT doc_id, text, strlen(text) AS len FROM documents
                     WHERE CAST(doc_id % 3 AS INT) = 2),

@@ -44,7 +44,12 @@ object LinkPrediction {
   def adamicAdar(edges: DataFrame, maxApexDeg: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val adj = edges.select(col("src"), col("dst")).distinct()
+    // materialized ONCE: the plan consumes the edge relation four ways
+    // (apex degrees, both wedge sides, the non-adjacency anti-join) — the
+    // unchecked form recomputed the fact join per consumer (PlanAudit
+    // showed scans=6); released at the harness's between-queries drain
+    val adj = graft.Checkpoints.track(
+      edges.select(col("src"), col("dst")).distinct().localCheckpoint(true))
     val wtab = weightTable(maxApexDeg).toDF("deg", "w_micro")
     // per-node degree; apexes filtered to the weighted band before the
     // wedge join, so the C(deg,2) blow-up never materializes for hubs

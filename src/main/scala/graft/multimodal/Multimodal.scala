@@ -599,4 +599,51 @@ object Multimodal {
         sum(length(col("bytes"))).as("total_bytes"),
         (sum(length(col("bytes"))).cast("double") / count(lit(1))).as("avg_bytes"))
   }
+
+  final case class SceneCuts(doc_id: Long, n_frames: Int, sum_delta: Long,
+                             max_delta: Long, n_cuts: Long, cut_frames: String)
+
+  /** SHOT-BOUNDARY (scene-cut) DETECTION over the video rows — the frame
+    * ANALYSIS step [[sampleFrames]] stops short of: sample `n` evenly
+    * spaced frames, reduce each to an integer intensity stat (byte sum —
+    * the luminance-histogram stand-in on the opaque payload; a pixel-aware
+    * stat plugs in through the [[Decoder]] seam like the real codecs),
+    * take consecutive deltas, and call a cut wherever a delta exceeds
+    * 1.5× the video's own mean delta. The adaptive threshold is the
+    * standard shot-boundary contract (absolute thresholds break across
+    * bright/dark content) and stays engine-exact as one integer
+    * cross-multiplication: `2·n_deltas·delta ≥ 3·Σdelta`.
+    *
+    * Scale shape: one map-only pass per video row, no shuffle at all —
+    * the per-video loop touches each sampled window once. Exact integers
+    * end-to-end; the oracle replays frame offsets and byte sums from the
+    * UTF-8 expansion of the same payload recipe. */
+  def sceneCuts(media: Dataset[Media], n: Int = 16,
+                frameSize: Int = 32): Dataset[SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.media_type == "video" && m.bytes.length > 0).map { m =>
+      val len = m.bytes.length
+      val stats = (0 until n).map { i =>
+        val off = math.min((len.toLong * i / n).toInt, math.max(0, len - 1))
+        val end = math.min(off + frameSize, len)
+        var s = 0L; var j = off
+        while (j < end) { s += (m.bytes(j) & 0xff); j += 1 }
+        s
+      }
+      val deltas = stats.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.toSeq
+      val sumD = deltas.sum
+      val cuts = deltas.zipWithIndex.collect {
+        // cut at frame i+1 when delta ≥ 1.5× mean — integer cross-multiplied
+        case (d, i) if 2L * deltas.length * d >= 3L * sumD && d > 0 => i + 1
+      }
+      SceneCuts(m.doc_id, n, sumD, if (deltas.isEmpty) 0L else deltas.max,
+        cuts.length.toLong, cuts.mkString(","))
+    }
+  }
+
+  /** Registered surface of [[sceneCuts]] over the fixture media table. */
+  def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sceneCuts(mediaTable(spark, dir)).toDF()
+  }
 }

@@ -1533,4 +1533,25 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
         col("tq").cast("double").as("shipped_qty"))
   }
+
+  /** K-ANONYMITY AUDIT (Sweeney 2002) — the data-governance gate a
+    * training-data release runs before shipping anything person-shaped:
+    * group the table by its quasi-identifier tuple (here nation ×
+    * market segment × 1000-unit balance band — attributes an adversary
+    * can link from outside) and report every group smaller than k, whose
+    * members are re-identifiable. One exchange on the quasi-identifier
+    * key, map-side combined; the balance band is exact integer centiunit
+    * division (the q17 device) over a SHIFTED-non-negative value —
+    * Spark's DIV truncates toward zero while DuckDB's // floors, and
+    * acctbal goes negative, so the band is only engine-identical on
+    * non-negative operands. */
+  def qKanonAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("c_nationkey"), col("c_mktsegment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("cents"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(cents + 100000) DIV 100000").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") < k)
 }
