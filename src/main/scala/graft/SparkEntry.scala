@@ -89,6 +89,9 @@ object SparkEntry {
     // k-anonymity audit: quasi-identifier groups below the k floor —
     // shifted-non-negative integer banding so both engines bucket alike
     "q_kanon_audit" -> ((s: SparkSession, d: String) => RelationalQueries.qKanonAudit(s, d)),
+    // A/B readout: hash-split arms, pooled two-proportion z — exact counts,
+    // then one fixed IEEE expression tree (no ln, no reassociated sums)
+    "ev_ab_test" -> RelationalQueries.evAbTest _,
     // dirty-CSV ingest: planted-unparseable rows under PERMISSIVE +
     // corrupt-record column; the reader's semantics value-pinned per nation
     "src_csv_dirty" -> graft.sources.Formats.csvDirty _,
@@ -972,6 +975,35 @@ object SparkEntry {
           COALESCE(ord // 1000000 - lco // 1000000 <= 604800000, FALSE) AS attributed,
           CAST(fco % 1000000 AS BIGINT) AS first_click_id
         FROM w WHERE event_type = 'purchase'""",
+    // arm fate and every post-count float mirror the engine's exact
+    // expression tree — divide/add/multiply/sqrt only, so no rounding
+    "ev_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+              MAX(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY 1),
+          t AS (SELECT ${fnvFull("CAST(user_id AS VARCHAR) || ':ab'")} % 2 AS arm,
+                  converted FROM u),
+          arms AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS conv FROM t GROUP BY 1),
+          j AS (SELECT a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b
+                FROM (SELECT n, conv FROM arms WHERE arm = 0) a,
+                     (SELECT n, conv FROM arms WHERE arm = 1) b),
+          r AS (SELECT n_a, n_b, conv_a, conv_b,
+                  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+                  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+                  CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+                FROM j)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           rate_a, rate_b,
+           CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+             (rate_a - rate_b) / sqrt((p_pool * (CAST(1 AS DOUBLE) - p_pool)) *
+               (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           END AS z_score,
+           COALESCE(ABS(CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+             (rate_a - rate_b) / sqrt((p_pool * (CAST(1 AS DOUBLE) - p_pool)) *
+               (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           END) > 1.96, FALSE) AS significant
+         FROM r""",
     "q_kanon_audit" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
            (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_band,

@@ -1534,6 +1534,54 @@ object RelationalQueries {
         col("tq").cast("double").as("shipped_qty"))
   }
 
+  /** A/B EXPERIMENT READOUT — the two-proportion z-test every product
+    * experiment ends with: users hash-split into two arms (the sampling
+    * family's salted-FNV fate, so assignment is reproducible in both
+    * engines and at any parallelism), per-arm user and converter counts
+    * (a converter has ≥1 purchase), conversion rates, and the pooled
+    * z-statistic  z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)). A
+    * converter is a user with a purchase over 100 — every fixture user
+    * purchases SOMETHING, so raw purchase-rate saturates at p̂ = 1 and
+    * the z denominator hits √0 (found the ANSI way: DIVIDE_BY_ZERO); a
+    * saturated pool also gets a NULL z explicitly, the honest undefined
+    * answer.
+    *
+    * Cross-engine surface: counts are exact integers; every float after
+    * them is a fixed expression tree of IEEE-exact ops (divide, add,
+    * multiply, sqrt — no ln, no reassociated summation), so both engines
+    * produce the identical double unrounded (the ev_forecast closed-form
+    * contract). Scale shape: one user_id exchange to collapse events to
+    * (user, converted), then a 2-row arm aggregate — the z-math runs on a
+    * broadcast-sized frame. */
+  def evAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = graft.functions.Fnv32.fnv32(
+      concat(col("user_id").cast("string"), lit(":ab"))) % 2
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase" && col("value") > 100).cast("int").as("p"))
+      .groupBy(col("user_id"))
+      .agg(max(col("p")).as("converted"))
+      .select(arm.as("arm"), col("converted"))
+    // BOTH arms in one conditional aggregation — the filter/crossJoin form
+    // consumed the user-collapse twice (PlanAudit: scans=2, exch=5)
+    perUser.agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(lit(0))).as("conv_a"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(lit(0))).as("conv_b"))
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p_pool", (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z_score", when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+        (col("rate_a") - col("rate_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a"), col("rate_b"), col("z_score"),
+        coalesce(abs(col("z_score")) > 1.96, lit(false)).as("significant"))
+  }
+
   /** K-ANONYMITY AUDIT (Sweeney 2002) — the data-governance gate a
     * training-data release runs before shipping anything person-shaped:
     * group the table by its quasi-identifier tuple (here nation ×
