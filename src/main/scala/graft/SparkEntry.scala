@@ -296,6 +296,14 @@ object SparkEntry {
     // ε-ball radius retrieval, EXACT under the IVF ball bound with the
     // fixed τ as the cut — admitted lists decided driver-side, one scan
     "sim_radius_search" -> ((s: SparkSession, d: String) => graft.sim.Similarity.radiusSearch(s, d)),
+    // round-robin dataloader interleave: per-source hash ranks through the
+    // TopKPerKey heaps (≤ sources·slots rows cross the exchange)
+    "sample_interleave" -> ((s: SparkSession, d: String) => graft.sample.Sampling.interleave(s, d)),
+    // degree histogram per graph side — the skew readout that decides
+    // whether hub mitigation is needed at all; two map-side-combined aggs
+    "graph_degree_dist" -> graft.graph.PageRank.degreeDistribution _,
+    // classifier-eval confusion matrix for langId: diagonal share == recall
+    "text_langid_confusion" -> ((s: SparkSession, d: String) => TextAnalysis.langidConfusion(s, d)),
     // epoch-based upsampling (the replication half of data mixing):
     // floor(e) copies + hash-fate fractional copy, map-only explode
     "sample_epochs" -> ((s: SparkSession, d: String) => graft.sample.Sampling.epochUpsample(s, d)),
@@ -1952,6 +1960,40 @@ object SparkEntry {
          FROM r WHERE rank <= 10""",
     "sim_hybrid_rrf" -> graft.sim.Similarity.hybridRrfOracleSql(),
     "sim_radius_search" -> graft.sim.Similarity.radiusSearchOracleSql(),
+    "sample_interleave" ->
+      s"""WITH b AS (SELECT doc_id, source,
+            ${fnvFull("CAST(doc_id AS VARCHAR) || ':ilv'")} AS h FROM documents),
+          r AS (SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rank
+          FROM b),
+          s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx
+                FROM (SELECT DISTINCT source FROM documents)),
+          n AS (SELECT COUNT(*) AS ns FROM s)
+          SELECT CAST((rank - 1) * ns + idx + 1 AS INT) AS slot, r.source, doc_id
+          FROM r JOIN s ON r.source = s.source, n
+          WHERE (rank - 1) * ns + idx + 1 <= 200""",
+    "graph_degree_dist" -> graft.graph.PageRank.degreeDistributionSql,
+    "text_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toks("lower(text)")} AS tk FROM documents),
+          s AS (SELECT doc_id, lang AS lang_declared,
+            CAST(len(list_filter(tk, x -> x IN ('der','und','die','das'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','of','and'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(tk, x -> x IN ('el','la','los','de'))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(tk, x -> x IN ('le','les','une','est'))) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(tk, x -> x IN ('zh'))) AS BIGINT) AS s_zh
+            FROM t),
+          p AS (SELECT lang_declared,
+            CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS lang_pred
+            FROM s),
+          m AS (SELECT lang_declared, lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1, 2)
+          SELECT lang_declared, lang_pred, n_docs,
+            CAST(n_docs AS DOUBLE) /
+              CAST(SUM(n_docs) OVER (PARTITION BY lang_declared) AS DOUBLE) AS declared_share
+          FROM m""",
     "sim_topk_mmr" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_topk_mmr_ivf" -> graft.sim.Mmr.mmrOracleSql(),
     "sim_hard_negatives" ->

@@ -163,6 +163,26 @@ object PageRank {
     ranks(bipartiteEdges(spark, dir), iterations = 5)
       .orderBy(desc("rank"), asc("node")).limit(30)
 
+  /** DEGREE DISTRIBUTION of the interaction graph — the first readout of
+    * any graph audit (skew tells you whether hub mitigation is needed at
+    * all): per side (customer/supplier) and distinct-neighbor degree, the
+    * node count. Two map-side-combined aggregations, nothing else. */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame =
+    bipartiteEdges(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(substring(col("src"), 1, 1).as("side"), col("deg"))
+      .groupBy(col("side"), col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** DuckDB re-derivation of [[degreeDistribution]] (a def: it references
+    * [[bipartiteEdgesSql]], a val declared below — a val here would
+    * capture null under top-to-bottom initializer order). */
+  def degreeDistributionSql: String =
+    s"""WITH ed AS (SELECT src, dst FROM ($bipartiteEdgesSql)),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)
+       |SELECT substring(src, 1, 1) AS side, deg, COUNT(*) AS n_nodes
+       |FROM deg GROUP BY 1, 2""".stripMargin
+
   /** The shared edge-relation SQL (mirrors [[textrankEdges]]). */
   val textrankEdgesSql: String =
     """SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (

@@ -123,6 +123,36 @@ object Sampling {
           Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":cap"))).as("h")),
       Seq("source"), "h", "doc_id", k)
 
+  /** DETERMINISTIC ROUND-ROBIN INTERLEAVE — the dataloader's mixing order:
+    * each source's docs are ranked by hash fate, then slot
+    * (rank−1)·S + source_index + 1 deals sources out one-by-one (the
+    * "interleave datasets" primitive training loops use to avoid
+    * source-correlated batches). Emits the first `slots` positions.
+    *
+    * Scale shape: the per-source ranking runs through the [[graft.plans
+    * .TopK]] physical operator — map-side heaps shed everything beyond
+    * `slots` per source BEFORE the exchange (the [[sourceCap]] argument),
+    * so the shuffle carries ≤ sources·slots rows at any corpus size; the
+    * source-index table is a sources-sized window (broadcast-sized by
+    * nature, the temperatureMixture discipline). */
+  def interleave(spark: SparkSession, dir: String, slots: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = graft.plans.TopK.perKey(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          Fnv32.fnv32(concat(col("doc_id").cast("string"), lit(":ilv"))).as("h")),
+      Seq("source"), "h", "doc_id", slots)
+    val srcIdx = Tables.documents(spark, dir).select(col("source")).distinct()
+      // tiny global window: one row per SOURCE, never per doc
+      .withColumn("idx", row_number().over(Window.orderBy(col("source"))) - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
+    ranked.join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("slot", (col("rank") - 1) * col("ns") + col("idx") + 1)
+      .filter(col("slot") <= slots)
+      .select(col("slot").cast("int"), col("source"), col("doc_id"))
+  }
+
   /** TEMPERATURE-SCALED SOURCE MIXING — the "how much of each source goes
     * into the training mix" step (the multilingual-pretraining sampling rule
     * of Lample & Conneau, "Cross-lingual Language Model Pretraining", 2019:

@@ -122,6 +122,22 @@ object TextAnalysis {
         .otherwise("zh").as("lang_pred"))
   }
 
+  /** LANGID CONFUSION MATRIX — the model-eval readout for [[langId]]:
+    * per (declared, predicted) language pair, the doc count and its share
+    * of the declared language's docs (the diagonal's share IS per-class
+    * recall). The corpus-sized work is langId's map-only scoring; the
+    * matrix is one ≤|langs|² exchange, and the share divides two exact
+    * integers over that tiny frame (the Dsir window precedent). */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang_declared"))
+    langId(spark, dir)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"))
+  }
+
   /** Gopher/C4-style repetition + shape filters (Rae et al. 2021 §A1.1,
     * Raffel et al. 2020 §2.2 — published heuristics every LLM data pipeline
     * applies before training): per document,
