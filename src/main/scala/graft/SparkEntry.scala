@@ -92,6 +92,15 @@ object SparkEntry {
     // A/B readout: hash-split arms, pooled two-proportion z — exact counts,
     // then one fixed IEEE expression tree (no ln, no reassociated sums)
     "ev_ab_test" -> RelationalQueries.evAbTest _,
+    // DAU/WAU/stickiness: corpus collapses ONCE to (day,user); WAU via a
+    // bounded 7-day range join of that frame; HLL merge is the 100 TB swap
+    "ev_dau_wau" -> RelationalQueries.evDauWau _,
+    // pair-cosine histogram on the fixed-count sample: the τ-calibration
+    // readout the LSH thresholds came from, cost pinned at sampleN²/2
+    "sim_pair_hist" -> ((s: SparkSession, d: String) => graft.sim.Similarity.pairCosineHist(s, d)),
+    // Heaps-law vocabulary growth at id-prefix checkpoints: five
+    // conditional count-distincts in ONE aggregate pass
+    "text_vocab_growth" -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     // dirty-CSV ingest: planted-unparseable rows under PERMISSIVE +
     // corrupt-record column; the reader's semantics value-pinned per nation
     "src_csv_dirty" -> graft.sources.Formats.csvDirty _,
@@ -983,6 +992,19 @@ object SparkEntry {
           COALESCE(ord // 1000000 - lco // 1000000 <= 604800000, FALSE) AS attributed,
           CAST(fco % 1000000 AS BIGINT) AS first_click_id
         FROM w WHERE event_type = 'purchase'""",
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+              user_id FROM events),
+          dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+          sp AS (SELECT DISTINCT day AS d FROM ud),
+          wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM sp
+                  JOIN ud ON ud.day BETWEEN d - 6 AND d GROUP BY 1)
+         SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.d""",
+    "sim_pair_hist" -> graft.sim.Similarity.pairCosineHistOracleSql(),
+    "text_vocab_growth" -> TextAnalysis.vocabGrowthOracleSql(),
     // arm fate and every post-count float mirror the engine's exact
     // expression tree — divide/add/multiply/sqrt only, so no rounding
     "ev_ab_test" ->

@@ -1534,6 +1534,32 @@ object RelationalQueries {
         col("tq").cast("double").as("shipped_qty"))
   }
 
+  /** DAU / WAU ACTIVITY — daily actives, trailing-7-day actives, and
+    * their ratio (stickiness), the product-analytics staple. Exact
+    * semantics: the corpus collapses ONCE to the distinct (day, user)
+    * frame — far smaller than events — DAU is a count per day, and WAU(d)
+    * re-counts distinct users over days [d−6, d] via a bounded range join
+    * of the user-day frame against the day spine (≤ 7× user-day rows).
+    * Integer epoch-day arithmetic end-to-end; stickiness is one double
+    * division of exact counts. At 100 TB the documented cutover is
+    * per-day HLL sketches merged over the window (the ev_approx_users
+    * machinery) — the exact form here is the truth it calibrates against. */
+  def evDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(Tables.eventMs.as("ms"), col("user_id"))
+      // integer DIV, not double-divide-then-cast: a ms exactly on a day
+      // boundary can land at k−ε in binary and truncate to the wrong day
+      .select(expr("ms DIV 86400000").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val spine = ud.select(col("day")).distinct().select(col("day").as("d"))
+    val wau = spine.join(ud, col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
   /** A/B EXPERIMENT READOUT — the two-proportion z-test every product
     * experiment ends with: users hash-split into two arms (the sampling
     * family's salted-FNV fate, so assignment is reproducible in both

@@ -1242,6 +1242,48 @@ object Similarity {
        |ORDER BY rrf_score DESC, item_id LIMIT $k""".stripMargin
   }
 
+  /** PAIR-COSINE HISTOGRAM — the calibration readout that PICKS a dedup /
+    * retrieval threshold before anything else runs: the distribution of
+    * pairwise cosines on a fixed-count hash-order sample, binned at 0.1
+    * width over [−1, 1]. Where the near-dup mass separates from the
+    * random-pair bulk is where τ goes (this corpus: bulk ≈ 0, near-dup
+    * band ≈ 0.35, planted production dups ≈ 0.9 — the numbers the LSH
+    * family's thresholds came from, now a registered query instead of a
+    * notebook step).
+    *
+    * Scale shape: the sweep-truth device — a fixed-count sample pins the
+    * quadratic all-pairs cost at sampleN²/2 cosines forever (a rate sample
+    * would be quadratic); bin ids are integer floor((cos6+1)·10) on the
+    * SAME IEEE expression tree both engines evaluate. */
+  def pairCosineHist(spark: SparkSession, dir: String, sampleN: Int = 1000): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .orderBy(graft.functions.Fnv32.fnv32(
+        concat(col("vec_id").cast("string"), lit(":ph"))), col("vec_id"))
+      .limit(sampleN)
+      .repartition(16) // the quadratic truth scan parallelizes
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(graft.functions.VecOps.cosine6Col(col("a.emb"), col("b.emb")).as("c"))
+      .select(least(floor((col("c") + lit(1.0)) * lit(10.0)).cast("int"), lit(19)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), (col("bin").cast("double") / 10.0 - 1.0).as("bin_lo"),
+        col("n_pairs"))
+  }
+
+  /** DuckDB re-derivation of [[pairCosineHist]] — same sample order, same
+    * rounded cosine, same integer binning. */
+  def pairCosineHistOracleSql(sampleN: Int = 1000): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |           ORDER BY ${graft.text.TrainedOracles.fnvSql("CAST(vec_id AS VARCHAR) || ':ph'")},
+       |             vec_id LIMIT $sampleN),
+       |c AS (SELECT ROUND(list_inner_product(a.emb, b.emb) /
+       |        sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)), 6) AS c
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       |bins AS (SELECT LEAST(CAST(FLOOR((c + CAST(1.0 AS DOUBLE)) * CAST(10.0 AS DOUBLE)) AS INT), 19) AS bin FROM c)
+       |SELECT bin, CAST(bin AS DOUBLE) / 10.0 - 1.0 AS bin_lo,
+       |  COUNT(*) AS n_pairs FROM bins GROUP BY 1""".stripMargin
+
   /** RADIUS (ε-ball) SEARCH — the retrieval dual of top-k: every neighbor
     * with cosine ≥ τ, however many there are. The primitive behind
     * duplicate lookup ("anything this close to the new doc?"), recall-set

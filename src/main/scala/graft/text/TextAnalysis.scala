@@ -122,6 +122,50 @@ object TextAnalysis {
         .otherwise("zh").as("lang_pred"))
   }
 
+  /** VOCABULARY GROWTH (Heaps' law readout): distinct-token count at
+    * doc-id-prefix checkpoints (20%..100% of the id range) — the curve
+    * whose flattening says a corpus has stopped contributing new
+    * vocabulary (dataset-card material next to [[profile]]'s type-token
+    * ratio). ONE scan: the five cumulative distinct counts run as
+    * conditional count-distincts in a single aggregate (Catalyst expands
+    * them into one pass); checkpoints derive from max(doc_id), a bounded
+    * 1-row lookup. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // bounded: ONE row — the id range the checkpoints derive from
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val toks = docs.select(col("doc_id"), explode(tokensCol(lower(col("text")))).as("tok"))
+    val pcts = Seq(20, 40, 60, 80, 100)
+    val aggs = pcts.flatMap { p =>
+      val cut = maxId * p / 100
+      Seq(countDistinct(when(col("doc_id") <= cut, col("doc_id"))).as(s"d$p"),
+        countDistinct(when(col("doc_id") <= cut, col("tok"))).as(s"v$p"))
+    }
+    val row = toks.agg(aggs.head, aggs.tail: _*)
+    row.select(pcts.map(p => struct(lit(p).as("pct"),
+        col(s"d$p").as("n_docs"), col(s"v$p").as("vocab"))) match {
+        case cols => explode(array(cols: _*)).as("r")
+      })
+      .select(col("r.pct"), col("r.n_docs"), col("r.vocab"))
+  }
+
+  /** DuckDB re-derivation of [[vocabGrowth]]. */
+  def vocabGrowthOracleSql(): String = {
+    val body = Seq(20, 40, 60, 80, 100).map { p =>
+      s"""SELECT $p AS pct,
+         |  COUNT(DISTINCT CASE WHEN doc_id <= (SELECT MAX(doc_id) * $p // 100 FROM documents)
+         |    THEN doc_id END) AS n_docs,
+         |  COUNT(DISTINCT CASE WHEN doc_id <= (SELECT MAX(doc_id) * $p // 100 FROM documents)
+         |    THEN tok END) AS vocab
+         |FROM (SELECT doc_id, unnest(${toksSqlLower}) AS tok FROM documents)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"SELECT CAST(pct AS INT) AS pct, CAST(n_docs AS BIGINT) AS n_docs, " +
+      s"CAST(vocab AS BIGINT) AS vocab FROM ($body)"
+  }
+
+  private val toksSqlLower =
+    """list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '')"""
+
   /** LANGID CONFUSION MATRIX — the model-eval readout for [[langId]]:
     * per (declared, predicted) language pair, the doc count and its share
     * of the declared language's docs (the diagonal's share IS per-class
