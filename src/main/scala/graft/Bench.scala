@@ -35,14 +35,22 @@ object Bench {
     // order (the dedup family) paying all Janino/JIT compilation and thread
     // -pool spin-up inside their timed best-of-2 — both timed runs of
     // dedup_token_jaccard measured 10x its warm cost on a contended host.
-    bench.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      Checkpoints.releaseTracked()
-    }
+    // 100×-probe knobs: at 30-300 s per query the untimed warmup pass and
+    // the second timed run triple the wall clock for noise reduction the
+    // long runtimes already amortize — SPARK_GRAFT_NO_WARMUP=1 and
+    // SPARK_GRAFT_BENCH_PASSES=1 make the big-fixture recording a single
+    // pass (BENCH_100X.json is recorded that way; the sf0.1 contract runs
+    // keep the default warmup + best-of-2)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP"))
+      bench.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        Checkpoints.releaseTracked()
+      }
     // best-of-2 per query: the second run measures the engine (plan cache +
     // JIT warm), not Janino/JIT first-compile noise on a shared host
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -74,11 +82,17 @@ object Bench {
     // "value" sits LAST so the total always survives) and the COMMITTED
     // artifact below is the authoritative per-query record. BENCH_LOCAL
     // .json stays the gitignored scratch mirror for local A/B archaeology.
-    // BENCH_FULL.json is the committed sf0.1 full-set recording — a gate's
-    // sf0.001 smoke or a subset/10× A/B must NOT clobber it (it did,
-    // twice), so it is written only when this run IS that contract.
+    // BENCH_FULL.json is the committed IDLE sf0.1 full-set recording — a
+    // gate's sf0.001 smoke or a subset/10× A/B must NOT clobber it (it
+    // did, twice), and neither may the DRIVER's contended per-round run
+    // (round-11's VERDICT #8: the committed artifact ended up holding the
+    // contended 101.5 s run while BASELINE.md recorded 93.7 s idle). So it
+    // is written only when the runner explicitly declares the idle
+    // contract via SPARK_GRAFT_IDLE=1; every other run updates only the
+    // gitignored scratch mirror.
     val artifactPaths =
-      if (only.isEmpty && sfName == "sf0.1") Seq("BENCH_LOCAL.json", "BENCH_FULL.json")
+      if (only.isEmpty && sfName == "sf0.1" && sys.env.contains("SPARK_GRAFT_IDLE"))
+        Seq("BENCH_LOCAL.json", "BENCH_FULL.json")
       else Seq("BENCH_LOCAL.json")
     for (p <- artifactPaths)
       try java.nio.file.Files.write(

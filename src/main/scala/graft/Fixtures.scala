@@ -93,6 +93,55 @@ object Fixtures {
     all.filter(col("vec_id") % 50 =!= 0).unionAll(planted)
   }
 
+  // ---- raw-HTML documents (text_html_extract) ----
+
+  /** Documents wrapped in deterministic page chrome — the raw-crawl shape
+    * a web-corpus pipeline starts from, which the clean fixture cannot
+    * supply. Every page gets a nav bar (3 words, all anchor text), the
+    * doc's text as two `<p>` content blocks (split at the word midpoint),
+    * and a footer (5 words, ~half anchor text — the block that word-count
+    * alone would keep and link density must kill); every doc_id ≡ 0
+    * (mod 3) also gets a mid-page ad block. Both engines build the page
+    * from the same fixture bytes, so the extractor's input is identical
+    * byte-for-byte. */
+  def htmlDocs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val h = ((n + lit(1)) / lit(2)).cast("int")
+    val first = array_join(slice(words, lit(1), h), " ")
+    val second = array_join(slice(words, h + lit(1), n - h), " ")
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body>"),
+        lit("""<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>"""),
+        lit("<p>"), first, lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("""<div class="ads">Sponsored <a href="/buy">Buy now</a> <a href="/deal">Deal</a></div>"""))
+          .otherwise(lit("")),
+        lit("<p>"), second, lit("</p>"),
+        lit("""<div class="footer"><a href="/tos">Terms</a> <a href="/priv">Privacy</a> (c) 2026 Graft</div>"""),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** [[htmlDocs]] as a DuckDB CTE body (`SELECT doc_id, html`) — same
+    * literals, same midpoint split. */
+  def htmlDocsSql: String =
+    // operators sit at line ENDS: this fragment is re-interpolated into a
+    // stripMargin'd oracle, and a leading `||` would lose a pipe there
+    """SELECT doc_id,
+      |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+      |  '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' ||
+      |  '<p>' || array_to_string(words[1:h], ' ') || '</p>' ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN '<div class="ads">Sponsored <a href="/buy">Buy now</a> <a href="/deal">Deal</a></div>'
+      |       ELSE '' END ||
+      |  '<p>' || array_to_string(words[h+1:n], ' ') || '</p>' ||
+      |  '<div class="footer"><a href="/tos">Terms</a> <a href="/priv">Privacy</a> (c) 2026 Graft</div>' ||
+      |  '</body></html>' AS html
+      |FROM (SELECT doc_id, words, len(words) AS n, (len(words) + 1) // 2 AS h
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
+
   /** [[evalVecs]] + [[contaminatedTrainVecs]] as DuckDB CTEs `ev(eval_id,
     * ee)` and `tr(train_id, te)` — same sign literals, same operand
     * order (`emb[j] * (1 + 0.3 * s[j])`). */

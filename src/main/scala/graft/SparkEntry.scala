@@ -95,6 +95,10 @@ object SparkEntry {
     // DAU/WAU/stickiness: corpus collapses ONCE to (day,user); WAU via a
     // bounded 7-day range join of that frame; HLL merge is the 100 TB swap
     "ev_dau_wau" -> RelationalQueries.evDauWau _,
+    // the registered 100 TB swap: per-day HLL sketches merged over the
+    // 7-day window (sketch bytes move, never user ids); exact twin rides
+    // along as calibration truth, booleans pin each engine's own estimate
+    "ev_dau_wau_sketch" -> RelationalQueries.evDauWauSketch _,
     // pair-cosine histogram on the fixed-count sample: the τ-calibration
     // readout the LSH thresholds came from, cost pinned at sampleN²/2
     "sim_pair_hist" -> ((s: SparkSession, d: String) => graft.sim.Similarity.pairCosineHist(s, d)),
@@ -345,6 +349,9 @@ object SparkEntry {
     // feature hashing: vocabulary-free 16-dim integer tf vectors built
     // map-only at ZERO exchanges; scalar-exact vector summaries
     "text_feature_hash" -> ((s: SparkSession, d: String) => TextAnalysis.featureHash(s, d)),
+    // raw HTML -> main text: block classification on integer word-count +
+    // link-density signals, one fused map-only expression tree (exch=0)
+    "text_html_extract" -> ((s: SparkSession, d: String) => TextAnalysis.htmlExtract(s, d)),
     // CCNet paragraph-granular dedup: first-occurrence-wins on paragraph
     // hash (planted boilerplate paragraph), cleaned doc value-hashed
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => Dedup.paragraphDedup(s, d)),
@@ -430,7 +437,8 @@ object SparkEntry {
     "sim_topk_brute" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d).toDF()),
     // exact kNN JOIN (every vector a query): bounded chunk-pair local
     // top-k + per-vector merge — the SemDeDup/kNN-descent building block
-    "sim_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d).toDF()),
+    "sim_knn_graph" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraph(s, d, sampleN = 2000).toDF()),
     // the IVF-PRUNED kNN join scale path: candidates per query =
     // nprobe·listsize (ratio-stable rungs, corpus-scaled nlist), swept
     // with a recall-thresholded contract whose nprobe=nlist endpoint must
@@ -455,7 +463,7 @@ object SparkEntry {
     // the AT-REST index: corpus stored partitioned by IVF list id, probes
     // prune parquet partitions; same exact search + oracle as sim_topk_ivf
     "sim_topk_ivf_stored" -> ((s: SparkSession, d: String) => Similarity.ivfTopKStored(
-      s, d, java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index").toDF()),
+      s, d, graft.sources.ArtifactCache.sessionPath(s, "ivfidx") + "/index").toDF()),
     // incremental index maintenance: codebook trained on the 80% base only,
     // the delta assign-and-APPENDED (no retrain, base files untouched),
     // radii max-merged so ball pruning stays sound — search over the merged
@@ -1002,6 +1010,24 @@ object SparkEntry {
          SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
            CAST(wau AS BIGINT) AS wau,
            CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.d""",
+    // exact counts compare bit-equal; each engine's own HLL estimate is
+    // pinned to its own exact count at 5% (the ev_approx_users contract)
+    "ev_dau_wau_sketch" ->
+      """WITH ud AS (SELECT DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+              user_id FROM events),
+          dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau,
+                  approx_count_distinct(user_id) AS dau_est FROM ud GROUP BY 1),
+          sp AS (SELECT DISTINCT day AS d FROM ud),
+          wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau,
+                  approx_count_distinct(user_id) AS wau_est FROM sp
+                  JOIN ud ON ud.day BETWEEN d - 6 AND d GROUP BY 1)
+         SELECT CAST(dau.day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           ABS(CAST(dau_est AS BIGINT) - dau) / CAST(dau AS DOUBLE) <= 0.05
+             AS dau_sketch_ok,
+           ABS(CAST(wau_est AS BIGINT) - wau) / CAST(wau AS DOUBLE) <= 0.05
+             AS wau_sketch_ok
          FROM dau JOIN wau ON dau.day = wau.d""",
     "sim_pair_hist" -> graft.sim.Similarity.pairCosineHistOracleSql(),
     "text_vocab_growth" -> TextAnalysis.vocabGrowthOracleSql(),
@@ -1941,9 +1967,13 @@ object SparkEntry {
     "dedup_semantic" -> graft.dedup.SemDedup.oracleSql(),
     "decontam_semantic" -> graft.dedup.SemDedup.decontamOracleSql(),
     "sample_dsir" -> graft.sample.Dsir.oracleSql(s => fnvFull(s)),
-    // the kNN join is exact: all-pairs truth, every vector as its own query
+    // the kNN join is exact all-pairs truth over the fixed-count
+    // hash-order sample (sample == table at sf <= 0.1, so values are the
+    // full exact graph there; the sample pins the quadratic cost forever)
     "sim_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           ORDER BY ${graft.text.TrainedOracles.fnvSql("CAST(vec_id AS VARCHAR) || ':kg'")},
+             vec_id LIMIT 2000),
          c AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                  list_inner_product(a.emb, b.emb) /
                    sqrt(list_inner_product(a.emb, a.emb) * list_inner_product(b.emb, b.emb)) AS cos
@@ -2242,6 +2272,7 @@ object SparkEntry {
     "sample_kcenter" -> graft.sample.KCenter.oracleSql(),
     "dedup_cdc_chunks" -> graft.dedup.CdcChunks.oracleSql(),
     "text_feature_hash" -> TextAnalysis.featureHashOracleSql(),
+    "text_html_extract" -> TextAnalysis.htmlExtractOracleSql,
     "text_window_cooc" -> TextAnalysis.windowCoocOracleSql(),
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic

@@ -706,17 +706,29 @@ object Dedup {
         .select(col("node"), coalesce(col("jl"), col("label")).as("label"),
           col("prev"))
       // convergence metric OBSERVED inside the checkpoint job itself — the
-      // round runs exactly one action. Task retries can only over-count an
-      // observed metric, which at worst buys one extra (no-op) round; a
-      // true zero stays zero, so convergence remains exact.
+      // round runs exactly one action. A nonzero observation is always
+      // trustworthy (only successful tasks contribute, and any real change
+      // row keeps the loop running), but ZERO is not: a task that fails
+      // AFTER its block was cached is retried, the retry short-circuits on
+      // the cached block, the observe projection never re-runs, and the
+      // failed attempt's updates are DROPPED — the metric under-counts and
+      // can report 0 with changes still in flight. The round-12 chaos gate
+      // caught exactly this (dedup_lsh_components converged one round
+      // early under injected post-body task deaths). So zero is CONFIRMED
+      // against the materialized blocks themselves — one cache-scan job,
+      // paid only on the terminal round (and on the rare under-counted
+      // one, where it correctly keeps the loop alive).
       val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
       val next = jumped
         .observe(obs, sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      val changed = obs.get.get("changed") match {
+      val observed = obs.get.get("changed") match {
         case Some(n: Long) => n
         case _ => 0L // empty frontier: sum over zero rows is null
       }
+      val changed =
+        if (observed != 0L) observed
+        else next.filter(col("label") =!= col("prev")).count()
       // `next` is materialized and `changed` counted: the previous frontier
       // is now a dead block set — release it eagerly instead of waiting for
       // the ContextCleaner (at 100 TB it is a |V|-row pinned set per round)

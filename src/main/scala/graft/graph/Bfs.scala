@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   * Scale shape — frontier iteration under the CC/PageRank round
   * discipline: each round is ONE join of the (shrinking) frontier against
   * the edge relation, a distinct, and an anti-join against the settled
-  * set; every round materializes once (eager localCheckpoint) and releases
-  * the previous round's blocks. The edge relation is checkpointed once and
-  * reused; at 100 TB it rides a bucketed-by-src layout so only the
-  * frontier moves (the `Dedup.BucketedEdgeCutover` argument). Early exit
-  * when the frontier drains — the round count is min(K, eccentricity).
+  * set, materialized by exactly ONE job (eager localCheckpoint); the
+  * drain test reads a row accumulator populated by that same
+  * materialization instead of launching a separate `isEmpty` job, and the
+  * settled set is a lineage union over the ≤K round checkpoints (no
+  * re-materialization of the cumulative frame per round). Accumulator
+  * retry semantics (the round-12 chaos-gate lesson): a nonzero count is
+  * trustworthy (failed attempts' updates are dropped), but a ZERO can be
+  * an under-count — a task failing after its block cached retries against
+  * the cache and never re-runs the counting map — so zero is confirmed by
+  * one `isEmpty` cache-scan, paid on the drain round only (not per
+  * round). The edge relation is checkpointed once and reused; at
+  * 100 TB it rides a bucketed-by-src layout so only the frontier moves
+  * (the `Dedup.BucketedEdgeCutover` argument). Early exit when the
+  * frontier drains — the round count is min(K, eccentricity), at one job
+  * each (the round-11 shape paid a 3-job floor per round).
   */
 object Bfs {
 
@@ -32,34 +42,42 @@ object Bfs {
     val adj = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     // bounded: one row — the deterministic source election
     val source = adj.agg(min(col("src"))).head.getString(0)
-    var dist = Seq((source, 0)).toDF("node", "dist").localCheckpoint(true)
-    var frontier = dist
+    val seed = Seq((source, 0)).toDF("node", "dist").localCheckpoint(true)
+    // each round's checkpoint stays alive until the result is consumed
+    // (the settled set is their lineage union) — ≤ K+1 frames of ≤ |V|
+    // rows total, vs the round-11 shape's cumulative re-checkpoint
+    graft.Checkpoints.track(seed)
+    var dist = seed
+    var frontier = seed
     var d = 1
     var drained = false
     while (d <= maxHops && !drained) {
+      val acc = spark.sparkContext.longAccumulator(s"bfs-frontier-$d")
       val next = adj
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
-        .localCheckpoint(true)
-      if (next.isEmpty) {
+        .as[(String, Int)].map { r => acc.add(1L); r }
+        .toDF("node", "dist")
+        .localCheckpoint(true) // the round's ONE job; acc counts its rows
+      // acc > 0 is always trustworthy (failed attempts' updates are
+      // dropped, so no over-count can fake a row); acc == 0 is NOT — a
+      // task that fails after its block was cached retries against the
+      // cache, the map never re-runs, and its count is lost (the CC
+      // engine's round-12 chaos-gate lesson). Confirm a zero against the
+      // materialized blocks — one cache-scan job, drain round only.
+      if (acc.value == 0L && next.isEmpty) {
         graft.dedup.Dedup.releaseLocalCheckpoint(next)
         drained = true
       } else {
-        val merged = dist.unionAll(next).localCheckpoint(true)
-        graft.dedup.Dedup.releaseLocalCheckpoint(dist)
-        if (frontier ne dist) graft.dedup.Dedup.releaseLocalCheckpoint(frontier)
-        dist = merged
+        graft.Checkpoints.track(next)
+        dist = dist.unionAll(next)
         frontier = next
         d += 1
       }
     }
-    if (frontier ne dist) graft.dedup.Dedup.releaseLocalCheckpoint(frontier)
     graft.dedup.Dedup.releaseLocalCheckpoint(adj)
-    // the returned frame is the last merge's checkpoint — released at the
-    // harness's between-queries drain (the PageRank.ranks discipline)
-    graft.Checkpoints.track(dist)
     dist
   }
 

@@ -1028,14 +1028,23 @@ object RelationalQueries {
     // an external table's path) and deleted on JVM exit
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_${spark.sparkContext.applicationId}"
     registerCleanup(wh)
-    graft.sources.Layout.bucketedWrite(
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
-      "graft_bkt_orders", s"$wh/orders", "o_orderkey", buckets)
-    graft.sources.Layout.bucketedWrite(
-      Tables.lineitem(spark, dir).select(col("l_orderkey"),
-        (dec(col("l_extendedprice")) *
-          (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("rev")),
-      "graft_bkt_lineitem", s"$wh/lineitem", "l_orderkey", buckets)
+    // one bucketed-ingest generation per fixture state (ArtifactCache):
+    // the write is the per-batch ingest cost, the registered query is the
+    // exchange-free join THROUGH the layout — the skip requires the
+    // catalog tables to have survived too (same session)
+    graft.sources.ArtifactCache.cachedBuild(wh,
+      graft.sources.ArtifactCache.fixtureKey(dir) + s":b$buckets",
+      alive = spark.catalog.tableExists("graft_bkt_orders") &&
+        spark.catalog.tableExists("graft_bkt_lineitem")) {
+      graft.sources.Layout.bucketedWrite(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_bkt_orders", s"$wh/orders", "o_orderkey", buckets)
+      graft.sources.Layout.bucketedWrite(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))).as("rev")),
+        "graft_bkt_lineitem", s"$wh/lineitem", "l_orderkey", buckets)
+    }
     graft.sources.Layout.bucketedJoin(spark,
         "graft_bkt_orders", "graft_bkt_lineitem", "o_orderkey", "l_orderkey")
       .groupBy(col("o_orderstatus"))
@@ -1558,6 +1567,49 @@ object RelationalQueries {
     dau.join(wau, col("day") === col("d"))
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  /** The 100 TB form of [[evDauWau]], REGISTERED (the ev_anomaly /
+    * ev_anomaly_sketch pairing): one HyperLogLog++ sketch per day, WAU(d)
+    * as the MERGE of the 7 sketches in [d−6, d] — sketch bytes move
+    * through the window join, never user ids, so the per-day frame the
+    * window re-reads is |days| rows of ~4 KB sketches instead of 7× the
+    * user-day corpus. The exact DAU/WAU ride along as the calibration
+    * truth ([[evDauWau]]'s range-join shape); a production run drops them
+    * and keeps the sketch side.
+    *
+    * Verification follows the [[evApproxUsers]] envelope contract:
+    * sketch estimates are engine-specific bytes, so each engine asserts
+    * ITS OWN estimate lands within 5% of ITS exact count (HLL at
+    * lgConfigK = 12 has ~1.6% standard error — 5% is ≳3σ) and the oracle
+    * compares the exact counts plus the two booleans. */
+  def evDauWauSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(Tables.eventMs.as("ms"), col("user_id"))
+      .select(expr("ms DIV 86400000").as("day"), col("user_id"))
+      .distinct()
+    // ONE pass over the user-day frame produces both the sketch and the
+    // exact truth; everything after this aggregate is |days|-sized
+    val perDay = ud.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
+        countDistinct(col("user_id")).as("dau"))
+    val spine = perDay.select(col("day").as("d"))
+    val wauSk = spine.join(perDay.select(col("day"), col("sk")),
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+    val wauExact = spine.select(col("d").as("d2")).join(ud,
+        col("day").between(col("d2") - 6, col("d2")))
+      .groupBy(col("d2")).agg(countDistinct(col("user_id")).as("wau"))
+    perDay.select(col("day"), col("dau"),
+        hll_sketch_estimate(col("sk")).as("dau_est"))
+      .join(wauSk, col("day") === col("d"))
+      .join(wauExact, col("day") === col("d2"))
+      .select(col("day"), col("dau"), col("wau"),
+        (abs(col("dau_est") - col("dau")).cast("double") /
+          col("dau").cast("double") <= 0.05).as("dau_sketch_ok"),
+        (abs(col("wau_est") - col("wau")).cast("double") /
+          col("wau").cast("double") <= 0.05).as("wau_sketch_ok"))
   }
 
   /** A/B EXPERIMENT READOUT — the two-proportion z-test every product

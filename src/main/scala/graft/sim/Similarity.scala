@@ -522,7 +522,13 @@ object Similarity {
                     numQueries: Int = 8, k: Int = 10,
                     nlist: Int = 16, nprobe: Int = 4): Dataset[Hit] = {
     import spark.implicits._
-    val idx = buildIvfIndex(spark, dir, indexPath, nlist)
+    // one index generation per fixture state: the build (k-means train +
+    // partitioned write) is the ingest; the registered query is the
+    // partition-pruned SEARCH through it (ArtifactCache contract). The
+    // IvfIndex metadata (codebook + radii) memoizes alongside the files.
+    val idx = graft.sources.ArtifactCache.memo(
+      s"ivfstored:$indexPath:$nlist:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
+      buildIvfIndex(spark, dir, indexPath, nlist))
     val queries = vectors(spark, dir).filter(_.vec_id < numQueries).collect()
     searchStoredIndex(spark, idx, queries, k, nprobe)
   }
@@ -924,11 +930,25 @@ object Similarity {
     *
     * Ranking happens on RAW doubles (identical left-to-right dot folds in
     * both engines); the cosine is rounded to 6 decimals only at the output
-    * boundary — the [[bruteForceTopK]] oracle device. */
+    * boundary — the [[bruteForceTopK]] oracle device.
+    *
+    * `sampleN > 0` runs the SAME operator over a fixed-count hash-order
+    * sample (the [[pairCosineHist]] / dedup_lsh_sweep truth device): the
+    * registered `sim_knn_graph` is the exact-semantics DIAGNOSTIC — its
+    * all-pairs exchange is pinned at sampleN²/maxBlock rows forever, so
+    * the registered surface carries zero super-linear plans. At sf ≤ 0.1
+    * the sample IS the whole table (2000 vectors), so recorded values
+    * don't move. The full-corpus form (sampleN = 0) stays the recall-sweep
+    * endpoint and block-invariance truth ([[knnGraphPrunedSweep]] carries
+    * the production-scale contract). */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
-               maxBlock: Int = 256): Dataset[KnnEdge] = {
+               maxBlock: Int = 256, sampleN: Int = 0): Dataset[KnnEdge] = {
     import spark.implicits._
-    val vecs = vectors(spark, dir)
+    val all = vectors(spark, dir)
+    val vecs = if (sampleN <= 0) all else
+      all.orderBy(graft.functions.Fnv32.fnv32(
+          concat(col("vec_id").cast("string"), lit(":kg"))), col("vec_id"))
+        .limit(sampleN).as[Vec]
     val n = vecs.count()
     val nc = math.max(1, ((n + maxBlock - 1) / maxBlock).toInt)
     val exploded = vecs.flatMap { v =>

@@ -90,10 +90,14 @@ object Formats {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = sessionPath(spark, "orc")
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-    graft.Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_linestatus"),
-        dec(col("l_quantity")).as("qty"), dec(col("l_extendedprice")).as("price"))
-      .write.mode("overwrite").orc(path)
+    // one ORC generation per fixture state: the copy is the INGEST, the
+    // registered query is the scan+agg FROM it (ArtifactCache contract)
+    ArtifactCache.cachedBuild(path, ArtifactCache.fixtureKey(dir)) {
+      graft.Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dec(col("l_quantity")).as("qty"), dec(col("l_extendedprice")).as("price"))
+        .write.mode("overwrite").orc(path)
+    }
     spark.read.orc(path)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("qty")).cast("double").as("sum_qty"),

@@ -335,7 +335,13 @@ object QualityClassifier {
     * at the rounded surface. */
   def scored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (w, _) = trainNewton(featurize(spark, dir))
+    // weights memoized per fixture generation: the IRLS fit is
+    // bit-deterministic (fixed-point treeAggregate), so a repeat over the
+    // same fixture bytes recomputes the identical vector — cache the train
+    // cost, never the value (the ArtifactCache ingest-vs-query contract)
+    val (w, _) = graft.sources.ArtifactCache.memo(
+      s"qclf:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
+      trainNewton(featurize(spark, dir)))
     // model as a table: one row per hashed bucket, weights in ×2^24
     // FIXED-POINT Longs — the per-doc token margin is then an INTEGER sum
     // (exact, order-free) divided once, so the DuckDB oracle built by

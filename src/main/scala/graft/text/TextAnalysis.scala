@@ -736,4 +736,70 @@ object TextAnalysis {
        |  CAST(COALESCE(top.top_dim, 0) AS INT) AS top_dim,
        |  CAST(COALESCE(top.top_tf, 0) AS BIGINT) AS top_tf
        |FROM t LEFT JOIN s USING (doc_id) LEFT JOIN top USING (doc_id)""".stripMargin
+
+  // ---------------------------------------- HTML main-text extraction
+
+  /** HTML → MAIN TEXT (boilerplate removal) — the FIRST stage of every
+    * real web-corpus pipeline (raw crawl → clean text), upstream of all
+    * hygiene/dedup operators in this repo: block-level classification in
+    * the jusText/trafilatura tradition (Pomikálek 2011), on two integer
+    * signals per block — word count and LINK DENSITY (anchor-text chars /
+    * text chars). Nav bars and ad blocks die on word count; footers (5+
+    * words, half of them links) die on density — word count alone cannot
+    * kill them, which is why the density signal exists.
+    *
+    * Implementation is one fused codegen'd expression tree per row — the
+    * page is marked at block-opening tags (`<p|div|h1|li`), split, and the
+    * block array flows through `filter`/`transform` higher-order functions
+    * (never an explode → reassemble round trip), so the whole operator is
+    * MAP-ONLY: zero exchanges at any corpus size, and the classification
+    * is pure integer arithmetic (3·link_chars ≤ text_chars, n_words ≥ 5 —
+    * no float contract). Kept blocks concatenate in page order; the
+    * per-doc digest is the md5 of that extraction (the mm_* recipe
+    * contract: the oracle re-derives the identical plant and extractor,
+    * so digests compare bit-exact). */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    def txt(b: Column): Column =
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
+    def noAnchorTxt(b: Column): Column =
+      trim(regexp_replace(regexp_replace(
+        regexp_replace(b, "<a[^>]*>.*?</a>", " "), "<[^>]*>", " "), "\\s+", " "))
+    val marked = regexp_replace(col("html"), "<(p|div|h1|li)([ >])", "\u0001<$1$2")
+    val blocks = split(marked, "\u0001")
+    val kept = filter(blocks, b =>
+      size(split(txt(b), " ")) >= 5 &&
+        (length(txt(b)) - length(noAnchorTxt(b))) * 3 <= length(txt(b)))
+    val extracted = array_join(transform(kept, b => txt(b)), "\n")
+    graft.Fixtures.htmlDocs(spark, dir)
+      .select(col("doc_id"), kept.as("kept"), extracted.as("extracted"))
+      .select(col("doc_id"), md5(col("extracted")).as("text_md5"),
+        size(col("kept")).as("n_blocks_kept"),
+        length(col("extracted")).cast("bigint").as("n_chars"))
+  }
+
+  /** DuckDB re-derivation of [[htmlExtract]]: the same plant
+    * ([[graft.Fixtures.htmlDocsSql]]), the same mark-split-classify chain
+    * as list lambdas. RE2 has no lookahead, so the block split marks tags
+    * with a control char first (both engines). */
+  def htmlExtractOracleSql: String = {
+    def txt(b: String): String =
+      s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+    def noAnchorTxt(b: String): String =
+      s"trim(regexp_replace(regexp_replace(regexp_replace($b, '<a[^>]*>.*?</a>', ' ', 'g'), '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH hd AS (${graft.Fixtures.htmlDocsSql}),
+       |b AS (SELECT doc_id,
+       |    string_split(regexp_replace(html, '<(p|div|h1|li)([ >])',
+       |      chr(1) || '<\\1\\2', 'g'), chr(1)) AS blocks FROM hd),
+       |k AS (SELECT doc_id,
+       |    list_filter(blocks, b ->
+       |      len(string_split(${txt("b")}, ' ')) >= 5 AND
+       |      (length(${txt("b")}) - length(${noAnchorTxt("b")})) * 3
+       |        <= length(${txt("b")})) AS kept FROM b),
+       |e AS (SELECT doc_id, kept,
+       |    array_to_string(list_transform(kept, b -> ${txt("b")}), chr(10)) AS extracted
+       |  FROM k)
+       |SELECT doc_id, md5(extracted) AS text_md5,
+       |  CAST(len(kept) AS INT) AS n_blocks_kept,
+       |  CAST(length(extracted) AS BIGINT) AS n_chars FROM e""".stripMargin
+  }
 }

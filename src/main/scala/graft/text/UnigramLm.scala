@@ -159,9 +159,17 @@ object UnigramLm {
       .take(math.max(0, seedSize - chars.length))).distinct.toSeq
   }
 
-  /** Seed + EM + prune + EM. Returns the final model sorted by piece. */
+  /** Seed + EM + prune + EM. Returns the final model sorted by piece.
+    * Memoized per fixture generation (bit-deterministic trainer — the
+    * ArtifactCache ingest-vs-query contract, as [[BpeTrain.trainMerges]]). */
   def train(spark: SparkSession, dir: String, vocabSize: Int = 64,
-            seedSize: Int = 512, maxPieceLen: Int = 6, emIters: Int = 2): Seq[Piece] = {
+            seedSize: Int = 512, maxPieceLen: Int = 6, emIters: Int = 2): Seq[Piece] =
+    graft.sources.ArtifactCache.memo(
+      s"uni:$vocabSize:$seedSize:$maxPieceLen:$emIters:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
+      trainNow(spark, dir, vocabSize, seedSize, maxPieceLen, emIters))
+
+  private def trainNow(spark: SparkSession, dir: String, vocabSize: Int,
+                       seedSize: Int, maxPieceLen: Int, emIters: Int): Seq[Piece] = {
     val words = wordCounts(spark, dir)
     val seeded = seed(words, seedSize, maxPieceLen)
     var model = toModel(seeded)
@@ -297,9 +305,10 @@ object UnigramLm {
     * coverage rule), then one refit. Skeleton, seeding and tie-breaks are
     * [[train]]'s; only the E-step changes. */
   def trainSoft(spark: SparkSession, dir: String, vocabSize: Int = 64,
-                seedSize: Int = 512, maxPieceLen: Int = 6, emIters: Int = 2): Seq[Piece] = {
-    trainSoftOn(wordCounts(spark, dir), vocabSize, seedSize, maxPieceLen, emIters)
-  }
+                seedSize: Int = 512, maxPieceLen: Int = 6, emIters: Int = 2): Seq[Piece] =
+    graft.sources.ArtifactCache.memo(
+      s"unisoft:$vocabSize:$seedSize:$maxPieceLen:$emIters:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
+      trainSoftOn(wordCounts(spark, dir), vocabSize, seedSize, maxPieceLen, emIters))
 
   /** [[trainSoft]] over an explicit (word, count) frame. */
   private def trainSoftOn(words: DataFrame, vocabSize: Int, seedSize: Int,

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * - TPC-H keys += copy·10,000,000 — far above any base key, applied to
   *   both sides of every FK so joins keep their selectivity.
   *
+  * Copies > 10 switch to WIDE 10⁹ strides (the 100× probe regime — see
+  * the stride-regime comment in `main`); ≤ 10 byte-reproduces the
+  * committed 10× fixture.
+  *
   * Run: `runMain graft.tools.TenXGen [outDir] [srcDir] [copies]`, then
   * `SPARK_GRAFT_SF_DIR=outDir runMain graft.Bench`. */
 object TenXGen {
@@ -42,6 +46,19 @@ object TenXGen {
       require(mx < bound, s"[tenx] max($idCol) = $mx >= offset stride $bound: " +
         s"copies would collide; shrink the source fixture or widen the stride")
     }
+    // Two stride regimes (round-12, VERDICT r11 #3):
+    //   - copies <= 10: the LEGACY strides, byte-reproducing the committed
+    //     10x fixture (BENCH_10X comparability) and keeping EVERY query
+    //     contract intact (event_id stays under ev_ohlc's 10^6 packing);
+    //   - copies > 10 (the 100x probe): WIDE strides derived from the
+    //     measured maxima + each table's plant band, all rounded up to
+    //     10^9 — copy bands leave the plant offsets (+10^6/+2*10^6 vec,
+    //     +10^7/+2*10^7 doc) inside each copy's unused gap, so the LSH /
+    //     case-variant / contamination plants stay collision-free at ANY
+    //     copy count that fits a Long. Out-of-envelope in wide mode (and
+    //     loudly printed): ev_ohlc's event_id<10^6 packing injectivity —
+    //     the 100x recording targets the top-10 heavy queries, not it.
+    val wide = nCopies > 10
     guard(graft.Tables.events(spark, src), "event_id", 100000L)
     guard(graft.Tables.embeddings(spark, src).select(col("vec_id")), "vec_id", 100000L)
     guard(graft.Tables.documents(spark, src).select(col("doc_id")), "doc_id", 1000000L)
@@ -52,15 +69,21 @@ object TenXGen {
     guard(graft.Tables.customer(spark, src).select(col("c_custkey")), "c_custkey", 10000000L)
     guard(graft.Tables.supplier(spark, src).select(col("s_suppkey")), "s_suppkey", 10000000L)
     guard(graft.Tables.part(spark, src).select(col("p_partkey")), "p_partkey", 10000000L)
-    require(nCopies <= 10, s"[tenx] $nCopies copies would overflow the " +
-      "100k event/vec strides (10 copies max at the base fixture ranges)")
+    val W = 1000000000L // wide stride: 10^9 > every base max + plant band
+    require(!wide || nCopies.toLong * W > 0 && nCopies.toLong < Long.MaxValue / W,
+      s"[tenx] $nCopies copies overflow Long at stride $W")
+    if (wide) println(s"[tenx] WIDE mode ($nCopies copies, stride $W): " +
+      "ev_ohlc's event_id<10^6 packing contract is OUT OF ENVELOPE on this fixture")
 
     val cps = spark.range(nCopies).select(col("id").as("cp"))
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[tenx] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
-    val K = 10000000L
+    val K = if (wide) W else 10000000L
+    val strideEvent = if (wide) W else 100000L
+    val strideDoc = if (wide) W else 1000000L
+    val strideVec = if (wide) W else 100000L
 
     // dimensions: fixed (the TPC-H scaling model)
     write(graft.Tables.region(spark, src), "region")
@@ -91,7 +114,7 @@ object TenXGen {
     // written back as BIGINT (normalizeEventTs passes LONG through on read)
     val maxUser = graft.Tables.events(spark, src).agg(max(col("user_id"))).head().getLong(0)
     write(graft.Tables.events(spark, src).crossJoin(cps)
-      .select((col("event_id") + col("cp") * 100000L).as("event_id"), col("ts"),
+      .select((col("event_id") + col("cp") * strideEvent).as("event_id"), col("ts"),
         (col("user_id") + col("cp") * (maxUser + 1L)).as("user_id"),
         col("event_type"), col("value"), col("props")), "events")
 
@@ -102,8 +125,13 @@ object TenXGen {
       .as[(Long, String, String, String, Long)]
       .flatMap { case (id, text, lang, source, _) =>
         (0 until nCopies).iterator.map { i =>
-          val t = if (i == 0) text else text + " c" + ('a' + i).toChar
-          (id + i * 1000000L, t, lang, source, t.length.toLong)
+          // wide mode: base-26 LETTER suffix — ('a'+i) leaves \p{L} past
+          // i≈25, the tokenizer would drop it and collapse copies into
+          // byte-equal-after-tokenization cliques, skewing dedup workloads
+          val t = if (i == 0) text
+            else if (wide) text + " c" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+            else text + " c" + ('a' + i).toChar
+          (id + i * strideDoc, t, lang, source, t.length.toLong)
         }
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
     write(docs, "documents")
@@ -123,7 +151,7 @@ object TenXGen {
               val sign = if (((s >> 16) & 1L) == 1L) 1.0f else -1.0f
               x * (1.0f + 0.6f * sign)
             }
-            (id + i * 100000L, out, label)
+            (id + i * strideVec, out, label)
           }
         }
       }.toDF("vec_id", "embedding", "label")

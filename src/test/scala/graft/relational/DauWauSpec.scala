@@ -33,6 +33,27 @@ class DauWauSpec extends AnyFunSuite {
       "WAU never exceeds DAU — the 7-day window is vacuous on this fixture")
   }
 
+  test("ev_dau_wau_sketch: exact twin == ev_dau_wau; HLL envelope holds at two parallelisms") {
+    def run(): Map[Long, (Long, Long, Boolean, Boolean)] =
+      RelationalQueries.evDauWauSketch(spark, sf).collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val got = run()
+    val exact = RelationalQueries.evDauWau(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == exact,
+      "sketch twin's exact columns drifted from ev_dau_wau")
+    assert(got.values.forall(v => v._3 && v._4),
+      "HLL estimate outside the 5% envelope at default parallelism")
+    // the registered surface (exact counts + booleans) must not depend on
+    // how the per-day sketches were partitioned before the window merge
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == got, "sketch readout depends on parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("sim_pair_hist: bins partition all sample pairs; mass concentrated near zero") {
     val rows = graft.sim.Similarity.pairCosineHist(spark, sf).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))

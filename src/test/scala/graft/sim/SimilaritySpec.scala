@@ -310,5 +310,11 @@ class SimilaritySpec extends AnyFunSuite {
         assert(gc == BigDecimal(wc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }
+    // the registered fixed-count diagnostic form: at spec sf the sample IS
+    // the whole table, so sampling must be a no-op on values (the device
+    // that pins the quadratic exchange at sampleN² rows forever)
+    val sampled = asMap(Similarity.knnGraph(spark, sf, k = 3, sampleN = 2000).collect())
+    val full = asMap(Similarity.knnGraph(spark, sf, k = 3).collect())
+    assert(sampled == full, "sample != table at spec sf — sampleN device broke values")
   }
 }
