@@ -142,6 +142,45 @@ object Fixtures {
       |FROM (SELECT doc_id, words, len(words) AS n, (len(words) + 1) // 2 AS h
       |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
 
+  // ---- crawl URLs (dedup_url) ----
+
+  /** One raw URL per document, planted so every 5-doc band points at the
+    * SAME page through the five aliasing channels a real crawl produces:
+    * the plain form, scheme+host case noise with a trailing slash, a
+    * `www.` prefix with the explicit default port, tracking parameters
+    * (utm_*), and — the deliberate NON-dup — a variant whose query
+    * carries a real `id` parameter (plus a tracking param and a
+    * fragment): canonicalization must strip the noise AND preserve the
+    * meaningful parameter, or it either misses dups or merges distinct
+    * pages. */
+  def urlDocs(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id DIV 5")
+    val h = concat(lit("ex-"), (g % 7).cast("string"), lit(".org"))
+    val p = concat(lit("/docs/"), g.cast("string"))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit("https://"), h, p))
+        .when(col("doc_id") % 5 === 1, concat(lit("HTTPS://"), upper(h), p, lit("/")))
+        .when(col("doc_id") % 5 === 2, concat(lit("https://www."), h, lit(":443"), p))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://"), h, p, lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://"), h, p, lit("?id=7&utm_medium=a#frag")))
+        .as("url"))
+  }
+
+  /** [[urlDocs]] as a DuckDB CTE body (`SELECT doc_id, url`). */
+  def urlDocsSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'https://' || h || p
+      |    WHEN 1 THEN 'HTTPS://' || upper(h) || p || '/'
+      |    WHEN 2 THEN 'https://www.' || h || ':443' || p
+      |    WHEN 3 THEN 'https://' || h || p || '?utm_source=feed&utm_campaign=x'
+      |    ELSE 'https://' || h || p || '?id=7&utm_medium=a#frag' END AS url
+      |FROM (SELECT doc_id,
+      |        'ex-' || CAST((doc_id // 5) % 7 AS VARCHAR) || '.org' AS h,
+      |        '/docs/' || CAST(doc_id // 5 AS VARCHAR) AS p
+      |      FROM documents)""".stripMargin
+
   /** [[evalVecs]] + [[contaminatedTrainVecs]] as DuckDB CTEs `ev(eval_id,
     * ee)` and `tr(train_id, te)` — same sign literals, same operand
     * order (`emb[j] * (1 + 0.3 * s[j])`). */

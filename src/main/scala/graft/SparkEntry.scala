@@ -339,6 +339,10 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => graft.sample.Packing.packSequences(s, d)),
     // dedup family
     "dedup_exact" -> Dedup.exact _,
+    // crawl stage-zero: URL canonicalization dedup (case/port/www/slash/
+    // tracking-param noise collapsed, meaningful params kept + sorted) —
+    // map-only normalize, one exchange on the canonical key
+    "dedup_url" -> ((s: SparkSession, d: String) => Dedup.urlDedup(s, d)),
     // normalization-aware exact dedup (casefold + non-alnum collapse, then
     // hash) over the planted formatting-variant corpus; same one-exchange
     // shape as dedup_exact
@@ -1575,6 +1579,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY text""",
+    "dedup_url" -> Dedup.urlDedupOracleSql,
     // re-plant the formatting variants, normalize, group on the normalized
     // hash; only groups that actually collapsed (n_docs > 1) report
     "dedup_normalized" ->

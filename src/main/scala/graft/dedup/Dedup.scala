@@ -1175,4 +1175,87 @@ object Dedup {
             when(col("kept"), struct(col("para_idx"), col("para"))))),
           x => x("para")), "\n")).as("clean_hash"))
   }
+
+  // ---------------------------------------- URL canonicalization dedup
+
+  /** Canonical form of a raw URL — the crawl pipeline's STAGE-ZERO dedup
+    * key (upstream even of `text_html_extract`: don't fetch or store the
+    * same page twice). RFC 3986 §6 normalization as one codegen'd
+    * expression chain: scheme and host case-fold (paths do NOT — /Docs ≠
+    * /docs), fragment dropped, default port stripped per scheme, leading
+    * `www.` dropped, trailing path slashes collapsed, tracking parameters
+    * (utm_*, fbclid, gclid) removed while MEANINGFUL parameters are kept
+    * and order-normalized (the subtle half: over-stripping merges
+    * distinct pages, under-stripping misses dups). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val hostDefPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(hostDefPort, "^www\\.", "")
+    val pathQ = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(split(regexp_extract(pathQ, "\\?(.*)$", 1), "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === ""))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** The registered `dedup_url` query: documents grouped by their URL's
+    * canonical form — canonical keeper = min doc_id, with the group size
+    * (the crawl-frontier dedup verdict). Scale shape: the normalization is
+    * MAP-ONLY on the scan; one exchange keyed by the canonical string
+    * builds the group table, and the join back is on the same key — at
+    * 100 TB the canonical key also makes the natural bucketed-layout /
+    * frontier-partitioning column. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val canon = graft.Fixtures.urlDocs(spark, dir)
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+    val groups = canon.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    canon.join(groups, "canon_url")
+      .select(col("doc_id"), col("canon_url"), col("canonical_id"),
+        col("group_size"), (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  /** DuckDB re-derivation of [[urlDedup]] — same plant
+    * ([[graft.Fixtures.urlDocsSql]]), same normalization chain as RE2
+    * regex + list ops. */
+  def urlDedupOracleSql: String =
+    s"""WITH raw AS (${graft.Fixtures.urlDocsSql}),
+       |c AS (SELECT doc_id,
+       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM raw)),
+       |p AS (SELECT doc_id, scheme,
+       |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+       |    regexp_replace(rest, '^[^/?]+', '') AS pathq FROM c),
+       |n AS (SELECT doc_id, scheme,
+       |    regexp_replace(CASE
+       |        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |        ELSE hostport END, '^www\\.', '') AS host,
+       |    CASE WHEN regexp_replace(COALESCE(regexp_extract(pathq, '^([^?]*)', 1), ''), '/+$$', '') = ''
+       |         THEN '/' ELSE regexp_replace(COALESCE(regexp_extract(pathq, '^([^?]*)', 1), ''), '/+$$', '') END AS path,
+       |    -- DuckDB array_to_string over an EMPTY list yields NULL (Spark
+       |    -- array_join: '') — without the COALESCE every query-less URL's
+       |    -- whole canon string goes NULL and the groups collapse
+       |    COALESCE(array_to_string(list_sort(list_filter(
+       |        string_split(COALESCE(regexp_extract(pathq, '\\?(.*)$$', 1), ''), '&'),
+       |        q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'fbclid=')
+       |                  OR starts_with(q, 'gclid=') OR q = ''))), '&'), '') AS qs
+       |  FROM p),
+       |k AS (SELECT doc_id, scheme || '://' || host || path ||
+       |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url FROM n),
+       |g AS (SELECT canon_url, MIN(doc_id) AS canonical_id,
+       |    COUNT(*) AS group_size FROM k GROUP BY 1)
+       |SELECT k.doc_id, k.canon_url, g.canonical_id, g.group_size,
+       |  k.doc_id = g.canonical_id AS keep
+       |FROM k JOIN g USING (canon_url)""".stripMargin
 }
