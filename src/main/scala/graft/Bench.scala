@@ -42,6 +42,9 @@ object Bench {
     // pass (BENCH_100X.json is recorded that way; the sf0.1 contract runs
     // keep the default warmup + best-of-2)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // 0/negative would make `times` empty and times.min throw — AFTER the
+    // possibly multi-minute warmup pass already ran
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP"))
       bench.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }

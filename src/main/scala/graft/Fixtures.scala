@@ -104,13 +104,19 @@ object Fixtures {
     * (mod 3) also gets a mid-page ad block. Both engines build the page
     * from the same fixture bytes, so the extractor's input is identical
     * byte-for-byte. */
-  def htmlDocs(spark: SparkSession, dir: String): DataFrame = {
+  def htmlDocs(spark: SparkSession, dir: String): DataFrame =
+    htmlDocsFrom(Tables.documents(spark, dir))
+
+  /** [[htmlDocs]] over any (doc_id, text, …) frame — batch or readStream
+    * (the page construction is stateless column algebra), so the crawl
+    * pipeline's streaming twin can synthesize pages on arrival. */
+  def htmlDocsFrom(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val n = size(words)
     val h = ((n + lit(1)) / lit(2)).cast("int")
     val first = array_join(slice(words, lit(1), h), " ")
     val second = array_join(slice(words, h + lit(1), n - h), " ")
-    Tables.documents(spark, dir).select(col("doc_id"),
+    docs.select(col("doc_id"),
       concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
         lit("</title></head><body>"),
@@ -153,11 +159,16 @@ object Fixtures {
     * fragment): canonicalization must strip the noise AND preserve the
     * meaningful parameter, or it either misses dups or merges distinct
     * pages. */
-  def urlDocs(spark: SparkSession, dir: String): DataFrame = {
+  def urlDocs(spark: SparkSession, dir: String): DataFrame =
+    urlDocsFrom(Tables.documents(spark, dir))
+
+  /** [[urlDocs]] over any (doc_id, …) frame — stateless column algebra,
+    * usable on a readStream for the crawl pipeline's streaming twin. */
+  def urlDocsFrom(docs: DataFrame): DataFrame = {
     val g = expr("doc_id DIV 5")
     val h = concat(lit("ex-"), (g % 7).cast("string"), lit(".org"))
     val p = concat(lit("/docs/"), g.cast("string"))
-    Tables.documents(spark, dir).select(col("doc_id"),
+    docs.select(col("doc_id"),
       when(col("doc_id") % 5 === 0, concat(lit("https://"), h, p))
         .when(col("doc_id") % 5 === 1, concat(lit("HTTPS://"), upper(h), p, lit("/")))
         .when(col("doc_id") % 5 === 2, concat(lit("https://www."), h, lit(":443"), p))

@@ -419,6 +419,11 @@ object SparkEntry {
     // hygiene -> dedup -> decontam -> mixture -> packing accounting, every
     // verdict fused map-only except the dedup keep-list join
     "pipeline_training_set" -> ((s: SparkSession, d: String) => graft.pipeline.TrainingPipeline.trainingSetCounts(s, d)),
+    // the crawl-ingest capstone: url dedup -> HTML extraction -> hygiene
+    // (over the EXTRACTED text) -> decontam, as one funnel row — stages
+    // 1-3 fused map-only over the page scan, stage 0 the canonical-key
+    // exchange of dedup_url
+    "pipeline_crawl" -> ((s: SparkSession, d: String) => graft.pipeline.CrawlPipeline.crawlFunnel(s, d)),
     // incremental ingest dedup: arriving batch (top 20% of the doc_id
     // range — the ingest watermark) vs existing corpus only — candidate
     // generation scales with the batch, not corpus²
@@ -2278,6 +2283,7 @@ object SparkEntry {
     "dedup_cdc_chunks" -> graft.dedup.CdcChunks.oracleSql(),
     "text_feature_hash" -> TextAnalysis.featureHashOracleSql(),
     "text_html_extract" -> TextAnalysis.htmlExtractOracleSql,
+    "pipeline_crawl" -> graft.pipeline.CrawlPipeline.crawlFunnelOracleSql,
     "text_window_cooc" -> TextAnalysis.windowCoocOracleSql(),
     // the media payload is the UTF-8 encoding of `text`; the oracle rebuilds
     // each byte's high nibble from code points with UTF-8 arithmetic

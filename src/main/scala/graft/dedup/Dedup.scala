@@ -1186,7 +1186,22 @@ object Dedup {
     * `www.` dropped, trailing path slashes collapsed, tracking parameters
     * (utm_*, fbclid, gclid) removed while MEANINGFUL parameters are kept
     * and order-normalized (the subtle half: over-stripping merges
-    * distinct pages, under-stripping misses dups). */
+    * distinct pages, under-stripping misses dups).
+    *
+    * Pinned edge-case decisions (UrlDedupSpec case table):
+    * - NON-default ports are kept (`:8080` stays; only `:80`/`:443` on
+    *   their matching scheme are default);
+    * - percent-encoding is NOT normalized — `%7E` and `~` stay distinct
+    *   (RFC 3986 §6.2.2.2 would merge unreserved escapes, but partial
+    *   decoding is the classic over-merge bug: decoding `%2F` in a path
+    *   changes its structure. A crawler that needs escape folding should
+    *   fold BEFORE this key; the safe engine default is byte-faithful);
+    * - duplicate query keys are kept, sorted lexicographically with the
+    *   rest (`b=2&b=1` → `b=1&b=2` — dedup would change GET semantics);
+    * - scheme-less and userinfo-carrying URLs pass through structurally
+    *   (`host/p` → `://host/p`, userinfo kept verbatim): both are crawl
+    *   anomalies this stage refuses to guess about — they group only with
+    *   their byte-identical kin. */
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -1228,7 +1243,16 @@ object Dedup {
     * ([[graft.Fixtures.urlDocsSql]]), same normalization chain as RE2
     * regex + list ops. */
   def urlDedupOracleSql: String =
-    s"""WITH raw AS (${graft.Fixtures.urlDocsSql}),
+    s"""WITH $urlCanonCtesSql
+       |SELECT k.doc_id, k.canon_url, g.canonical_id, g.group_size,
+       |  k.doc_id = g.canonical_id AS keep
+       |FROM k JOIN g USING (canon_url)""".stripMargin
+
+  /** The canonicalization + grouping chain as a CTE fragment (`k` =
+    * (doc_id, canon_url), `g` = per-canon groups) — shared by the
+    * standalone oracle and the crawl-pipeline capstone's. */
+  def urlCanonCtesSql: String =
+    s"""raw AS (${graft.Fixtures.urlDocsSql}),
        |c AS (SELECT doc_id,
        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
@@ -1254,8 +1278,5 @@ object Dedup {
        |k AS (SELECT doc_id, scheme || '://' || host || path ||
        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url FROM n),
        |g AS (SELECT canon_url, MIN(doc_id) AS canonical_id,
-       |    COUNT(*) AS group_size FROM k GROUP BY 1)
-       |SELECT k.doc_id, k.canon_url, g.canonical_id, g.group_size,
-       |  k.doc_id = g.canonical_id AS keep
-       |FROM k JOIN g USING (canon_url)""".stripMargin
+       |    COUNT(*) AS group_size FROM k GROUP BY 1)""".stripMargin
 }

@@ -50,24 +50,32 @@ object TrainingPipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         size(col("tk")).cast("bigint").as("n_tokens"),
         // hygiene facts, fused: wordlist ratio + Gopher shape/repetition
-        (size(filter(col("tk"), t => t.isInCollection(blocked))).cast("double") /
-          size(col("tk"))).as("blocked_frac"),
-        (aggregate(transform(col("tk"), t => length(t).cast("bigint")),
-          lit(0L), (a, x) => a + x).cast("double") / size(col("tk"))).as("mean_word_len"),
-        graft.functions.TextHash.gramStatsCol(col("tk")).as("gs"),
+        hygienePass(col("tk"), blocked).as("pass_hygiene"),
         // decontamination probe against the broadcast eval-gram set — the
         // same fused column the streaming ingest twin uses
         Dedup.decontamStreamCol(col("text"), evalGrams).as("n_shared"),
         graft.sample.Sampling.bucketCol(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_tokens"),
-        (!(col("blocked_frac") > 0.05) &&
-          col("n_tokens") >= 30 && col("mean_word_len") >= 3.0 &&
-          col("mean_word_len") <= 10.0 &&
-          col("gs")(0).cast("double") / col("gs")(1) <= 0.1 &&
-          (col("gs")(2) - col("gs")(3)).cast("double") / col("gs")(2) <= 0.05)
-          .as("pass_hygiene"),
+        col("pass_hygiene"),
         (col("doc_id") % 50 =!= 0 && col("n_shared") === 0).as("pass_decontam"),
         (col("bucket") < rateCol).as("pass_mixture"))
+  }
+
+  /** The HYGIENE verdict over a token-array column — C4 wordlist ratio +
+    * Gopher shape/repetition rules as ONE fused boolean expression (the
+    * thresholds live here and nowhere else; [[verdictFlags]] and the crawl
+    * pipeline share this column, so the two funnels cannot drift). */
+  def hygienePass(tk: org.apache.spark.sql.Column,
+                  blocked: Seq[String] = Seq("slow", "big", "bad")): org.apache.spark.sql.Column = {
+    val blockedFrac =
+      size(filter(tk, t => t.isInCollection(blocked))).cast("double") / size(tk)
+    val meanWordLen = aggregate(transform(tk, t => length(t).cast("bigint")),
+      lit(0L), (a, x) => a + x).cast("double") / size(tk)
+    val gs = graft.functions.TextHash.gramStatsCol(tk)
+    !(blockedFrac > 0.05) &&
+      size(tk).cast("bigint") >= 30 && meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      gs(0).cast("double") / gs(1) <= 0.1 &&
+      (gs(2) - gs(3)).cast("double") / gs(2) <= 0.05
   }
 
   /** Per-document stage verdicts + the cumulative keep decision. One

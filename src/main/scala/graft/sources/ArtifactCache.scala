@@ -27,13 +27,32 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object ArtifactCache {
 
-  /** Fingerprint of a fixture dir: sorted (parquet name, size, mtime). */
+  /** Fingerprint of a fixture dir: sorted (parquet name, size, mtime) —
+    * recursing INTO `*.parquet` directories (Spark tables are directories:
+    * their `File.length` is filesystem metadata and their mtime only moves
+    * on direct-child create/delete, so a part file rewritten in place
+    * would leave the directory entry unchanged and serve stale artifacts;
+    * the part files' own (name, size, mtime) are the actual content
+    * signal). */
   def fixtureKey(dir: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+          .map(sig).mkString(s"${f.getName}:[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(sig)
       .mkString(s"$dir|", ",", "")
   }
+
+  /** Drop every memoized value so the next caller RETRAINS. The chaos gate
+    * needs this between its clean and injected sessions: memo keys carry
+    * only the fixture fingerprint, so without a clear the chaos session
+    * would reuse artifacts trained fault-free in the clean session and the
+    * trainers would never run under injection — byte-equality for the
+    * trained families would be vacuous. */
+  def clear(): Unit = values.clear()
 
   private val cleanupRegistered = ConcurrentHashMap.newKeySet[String]()
 

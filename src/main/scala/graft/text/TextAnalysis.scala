@@ -758,18 +758,27 @@ object TextAnalysis {
     * per-doc digest is the md5 of that extraction (the mm_* recipe
     * contract: the oracle re-derives the identical plant and extractor,
     * so digests compare bit-exact). */
-  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+  /** The extraction itself as `(kept, extracted)` columns over an `html`
+    * column -- shared by the registered digest query and the crawl-pipeline
+    * capstone (which feeds `extracted` onward into hygiene/decontam
+    * instead of hashing it). */
+  def htmlExtractCols(html: Column): (Column, Column) = {
     def txt(b: Column): Column =
       trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
     def noAnchorTxt(b: Column): Column =
       trim(regexp_replace(regexp_replace(
         regexp_replace(b, "<a[^>]*>.*?</a>", " "), "<[^>]*>", " "), "\\s+", " "))
-    val marked = regexp_replace(col("html"), "<(p|div|h1|li)([ >])", "\u0001<$1$2")
+    val marked = regexp_replace(html, "<(p|div|h1|li)([ >])", "\u0001<$1$2")
     val blocks = split(marked, "\u0001")
     val kept = filter(blocks, b =>
       size(split(txt(b), " ")) >= 5 &&
         (length(txt(b)) - length(noAnchorTxt(b))) * 3 <= length(txt(b)))
     val extracted = array_join(transform(kept, b => txt(b)), "\n")
+    (kept, extracted)
+  }
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val (kept, extracted) = htmlExtractCols(col("html"))
     graft.Fixtures.htmlDocs(spark, dir)
       .select(col("doc_id"), kept.as("kept"), extracted.as("extracted"))
       .select(col("doc_id"), md5(col("extracted")).as("text_md5"),

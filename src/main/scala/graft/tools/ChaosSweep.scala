@@ -21,7 +21,7 @@ import graft.{Checkpoints, GraftExtensions, SparkEntry}
   *
   * Run: `runMain graft.tools.ChaosSweep <sfDir> [seed] [outFile]`. */
 object ChaosSweep {
-  private def canonicalMd5(df: DataFrame): String = {
+  private[tools] def canonicalMd5(df: DataFrame): String = {
     val cols = df.columns.sorted
     val rows = df.select(cols.head, cols.tail: _*).collect()
       .map(_.toSeq.map {
@@ -41,7 +41,7 @@ object ChaosSweep {
     * (the ClusterSmoke classpath/add-opens recipe; local[n] would need
     * the nonstandard local[n,f] retry master and retries nothing across
     * JVMs anyway). */
-  private def session(chaosSeed: Option[Long], pct: Int): SparkSession = {
+  private[tools] def session(chaosSeed: Option[Long], pct: Int): SparkSession = {
     val b = SparkSession.builder()
       .appName(s"graft-chaos-${chaosSeed.getOrElse(-1L)}")
       .config("spark.sql.shuffle.partitions", "8")
@@ -86,6 +86,11 @@ object ChaosSweep {
     val pct = if (args.length > 4) args(4).toInt else 30
 
     def sweep(spark: SparkSession): (Map[String, String], Map[String, String]) = {
+      // each session trains its own artifacts: without this the chaos
+      // session reuses models memoized fault-free by the clean session
+      // (keys carry only the fixture fingerprint) and BPE/unigram/IRLS/
+      // codebook training never actually runs under injection
+      graft.sources.ArtifactCache.clear()
       var hashes = Map.empty[String, String]
       var errs = Map.empty[String, String]
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -143,13 +148,23 @@ object ChaosSweep {
       println("[chaossweep] FAIL: zero injected deaths — plugin not active")
       failed += 1
     }
+    // SELF-SEALING (VERDICT r12 #2): a gate artifact that silently covers
+    // fewer queries than the registry stops being "full-surface" the day a
+    // new query registers. A non-debug run (no subset filter) must sweep
+    // exactly the registry; the recorded "registry" field lets ChaosGateSpec
+    // re-check the committed artifact against the registry on every test run.
+    val registry = SparkEntry.queries.size
+    if (only.isEmpty && names.size != registry) {
+      println(s"[chaossweep] FAIL: swept ${names.size} != registry $registry")
+      failed += 1
+    }
     println(s"[chaossweep] total=${names.size} failed=$failed seed=$seed " +
       s"injected=${injected.get()}")
     out.foreach { p =>
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val json = rows.map { case (n, s) => s"${q(n)}: ${q(s)}" }
         .mkString(s"""{"sf": ${q(new java.io.File(sfDir).getName)}, "seed": $seed, """ +
-          s""""total": ${names.size}, "failed": $failed, """ +
+          s""""total": ${names.size}, "registry": $registry, "failed": $failed, """ +
           s""""injected_task_deaths": ${injected.get()}, "queries": {""", ",", "}}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"): Unit
     }

@@ -72,6 +72,11 @@ object TenXGen {
     val W = 1000000000L // wide stride: 10^9 > every base max + plant band
     require(!wide || nCopies.toLong * W > 0 && nCopies.toLong < Long.MaxValue / W,
       s"[tenx] $nCopies copies overflow Long at stride $W")
+    // the wide-mode doc suffix is two base-26 LETTERS — ('a'+i/26) leaves
+    // [a-z] at i >= 676 and the tokenizer would drop the suffix, silently
+    // reintroducing the copy-collapse skew wide mode exists to fix
+    require(!wide || nCopies <= 676,
+      s"[tenx] wide-mode letter suffix is only alphabetic for <= 676 copies, got $nCopies")
     if (wide) println(s"[tenx] WIDE mode ($nCopies copies, stride $W): " +
       "ev_ohlc's event_id<10^6 packing contract is OUT OF ENVELOPE on this fixture")
 

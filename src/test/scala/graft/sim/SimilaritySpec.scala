@@ -317,4 +317,54 @@ class SimilaritySpec extends AnyFunSuite {
     val full = asMap(Similarity.knnGraph(spark, sf, k = 3).collect())
     assert(sampled == full, "sample != table at spec sf — sampleN device broke values")
   }
+
+  test("delta-generation upsert (upsertIvfIndexTo): base untouched, " +
+      "repeated registered invocations byte-stable") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val basePath = Files.createTempDirectory("gentospec").toString + "/base"
+    val vecs = Similarity.vectors(spark, sf)
+    val base  = vecs.filter(_.vec_id % 5 != 4)
+    val delta = vecs.filter(_.vec_id % 5 == 4)
+    val idx0 = Similarity.buildIvfIndexFrom(base, basePath, nlist = 16)
+    def census(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(basePath)
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val before = census()
+    val dPath = basePath.stripSuffix("base") + "delta1"
+    val idx = Similarity.upsertIvfIndexTo(idx0, delta, dPath)
+    // the LSM claim: the base generation's files are PHYSICALLY identical
+    // (not just present) after the upsert — the delta lives in its own dir
+    assert(census() == before, "delta-generation upsert touched base files")
+    assert(idx.path == s"$basePath,$dPath")
+    // nothing lost across the union of generations (read separately —
+    // unrelated roots, the storedLists contract)
+    assert(spark.read.parquet(basePath).count() + spark.read.parquet(dPath).count()
+      == vecs.count())
+    // writing onto an existing generation is refused
+    intercept[IllegalArgumentException] {
+      Similarity.upsertIvfIndexTo(idx, delta, basePath)
+    }
+    // radii only grow (ball-pruning soundness across generations)
+    idx0.radius.foreach { case (l, r) => assert(idx.radius(l) >= r) }
+    // the registered query folds a FRESH delta generation per invocation
+    // onto one cached base: a second invocation must reproduce the first
+    // byte-for-byte (no duplicate accumulation across generations)
+    def run() = {
+      val p = Files.createTempDirectory("gentoreg").toString + "/index"
+      Similarity.ivfTopKUpsert(spark, sf, p, numQueries = 4, k = 5)
+        .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    }
+    val first = run()
+    assert(run() == first, "repeated sim_index_upsert invocations drifted")
+    val brute = Similarity.bruteForceTopK(spark, sf, numQueries = 4, k = 5)
+      .collect().map(h => (h.query_id, h.rank) -> (h.neighbor_id, h.cosine)).toMap
+    assert(first == brute, "upserted multi-generation search must stay exact")
+  }
 }

@@ -5,7 +5,7 @@
 # Usage: tools/chaos.sh [round] [sfDir] [seed]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ROUND=${1:-12}
+ROUND=${1:-13}
 SF=${2:-/root/testdata/sf0.001}
 SEED=${3:-12}
 sbt -batch compile > /dev/null
@@ -20,3 +20,8 @@ SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   java $CS_OPENS -Xmx6g -cp "$CS_CP" graft.tools.ChaosSweep "$SF" "$SEED" \
     "CHAOS_r${ROUND}.json" 2>/dev/null | grep -E '\[chaossweep\] (FAIL|total|injected)'
 echo "[chaos] wrote CHAOS_r${ROUND}.json"
+# streaming twins under the same injection recipe (VERDICT r12 #5)
+SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  java $CS_OPENS -Xmx6g -cp "$CS_CP" graft.tools.ChaosStreamSweep "$SF" "$SEED" \
+    "CHAOS_STREAM_r${ROUND}.json" 2>/dev/null | grep -E '\[chstream\] (FAIL|total|injected)'
+echo "[chaos] wrote CHAOS_STREAM_r${ROUND}.json"
