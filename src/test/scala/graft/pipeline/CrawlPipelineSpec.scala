@@ -54,8 +54,7 @@ class CrawlPipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), col("keep")).localCheckpoint()
     val schema = spark.read.parquet(s"$sf/documents.parquet").schema
     val pages = graft.Fixtures.htmlDocsFrom(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(sf))
+      spark.readStream.schema(schema).parquet(s"$sf/documents.parquet"))
     val gated = CrawlPipeline.crawlGateStream(pages, evalGrams, urlKeep)
       .select("doc_id", "keep_url", "pass_extract", "pass_hygiene", "pass_decontam", "kept")
     val q = gated.writeStream.format("memory").queryName("crawl_gate")
