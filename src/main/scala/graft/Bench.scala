@@ -52,17 +52,36 @@ object Bench {
       }
     // best-of-2 per query: the second run measures the engine (plan cache +
     // JIT warm), not Janino/JIT first-compile noise on a shared host
+    // A query that THROWS must never be recorded as a timing: the r13 100×
+    // recording committed 4-5 ms "times" for 20 queries that were actually
+    // dead (the session's executor had been lost mid-run and every later
+    // fn() threw instantly) — a failed run masquerading as a fast one is the
+    // worst possible bench artifact. Failures record as -1 in the queries
+    // map (unambiguous: no real query takes negative time), are excluded
+    // from the total, and abort the process with a nonzero exit so a gate
+    // or recording script can't miss them.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+      val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors += name -> (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(200))
+            false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // outside the clock: blocks belong to the invocation that just
         // finished; the next invocation builds (and re-pays) its own
         Checkpoints.releaseTracked()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      // stderr progress (stdout stays the one-JSON-line artifact contract):
+      // long chunked recordings — the 100× probes — were undiagnosable
+      // without per-query liveness (which query is grinding, which died)
+      System.err.println(f"[bench] ${if (times.isEmpty) "FAIL" else "done"} " +
+        f"$name ${times.headOption.getOrElse(-1.0)}%.1fs")
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     // Compact artifact contract (round-8 lesson): the driver tail-captures
     // only the LAST 2 KiB of stdout, and sbt appends a ~100-byte [success]
@@ -73,7 +92,7 @@ object Bench {
     // future front-truncation still leaves the total in the tail.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
-    val totalMs = math.round(results.map(_._2).sum * 1000)
+    val totalMs = math.round(results.filter(_._2 >= 0).map(_._2).sum * 1000)
     // "sf" as basename: the 92-query name set alone is ~1.4 KiB, so every
     // wrapper byte matters against the 2000-char tail window
     val sfName = new java.io.File(sfDir).getName
@@ -103,5 +122,11 @@ object Bench {
       ) catch { case _: Throwable => () }
     println(line)
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }
+      System.err.println(s"[bench] ${errors.map(_._1).distinct.size} queries failed; " +
+        "artifact records them as -1 and this process exits nonzero")
+      sys.exit(1)
+    }
   }
 }

@@ -1562,10 +1562,12 @@ object SparkEntry {
       s"""SELECT node AS token, rank FROM (
             ${graft.graph.PageRank.oracleSqlFor(graft.graph.PageRank.textrankEdgesSql, 5)}
           ) t ORDER BY rank DESC, node LIMIT 20""",
+    // ranks iterate on long node ids; names format (and tie-break) on the
+    // top-30 output rows only — mirrors graphPagerank's select-then-order
     "graph_pagerank" ->
-      s"""SELECT node, rank FROM (
+      s"""SELECT ${graft.graph.PageRank.nodeNameSql("node")} AS node, rank FROM (
             ${graft.graph.PageRank.oracleSqlFor(graft.graph.PageRank.bipartiteEdgesSql, 5)}
-          ) t ORDER BY rank DESC, node LIMIT 30""",
+          ) t ORDER BY rank DESC, 1 LIMIT 30""",
     // the oracle is TRUTH, not the blocking: direct cross join + exact
     // levenshtein (the engine's SymSpell candidates must find all of it)
     "text_fuzzy_join" ->

@@ -53,6 +53,24 @@ object Tables {
     }
   }
 
+  /** Streaming file source over a fixture table, handling BOTH physical
+    * layouts: the driver's fixtures are single FILES named
+    * `<table>.parquet` (a bare-file path makes the file source fail with
+    * "Option 'basePath' must be a directory"), while Spark-written tables
+    * — the 10×/100× probe fixtures — are DIRECTORIES of part files (where
+    * a `pathGlobFilter` on the parent matches nothing and the stream reads
+    * ZERO rows). The r13 snapshot shipped the direct-path half of this
+    * migration only, breaking every single-file streaming spec; the layout
+    * check makes the choice from the filesystem. */
+  def streamSource(s: SparkSession, d: String, table: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/$table.parquet").schema
+    if (new java.io.File(s"$d/$table.parquet").isDirectory)
+      s.readStream.schema(schema).parquet(s"$d/$table.parquet")
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   /** Epoch-millis of the nanos `ts` column of [[events]] (exact: `DIV`). */
   def eventMs: Column = expr("ts DIV 1000000")
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

@@ -38,11 +38,16 @@ object Bfs {
     * hop count. Edge weights are ignored (hop metric). */
   def distances(edges: DataFrame, maxHops: Int = 6): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
     val adj = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    // bounded: one row — the deterministic source election
-    val source = adj.agg(min(col("src"))).head.getString(0)
-    val seed = Seq((source, 0)).toDF("node", "dist").localCheckpoint(true)
+    // bounded: one row — the deterministic source election. Node-type
+    // agnostic (string tokens in the specs, long ids in the registered
+    // bipartite query): min is whatever ordering the column's type carries,
+    // mirrored by the oracle on the same type.
+    val source = adj.agg(min(col("src"))).head.get(0)
+    val seed = spark.range(1)
+      .select(lit(source).cast(adj.schema("src").dataType).as("node"),
+        lit(0).as("dist"))
+      .localCheckpoint(true)
     // each round's checkpoint stays alive until the result is consumed
     // (the settled set is their lineage union) — ≤ K+1 frames of ≤ |V|
     // rows total, vs the round-11 shape's cumulative re-checkpoint
@@ -58,8 +63,10 @@ object Bfs {
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
-        .as[(String, Int)].map { r => acc.add(1L); r }
-        .toDF("node", "dist")
+      // node-type-agnostic row counting map (the typed .as[(String, Int)]
+      // form pinned the node column to strings)
+      val nextCounted = next
+        .map { r => acc.add(1L); r }(org.apache.spark.sql.Encoders.row(next.schema))
         .localCheckpoint(true) // the round's ONE job; acc counts its rows
       // acc > 0 is always trustworthy (failed attempts' updates are
       // dropped, so no over-count can fake a row); acc == 0 is NOT — a
@@ -67,13 +74,13 @@ object Bfs {
       // cache, the map never re-runs, and its count is lost (the CC
       // engine's round-12 chaos-gate lesson). Confirm a zero against the
       // materialized blocks — one cache-scan job, drain round only.
-      if (acc.value == 0L && next.isEmpty) {
-        graft.dedup.Dedup.releaseLocalCheckpoint(next)
+      if (acc.value == 0L && nextCounted.isEmpty) {
+        graft.dedup.Dedup.releaseLocalCheckpoint(nextCounted)
         drained = true
       } else {
-        graft.Checkpoints.track(next)
-        dist = dist.unionAll(next)
-        frontier = next
+        graft.Checkpoints.track(nextCounted)
+        dist = dist.unionAll(nextCounted)
+        frontier = nextCounted
         d += 1
       }
     }
@@ -83,13 +90,18 @@ object Bfs {
 
   /** The registered query: BFS over the customer–supplier bipartite
     * interaction graph ([[PageRank.bipartiteEdges]] — symmetrized, so
-    * distance is the undirected hop metric). */
+    * distance is the undirected hop metric). The iteration runs on long
+    * node ids; names are formatted on the ≤|V| output rows only. Source
+    * election is therefore the NUMERIC min id (mirrored by the oracle),
+    * not the lexicographic min of the old string form. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
     distances(PageRank.bipartiteEdges(spark, dir))
+      .select(PageRank.nodeName(col("node")).as("node"), col("dist"))
 
   /** DuckDB re-derivation: depth-bounded recursive CTE with UNION dedup
     * (rows are (node, dist) pairs, so recursion state stays ≤ |V|·K —
-    * never the path space), then MIN(dist) per node. */
+    * never the path space), then MIN(dist) per node; long ids inside,
+    * names formatted at the output boundary (mirrors [[graphBfs]]). */
   val oracleSql: String =
     s"""WITH RECURSIVE ed AS (SELECT src, dst FROM (${PageRank.bipartiteEdgesSql})),
        |s0 AS (SELECT MIN(src) AS s FROM ed),
@@ -99,5 +111,6 @@ object Bfs {
        |  SELECT ed.dst, walk.dist + 1 FROM walk JOIN ed ON ed.src = walk.node
        |  WHERE walk.dist < 6
        |)
-       |SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node""".stripMargin
+       |SELECT ${PageRank.nodeNameSql("node")} AS node,
+       |  CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY 1""".stripMargin
 }

@@ -81,6 +81,7 @@ object KCore {
   def graphKcore(spark: SparkSession, dir: String,
                  k: Int = 3, minW: Int = 3): DataFrame =
     kcore(PageRank.bipartiteEdges(spark, dir).filter(col("w") >= minW), k)
+      .select(PageRank.nodeName(col("node")).as("node"), col("core_deg"))
 
   /** DuckDB re-derivation: the peel unrolled as exactly `maxRounds`
     * chained CTE rounds (the PageRank unrolled-recurrence device) —
@@ -103,6 +104,7 @@ object KCore {
          |a$i AS MATERIALIZED (SELECT node FROM d$i)""".stripMargin
     }
     (base +: rounds).mkString(",\n") +
-      s"\nSELECT node, CAST(deg AS BIGINT) AS core_deg FROM d$maxRounds"
+      s"\nSELECT ${PageRank.nodeNameSql("node")} AS node, " +
+      s"CAST(deg AS BIGINT) AS core_deg FROM d$maxRounds"
   }
 }

@@ -58,10 +58,15 @@ object LinkPrediction {
       .filter(col("deg") >= 2 && col("deg") <= maxApexDeg)
       .join(broadcast(wtab), "deg")
       .select(col("node"), col("w_micro"))
+    // the apex-degree cap joins BELOW the wedge self-join — written after
+    // the join, Catalyst (no CBO stats) executed ((e1⋈e2)⋈apex) literally
+    // and super-hub wedges materialized before the filter; joining the
+    // capped apex set onto the edge relation FIRST makes the ≤maxApexDeg·|E|
+    // wedge bound structural, matching the scaladoc's claim
     val e1 = adj.select(col("src").as("apex"), col("dst").as("u"))
-    val e2 = adj.select(col("src").as("apex"), col("dst").as("v"))
-    e1.join(e2, Seq("apex")).filter(col("u") < col("v"))
       .join(apex.select(col("node").as("apex"), col("w_micro")), "apex")
+    val e2 = e1.select(col("apex"), col("u").as("v"))
+    e1.join(e2, Seq("apex")).filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"), sum(col("w_micro")).as("aa_micro"))
       .filter(col("common_neighbors") >= 2)
@@ -78,6 +83,10 @@ object LinkPrediction {
   def graphAdamicAdar(spark: SparkSession, dir: String,
                       minW: Int = 3, maxApexDeg: Int = 64): DataFrame =
     adamicAdar(PageRank.bipartiteEdges(spark, dir).filter(col("w") >= minW), maxApexDeg)
+      // long ids inside (pair canonicalization u<v is NUMERIC, mirrored by
+      // the oracle); names formatted on the result rows only
+      .select(PageRank.nodeName(col("u")).as("u"), PageRank.nodeName(col("v")).as("v"),
+        col("common_neighbors"), col("aa_micro"))
 
   /** DuckDB re-derivation: same wedge join, same interpolated integer
     * weight table — ln never runs in SQL. */
@@ -95,7 +104,8 @@ object LinkPrediction {
        |pairs AS (SELECT u, v, COUNT(*) AS common_neighbors,
        |    SUM(w_micro) AS aa_micro
        |  FROM wedge GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-       |SELECT u, v, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+       |SELECT ${PageRank.nodeNameSql("u")} AS u, ${PageRank.nodeNameSql("v")} AS v,
+       |  CAST(common_neighbors AS BIGINT) AS common_neighbors,
        |  CAST(aa_micro AS BIGINT) AS aa_micro
        |FROM pairs p
        |WHERE NOT EXISTS (SELECT 1 FROM ed e WHERE e.src = p.u AND e.dst = p.v)""".stripMargin

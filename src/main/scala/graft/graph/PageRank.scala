@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -133,17 +133,46 @@ object PageRank {
 
   /** Customer–supplier bipartite interaction edges: one edge per lineitem
     * between its order's customer and its supplier, symmetrized, weight =
-    * lineitem count. The orders join is the only shuffle (fact-fact on
-    * orderkey); node ids are namespaced strings ("c:…", "s:…"). */
+    * lineitem count.
+    *
+    * Node ids are LONGS — customer k → 2k, supplier k → 2k+1 — and the
+    * namespaced string form ("c:…"/"s:…") is produced only at each query's
+    * output boundary via [[nodeName]]. The 100× recording (round 13) showed
+    * why this is load-bearing, not cosmetic: with `concat("c:", key)`
+    * string keys the symmetrized count was a groupBy over ~117 M two-string
+    * rows whose partial-agg hash maps saw almost-all-distinct keys, fell
+    * back to sort-based aggregation and spilled >22 GB (single tasks
+    * >20 min; an earlier run filled the disk). Long keys cut the row to a
+    * fixed 24 bytes with codegen'd hashing.
+    *
+    * Second structural cut: the two directed key spaces are DISJOINT by
+    * construction (even src / odd dst), so the symmetrized count equals the
+    * directed count mirrored — aggregate the 60 M directed pairs ONCE, then
+    * union the flipped AGGREGATED rows (no second agg over 2× rows). This
+    * does NOT hold for [[textrankEdges]] (token pairs occur in both
+    * directions), which keeps the general [[symCounted]].
+    *
+    * The orders join is the only other shuffle (fact-fact on orderkey). */
   def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
+    val directed = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
-    symCounted(pairs)
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    directed.unionAll(
+      directed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
+
+  /** Long node id → the namespaced display name ("c:…"/"s:…"). Applied at
+    * output boundaries only (top-k rows, |V|-row results) — never inside a
+    * shuffle. shiftright inverts both encodings: (2k)>>1 = (2k+1)>>1 = k. */
+  def nodeName(c: Column): Column =
+    concat(when(c % 2 === 0, lit("c:")).otherwise(lit("s:")), shiftright(c, 1))
+
+  /** [[nodeName]] in DuckDB SQL, for the oracles. */
+  def nodeNameSql(col: String): String =
+    s"((CASE WHEN $col % 2 = 0 THEN 'c:' ELSE 's:' END) || CAST($col // 2 AS BIGINT))"
 
   private def symCounted(pairs: DataFrame): DataFrame =
     pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -158,9 +187,13 @@ object PageRank {
       .select(col("node").as("token"), col("rank"))
 
   /** Supplier/customer importance in the interaction graph: top 30 nodes
-    * by PageRank over the bipartite lineitem graph. */
+    * by PageRank over the bipartite lineitem graph. The long→string name
+    * formatting happens BEFORE the (rank DESC, node ASC) tie-break so the
+    * selected set and its orientation stay string-ordered — the oracle
+    * orders by the same formatted name. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     ranks(bipartiteEdges(spark, dir), iterations = 5)
+      .select(nodeName(col("node")).as("node"), col("rank"))
       .orderBy(desc("rank"), asc("node")).limit(30)
 
   /** DEGREE DISTRIBUTION of the interaction graph — the first readout of
@@ -170,7 +203,8 @@ object PageRank {
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame =
     bipartiteEdges(spark, dir)
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(substring(col("src"), 1, 1).as("side"), col("deg"))
+      .select(when(col("src") % 2 === 0, lit("c")).otherwise(lit("s")).as("side"),
+        col("deg"))
       .groupBy(col("side"), col("deg"))
       .agg(count(lit(1)).as("n_nodes"))
 
@@ -180,7 +214,8 @@ object PageRank {
   def degreeDistributionSql: String =
     s"""WITH ed AS (SELECT src, dst FROM ($bipartiteEdgesSql)),
        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)
-       |SELECT substring(src, 1, 1) AS side, deg, COUNT(*) AS n_nodes
+       |SELECT (CASE WHEN src % 2 = 0 THEN 'c' ELSE 's' END) AS side,
+       |  deg, COUNT(*) AS n_nodes
        |FROM deg GROUP BY 1, 2""".stripMargin
 
   /** The shared edge-relation SQL (mirrors [[textrankEdges]]). */
@@ -196,12 +231,12 @@ object PageRank {
          UNION ALL SELECT dst, src FROM adj
        ) GROUP BY 1, 2"""
 
-  /** The shared edge-relation SQL (mirrors [[bipartiteEdges]]). */
+  /** The shared edge-relation SQL (mirrors [[bipartiteEdges]] — the same
+    * long encoding and the same agg-once-then-mirror shape). */
   val bipartiteEdgesSql: String =
-    """SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
-         WITH adj AS (SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-         SELECT src, dst FROM adj
-         UNION ALL SELECT dst, src FROM adj
-       ) GROUP BY 1, 2"""
+    """WITH d AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+       SELECT src, dst, w FROM d
+       UNION ALL SELECT dst AS src, src AS dst, w FROM d"""
 }

@@ -509,17 +509,12 @@ object EventStreams {
               build: DataFrame => DataFrame,
               outputMode: OutputMode = OutputMode.Append()): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // point the file source at the TABLE PATH itself, never at the fixture
-    // dir with a pathGlobFilter: the filter matches only when the table is
-    // a single FILE named events.parquet — a Spark-written table is a
-    // DIRECTORY of part files, none of which match, and the stream reads
-    // ZERO rows (found by the r13 ClusterSmoke pass on the 10× fixture).
-    // The direct path handles both layouts. Same ts normalization as the
-    // batch loader (nanos BIGINT whatever the fixture's physical timestamp
-    // unit) so every downstream `ts DIV` keeps its contract on both paths.
+    // layout-detecting source (single-file driver fixtures vs directory
+    // probe fixtures — see Tables.streamSource). Same ts normalization as
+    // the batch loader (nanos BIGINT whatever the fixture's physical
+    // timestamp unit) so every downstream `ts DIV` keeps its contract.
     val stream = graft.Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(s"$dir/events.parquet"))
+      graft.Tables.streamSource(spark, dir, "events"))
     val q = build(stream).writeStream
       .format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()

@@ -12,23 +12,27 @@ class BfsSpec extends AnyFunSuite {
   val sf = SparkTestSession.sf
 
   test("graph_bfs == driver-local reference BFS, levels sound") {
-    val edges = PageRank.bipartiteEdges(spark, sf)
-    val adj = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    // long node ids inside the engine; names only at the output boundary
+    def nm(id: Long) = (if (id % 2 == 0) "c:" else "s:") + (id >> 1)
+    val adjL = PageRank.bipartiteEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (s, es) => (s, es.map(_._2).toSet) }
-    val source = adj.keys.min
+    val source = adjL.keys.min // numeric-min election, as the engine
     // reference BFS
     var dist = Map(source -> 0)
     var frontier = Set(source)
     var d = 1
     while (frontier.nonEmpty && d <= 6) {
-      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      val next = frontier.flatMap(n => adjL.getOrElse(n, Set.empty)) -- dist.keySet
       dist ++= next.map(_ -> d)
       frontier = next
       d += 1
     }
+    val want = dist.map { case (n, dd) => (nm(n), dd) }
+    val adj = adjL.map { case (s, es) => (nm(s), es.map(nm)) }
     val got = Bfs.graphBfs(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
-    assert(got == dist, s"engine BFS drifted: ${got.size} vs ${dist.size} nodes")
+    assert(got == want, s"engine BFS drifted: ${got.size} vs ${want.size} nodes")
     // structure: exactly one root at 0; every level-d node has a level-(d-1)
     // in-neighbor (the BFS tree property)
     assert(got.count(_._2 == 0) == 1)

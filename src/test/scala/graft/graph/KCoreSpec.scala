@@ -38,9 +38,12 @@ class KCoreSpec extends AnyFunSuite {
   }
 
   test("graph_kcore == driver-local reference peel; min-degree and maximality hold") {
+    // format long ids to names up front — the peel is representation-
+    // independent, so the string reference pins the formatted engine output
+    def nm(id: Long) = (if (id % 2 == 0) "c:" else "s:") + (id >> 1)
     val edges = PageRank.bipartiteEdges(spark, sf)
       .filter(org.apache.spark.sql.functions.col("w") >= 3)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect().map(r => (nm(r.getLong(0)), nm(r.getLong(1)))).toSet
     val want = refKcore(edges, 3).map { case (n, d) => (n, d.toLong) }
     val got = KCore.graphKcore(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

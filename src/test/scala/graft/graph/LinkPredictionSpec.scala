@@ -46,9 +46,12 @@ class LinkPredictionSpec extends AnyFunSuite {
   }
 
   test("graph_adamic_adar == driver-local reference on the fixture") {
+    // reference over LONG ids — pair canonicalization (u < v) is numeric in
+    // the engine now; names are formatted on the result pairs only
+    def nm(id: Long) = (if (id % 2 == 0) "c:" else "s:") + (id >> 1)
     val edges = PageRank.bipartiteEdges(spark, sf)
       .filter(org.apache.spark.sql.functions.col("w") >= 3)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val deg = edges.toSeq.groupBy(_._1).map { case (n, es) => (n, es.length) }
     val wt = LinkPrediction.weightTable(64).toMap
     val byApex = edges.toSeq.groupBy(_._1)
@@ -62,6 +65,7 @@ class LinkPredictionSpec extends AnyFunSuite {
       .groupBy(_._1)
       .map { case (p, ws) => (p, (ws.length.toLong, ws.map(_._2).sum)) }
       .filter { case (p, (cn, _)) => cn >= 2 && !edges.contains(p) }
+      .map { case ((a, b), s) => ((nm(a), nm(b)), s) }
     val got = LinkPrediction.graphAdamicAdar(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
     assert(got == want,

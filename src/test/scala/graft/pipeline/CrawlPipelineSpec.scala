@@ -52,9 +52,8 @@ class CrawlPipelineSpec extends AnyFunSuite {
     val evalGrams = graft.dedup.Dedup.evalGramSet(spark, sf)
     val urlKeep = graft.dedup.Dedup.urlDedup(spark, sf)
       .select(col("doc_id"), col("keep")).localCheckpoint()
-    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
     val pages = graft.Fixtures.htmlDocsFrom(
-      spark.readStream.schema(schema).parquet(s"$sf/documents.parquet"))
+      graft.Tables.streamSource(spark, sf, "documents"))
     val gated = CrawlPipeline.crawlGateStream(pages, evalGrams, urlKeep)
       .select("doc_id", "keep_url", "pass_extract", "pass_hygiene", "pass_decontam", "kept")
     val q = gated.writeStream.format("memory").queryName("crawl_gate")

@@ -110,8 +110,7 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val evalGrams = graft.dedup.Dedup.evalGramSet(spark, sf)
     val keep = graft.dedup.Dedup.nearDupComponents(spark, sf)
       .select(col("doc_id"), col("keep")).localCheckpoint()
-    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sf/documents.parquet")
+    val stream = graft.Tables.streamSource(spark, sf, "documents")
     val gated = TrainingPipeline.ingestGateStream(stream, evalGrams, keep)
       .select("doc_id", "pass_hygiene", "keep_dedup", "pass_decontam", "pass_mixture", "kept")
     val q = gated.writeStream.format("memory").queryName("ingest_gate")

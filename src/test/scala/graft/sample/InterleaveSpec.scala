@@ -47,8 +47,9 @@ class InterleaveSpec extends AnyFunSuite {
     val rows = graft.graph.PageRank.degreeDistribution(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val nodes = graft.graph.PageRank.bipartiteEdges(spark, sf)
-      .select("src").distinct().collect().map(_.getString(0))
-    val bySide = nodes.groupBy(_.take(1)).view.mapValues(_.length.toLong).toMap
+      .select("src").distinct().collect().map(_.getLong(0))
+    val bySide = nodes.groupBy(id => if (id % 2 == 0) "c" else "s")
+      .view.mapValues(_.length.toLong).toMap
     assert(rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap == bySide,
       "degree histogram loses or invents nodes")
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq("c", "s"))
