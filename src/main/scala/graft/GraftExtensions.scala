@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_tokens", "graft_minhash_tokens(tokens) - fused 3-shingle MinHash signature."),
       arity("graft_minhash_tokens", 1)(c => MinHashTokensExpr(c.head, 3))))
     ext.injectFunction((
+      FunctionIdentifier("graft_pos_eq_count"),
+      info("graft_pos_eq_count", "graft_pos_eq_count(a, b) - position-wise equality count of two array<bigint> (MinHash signature agreement)."),
+      arity("graft_pos_eq_count", 2)(c => graft.functions.PosEqCountExpr(c(0), c(1)))))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash_tokens"),
       info("graft_simhash_tokens", "graft_simhash_tokens(tokens) - 64-bit SimHash (char-FNV per token, per-bit majority)."),
       arity("graft_simhash_tokens", 1)(c => SimHashTokensExpr(c.head))))

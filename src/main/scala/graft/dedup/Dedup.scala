@@ -167,7 +167,13 @@ object Dedup {
     // Verification: each doc's token set is sorted ONCE (amortized over all
     // its candidate pairs), every pair scored by the allocation-free merge
     // `sorted_intersect_count` instead of a per-pair hash set — see SetOps.
-    val arr = docs.select(col("doc_id"), array_sort(col("toks")).as("toks"),
+    // sort_array, NOT array_sort: the lambda-comparator form is
+    // CodegenFallback, and constraint inference (isnotnull on the join
+    // output columns) re-expands the alias UNDER an interpreted Filter —
+    // the whole tokenize+sort then ran interpreted, 3× per row (one 14.7 s
+    // single-task stage at sf0.1, r13 StageTimeProbe). Same ascending
+    // order on null-free arrays, so the merge contract is unchanged.
+    val arr = docs.select(col("doc_id"), sort_array(col("toks")).as("toks"),
       size(col("toks")).as("n"))
     cand
       .join(arr.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
@@ -183,9 +189,18 @@ object Dedup {
   /** Tokenized (doc_id, lang, source, token-set) projection shared by the
     * candidate and verify sides of the jaccard family. */
   private def jaccardDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks"))
+    // Tokenize ONCE: this frame has three consumers (the dfreq aggregate,
+    // the prefix side, the verify side), each of which re-derived the
+    // tokenization from its own corpus scan — and explode-inferred filters
+    // re-expanded it a further 2× per row below the scan, single-task on
+    // the one-split fixture file. spreadSmall parallelizes the tokenize
+    // pass; materializeSmall computes it once and is the optimizer barrier
+    // that stops the filter re-expansion. Both are no-ops at scale (see
+    // Tables.materializeSmall for the at-100TB argument).
+    Tables.materializeSmall(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks")))
 
   /** The prefix+length-filtered candidate generator — (left side, right
     * side, candidate pairs), exposed as a trio so the scale probe can count
@@ -332,7 +347,11 @@ object Dedup {
     * formulations of the same computation (lambda shingling / per-(i,shingle)
     * hash lambdas) measured 10-50× slower. Columns: doc_id, sig. */
   def signaturesDF(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    // spreadSmall: the fused tokenizer+MinHash is the expensive per-row op
+    // here, and the single-file fixture scan is ONE split — without the
+    // spread the whole corpus signed on one core (a 6-10 s single-task
+    // stage at sf0.1); no-op at scale (see Tables.spreadSmall)
+    Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id")).select(
       col("doc_id"),
       graft.functions.MinHash.minhashTokensCol(
         TextAnalysis.tokensCol(lower(col("text")))).as("sig"))
@@ -368,10 +387,15 @@ object Dedup {
     // the second side becomes a ReusedExchange instead of a re-scan.
     a.join(b.hint("shuffle_merge"), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
+      // signature agreement as the native graft_pos_eq_count expression,
+      // NOT aggregate(zip_with(...)): HOF lambdas are CodegenFallback, and
+      // this runs once per CANDIDATE PAIR — the interpreted form measured
+      // ~208 s of task time at sf0.1 (r13 StageTimeProbe) because the whole
+      // candidate join fell out of codegen; same integer count, same
+      // est_jaccard, oracle row-identical
       .select(col("d1"), col("d2"),
-        (aggregate(zip_with(col("sig1"), col("sig2"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / NumHashes).as("est_jaccard"))
+        (graft.functions.SetOps.posEqCountCol(col("sig1"), col("sig2"))
+          .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("d1", "d2")
       .as[NearDup]
@@ -552,7 +576,10 @@ object Dedup {
     // are one tiny label table per round (|nodes| rows), reclaimed by the
     // ContextCleaner once the frame references are GC'd.
     val sym = symmetrize(edges).localCheckpoint(true)
-    ccIterate(sym, nodes, maxIter, mergeHint = false)
+    // one cache-scan job: |sym| decides the same label-broadcast cutover
+    // connectedComponentsAuto applies (the blocks are already materialized)
+    ccIterate(sym, nodes, maxIter, mergeHint = false,
+      smallLabels = sym.count() < BucketedEdgeCutover)
   }
 
   /** [[connectedComponents]] over a BUCKETED edge table: the symmetrized
@@ -638,7 +665,11 @@ object Dedup {
                               buckets: Int = 32, maxIter: Int = 20,
                               cutover: Long = BucketedEdgeCutover): DataFrame = {
     val sym = symmetrize(edges).localCheckpoint(true)
-    if (sym.count() < cutover) ccIterate(sym, nodes, maxIter, mergeHint = false)
+    // below the cutover the label table is ≤ 2·cutover rows (every label
+    // row is an edge endpoint) — comfortably broadcastable, so each
+    // round's joins move ZERO edge bytes (see ccIterate's smallLabels)
+    if (sym.count() < cutover) ccIterate(sym, nodes, maxIter, mergeHint = false,
+      smallLabels = true)
     // bucketed branch: once the edges are written to the bucketed table the
     // checkpoint blocks are dead weight — corpus-sized, non-fault-tolerant,
     // and otherwise pinned on executors for the whole iteration
@@ -654,14 +685,31 @@ object Dedup {
     * renamed to the edge key and joined on `src`. With a bucketed `sym` this
     * must plan exactly one Exchange (the labels side). */
   private[dedup] def neighborJoin(sym: DataFrame, labels: DataFrame,
-                                  mergeHint: Boolean): DataFrame = {
-    val l = labels.withColumnRenamed("node", "src")
-    sym.join(if (mergeHint) l.hint("shuffle_merge") else l, "src")
+                                  mergeHint: Boolean,
+                                  broadcastLabels: Boolean = false): DataFrame = {
+    val l0 = labels.withColumnRenamed("node", "src")
+    // three mutually exclusive shapes: bucketed (hint pins the merge join
+    // so AQE cannot discard the bucket layout), small (labels broadcast —
+    // the edge side moves zero bytes per round), plain (both shuffle,
+    // ReuseExchange shares the sym side across rounds' subplans)
+    val l = if (mergeHint) l0.hint("shuffle_merge")
+            else if (broadcastLabels) broadcast(l0)
+            else l0
+    sym.join(l, "src")
       .select(col("dst").as("node"), col("label"))
   }
 
   private def ccIterate(sym: DataFrame, nodes: DataFrame, maxIter: Int,
-                        mergeHint: Boolean): DataFrame = {
+                        mergeHint: Boolean,
+                        smallLabels: Boolean = false): DataFrame = {
+    // below the caller-measured cutover, every |V|-sized relation in the
+    // round (labels into the neighbor join, the pointer-jump lookup, the
+    // terminal label table) rides a broadcast: the per-round exchange
+    // count drops from 3-4 to 1 (the union-aggregate), and the edge
+    // relation is never re-exchanged. Values are exact integer min/sum —
+    // join strategy cannot change them.
+    val bcast: DataFrame => DataFrame =
+      if (smallLabels && !mergeHint) broadcast _ else identity _
     // only nodes that appear in an edge can ever change label — iterate over
     // those (typically a small fraction of the corpus) and fold the isolated
     // majority back in at the end with label = self. The node list needs one
@@ -676,7 +724,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val nbr = neighborJoin(sym, labels, mergeHint)
+      val nbr = neighborJoin(sym, labels, mergeHint, broadcastLabels = smallLabels && !mergeHint)
       // The round's ONE materialization: the old label rides through the
       // min-aggregation as `prev` (each node contributes exactly one non-null
       // prev row, so max() recovers it), which makes the convergence check a
@@ -700,6 +748,12 @@ object Dedup {
       // On a deep graph the jump count would matter; on THIS operator's
       // graphs the single jump is already past the knee (the 300-deep path
       // spec pins the asymptotic behavior).
+      // the jump lookup deliberately stays a SHUFFLE join even when labels
+      // broadcast elsewhere: both sides are the same union-agg subplan and
+      // ReuseExchange materializes it once — a broadcast build side is a
+      // SEPARATE subtree, so it re-ran the whole neighbor join a second
+      // time per round (r13 StageTimeProbe: two sym-scanning stages per
+      // round instead of one)
       val jumped = minned
         .join(minned.select(col("node").as("jn"), col("label").as("jl")),
           col("label") === col("jn"), "left")
@@ -739,7 +793,7 @@ object Dedup {
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    nodes.join(labels, Seq("node"), "left")
+    nodes.join(bcast(labels), Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
@@ -1230,8 +1284,14 @@ object Dedup {
     * 100 TB the canonical key also makes the natural bucketed-layout /
     * frontier-partitioning column. */
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
-    val canon = graft.Fixtures.urlDocs(spark, dir)
-      .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+    // canonicalize ONCE, in parallel: the regex chain (plus the
+    // CodegenFallback filter() lambda over query params) is the expensive
+    // per-row op, and this frame feeds BOTH the group aggregate and the
+    // join-back side — the unmaterialized form re-ran it twice on the
+    // single scan split. No-op at scale (Tables.materializeSmall).
+    val canon = Tables.materializeSmall(
+      Tables.spreadSmall(graft.Fixtures.urlDocs(spark, dir), col("doc_id"))
+        .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url")))
     val groups = canon.groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
     canon.join(groups, "canon_url")

@@ -61,6 +61,29 @@ object SetOps {
     ColumnBridge.column(SortedIntersectCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Position-wise equality count for two `array<bigint>` of equal length
+    * (positions beyond the shorter array never match — mirrors `zip_with`'s
+    * null padding falling to the `otherwise(0)` arm). Null elements count
+    * as unequal. */
+  def posEqCountLong(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column form: `posEqCountCol(a, b)` — the MinHash signature-agreement
+    * count. Replaces the interpreted `aggregate(zip_with(...))` lambda
+    * chain, which is CodegenFallback and was measured dominating the LSH
+    * candidate join (it runs once per CANDIDATE PAIR): the whole join stays
+    * inside whole-stage codegen with this expression. */
+  def posEqCountCol(a: Column, b: Column): Column =
+    ColumnBridge.column(PosEqCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** SQL registration: `graft_sorted_intersect_count(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -108,4 +131,32 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_sorted_intersect_count"
+}
+
+/** `graft_pos_eq_count(array<bigint>, array<bigint>) -> int`: position-wise
+  * equality count (MinHash signature agreement) as one native codegen loop —
+  * see [[SetOps.posEqCountCol]] for why this exists. */
+case class PosEqCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pos_eq_count requires two array<bigint> inputs, " +
+        s"got ${left.dataType} and ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetOps.posEqCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SetOps.posEqCountLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PosEqCountExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_pos_eq_count"
 }

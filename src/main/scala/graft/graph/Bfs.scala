@@ -36,14 +36,30 @@ object Bfs {
   /** Hop distances from the lexicographically-smallest source node:
     * `(node, dist)` for every node within `maxHops`, dist = exact minimum
     * hop count. Edge weights are ignored (hop metric). */
-  def distances(edges: DataFrame, maxHops: Int = 6): DataFrame = {
+  def distances(edges: DataFrame, maxHops: Int = 6,
+                edgesDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val adj = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    // bounded: one row — the deterministic source election. Node-type
-    // agnostic (string tokens in the specs, long ids in the registered
-    // bipartite query): min is whatever ordering the column's type carries,
-    // mirrored by the oracle on the same type.
-    val source = adj.agg(min(col("src"))).head.get(0)
+    // edgesDistinct: the registered bipartite relation is an aggregate
+    // output (distinct by construction) — re-distincting it cost one full
+    // |E| exchange before the first round
+    val dedup = if (edgesDistinct) edges.select(col("src"), col("dst"))
+                else edges.select(col("src"), col("dst")).distinct()
+    val adj = dedup.localCheckpoint(true)
+    // bounded: one row — the deterministic source election, and the edge
+    // count that decides the frontier-broadcast cutover, in the SAME job
+    // (the blocks are already materialized). Node-type agnostic (string
+    // tokens in the specs, long ids in the registered bipartite query):
+    // min is whatever ordering the column's type carries, mirrored by the
+    // oracle on the same type.
+    val elect = adj.agg(min(col("src")), count(lit(1))).head
+    val source = elect.get(0)
+    // below the cutover each round broadcasts the frontier into the edge
+    // join and the settled set into the anti-join — the edge relation
+    // moves zero bytes per round (PageRank.BroadcastRanksCutover's
+    // argument; |V| ≤ 2|E|)
+    val bcast: DataFrame => DataFrame =
+      if (elect.getLong(1) <= PageRank.BroadcastRanksCutover) broadcast _
+      else identity _
     val seed = spark.range(1)
       .select(lit(source).cast(adj.schema("src").dataType).as("node"),
         lit(0).as("dist"))
@@ -59,9 +75,9 @@ object Bfs {
     while (d <= maxHops && !drained) {
       val acc = spark.sparkContext.longAccumulator(s"bfs-frontier-$d")
       val next = adj
-        .join(frontier.select(col("node").as("src")), "src")
+        .join(bcast(frontier.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .join(bcast(dist.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
       // node-type-agnostic row counting map (the typed .as[(String, Int)]
       // form pinned the node column to strings)
@@ -95,7 +111,7 @@ object Bfs {
     * election is therefore the NUMERIC min id (mirrored by the oracle),
     * not the lexicographic min of the old string form. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
-    distances(PageRank.bipartiteEdges(spark, dir))
+    distances(PageRank.bipartiteEdges(spark, dir), edgesDistinct = true)
       .select(PageRank.nodeName(col("node")).as("node"), col("dist"))
 
   /** DuckDB re-derivation: depth-bounded recursive CTE with UNION dedup

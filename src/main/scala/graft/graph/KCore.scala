@@ -33,10 +33,19 @@ object KCore {
 
   /** Nodes of the k-core of the distinct (already-symmetrized) edge
     * relation, with their within-core degree: `(node, core_deg)`. */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
-    val adj = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 16,
+            edgesDistinct: Boolean = false): DataFrame = {
+    // edgesDistinct: the registered repeat-interaction relation is an
+    // aggregate output (distinct by construction) — skip the |E| exchange
+    val dedup = if (edgesDistinct) edges.select(col("src"), col("dst"))
+                else edges.select(col("src"), col("dst")).distinct()
+    val adj = dedup.localCheckpoint(true)
     var alive = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
     var aliveN = alive.count()
+    // below the cutover each round broadcasts the (shrinking) alive set
+    // into both semi joins — the edge relation moves zero bytes per round
+    val bcast: DataFrame => DataFrame =
+      if (aliveN <= PageRank.BroadcastRanksCutover) broadcast _ else identity _
     var deg: DataFrame = null
     var round = 0
     var converged = false
@@ -48,8 +57,8 @@ object KCore {
       // degree within the current alive set: both endpoints must survive.
       // Symmetrized edges mean the per-src count IS the undirected degree.
       val nextDeg = adj
-        .join(alive.select(col("node").as("src")), "src")
-        .join(alive.select(col("node").as("dst")), "dst")
+        .join(bcast(alive.select(col("node").as("src"))), "src")
+        .join(bcast(alive.select(col("node").as("dst"))), "dst")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
@@ -80,7 +89,8 @@ object KCore {
     * rounds at sf0.001-sf0.01 against the 16-round bound. */
   def graphKcore(spark: SparkSession, dir: String,
                  k: Int = 3, minW: Int = 3): DataFrame =
-    kcore(PageRank.bipartiteEdges(spark, dir).filter(col("w") >= minW), k)
+    kcore(PageRank.bipartiteEdges(spark, dir).filter(col("w") >= minW), k,
+      edgesDistinct = true)
       .select(PageRank.nodeName(col("node")).as("node"), col("core_deg"))
 
   /** DuckDB re-derivation: the peel unrolled as exactly `maxRounds`

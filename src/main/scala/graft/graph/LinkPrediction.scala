@@ -41,15 +41,18 @@ object LinkPrediction {
     * `(u, v, common_neighbors, aa_micro)` for non-adjacent pairs with ≥ 2
     * common neighbors of degree ≤ maxApexDeg, aa_micro the exact integer
     * micro-unit Adamic-Adar score. */
-  def adamicAdar(edges: DataFrame, maxApexDeg: Int = 64): DataFrame = {
+  def adamicAdar(edges: DataFrame, maxApexDeg: Int = 64,
+                 edgesDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // materialized ONCE: the plan consumes the edge relation four ways
     // (apex degrees, both wedge sides, the non-adjacency anti-join) — the
     // unchecked form recomputed the fact join per consumer (PlanAudit
-    // showed scans=6); released at the harness's between-queries drain
-    val adj = graft.Checkpoints.track(
-      edges.select(col("src"), col("dst")).distinct().localCheckpoint(true))
+    // showed scans=6); released at the harness's between-queries drain.
+    // edgesDistinct skips re-distincting an aggregate-output relation.
+    val dedup = if (edgesDistinct) edges.select(col("src"), col("dst"))
+                else edges.select(col("src"), col("dst")).distinct()
+    val adj = graft.Checkpoints.track(dedup.localCheckpoint(true))
     val wtab = weightTable(maxApexDeg).toDF("deg", "w_micro")
     // per-node degree; apexes filtered to the weighted band before the
     // wedge join, so the C(deg,2) blow-up never materializes for hubs
@@ -82,7 +85,8 @@ object LinkPrediction {
     * sharing repeat customers) — co-behavior affinity. */
   def graphAdamicAdar(spark: SparkSession, dir: String,
                       minW: Int = 3, maxApexDeg: Int = 64): DataFrame =
-    adamicAdar(PageRank.bipartiteEdges(spark, dir).filter(col("w") >= minW), maxApexDeg)
+    adamicAdar(PageRank.bipartiteEdges(spark, dir).filter(col("w") >= minW), maxApexDeg,
+      edgesDistinct = true)
       // long ids inside (pair canonicalization u<v is NUMERIC, mirrored by
       // the oracle); names formatted on the result rows only
       .select(PageRank.nodeName(col("u")).as("u"), PageRank.nodeName(col("v")).as("v"),

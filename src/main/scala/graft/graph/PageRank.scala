@@ -43,6 +43,16 @@ object PageRank {
     * Long for any edge weight up to ~9e9 (guarded in [[ranks]]). */
   val Scale: Long = 1000000000L
 
+  /** Node-count cutover below which each round BROADCASTS the |V|-row rank
+    * frame into the edge join instead of shuffling the edge relation: a
+    * 2M-row (node, rank) relation is ~100 MB hashed — comfortably inside
+    * executor memory — and the edge side (the corpus-scale operand) then
+    * moves ZERO bytes per round. Above the cutover the join reverts to the
+    * shuffled shape whose at-scale fix is the bucketed-by-src edge layout
+    * (`Dedup.BucketedEdgeCutover`'s argument). Decided FROM THE DATA (the
+    * iteration counts |V| anyway), like `connectedComponentsAuto`. */
+  val BroadcastRanksCutover: Long = 1L << 21
+
   /** Power-iterate ranks over weighted directed `edges` (columns `src`,
     * `dst`, `w: Long`; parallel edges must be pre-aggregated). Returns
     * `(node, rank)` with rank in micro-units of `scale`. */
@@ -51,8 +61,12 @@ object PageRank {
     val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // iteration-invariant: materialize once, reuse every round
     val ej = edges.join(wout, "src").localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node")))
+    // node set derived from the CHECKPOINTED ej (same rows as edges — the
+    // wout join is key-preserving), not from `edges`: deriving it from the
+    // raw relation re-ran the whole edge build (fact-fact join + aggregate)
+    // a second time for one distinct
+    val nodes = ej.select(col("src").as("node"))
+      .unionAll(ej.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
@@ -60,17 +74,26 @@ object PageRank {
     require(maxW <= Long.MaxValue / scale,
       s"edge weight $maxW overflows rank*w at scale $scale")
     val teleport = (15L * scale) / (100L * n)
+    // |V| is measured: below the cutover every round's rank frame rides a
+    // broadcast and the (checkpointed) edge relation is never re-exchanged
+    val bcast: DataFrame => DataFrame =
+      if (n <= BroadcastRanksCutover) broadcast _ else identity _
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val contrib = ej.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = ej.join(bcast(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("(rank * w) DIV wout").as("c"))
-      val next = nodes
-        .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("s")),
-          Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("rank"))
+      // union-aggregate instead of the former left-join back to `nodes`:
+      // zero-contribution seed rows keep every node present, SUM over the
+      // union is the same integer s (adding zeros), and the round loses a
+      // whole join (and its exchange) — the ccIterate device. Exactly
+      // rank' = teleport + (85·s) DIV 100 with s = 0 for in-edge-less
+      // nodes, as before.
+      val next = nodes.select(col("node"), lit(0L).as("c"))
+        .unionAll(contrib)
+        .groupBy(col("node"))
+        .agg((lit(teleport) + expr("(85 * sum(c)) DIV 100")).as("rank"))
         .localCheckpoint(true)
       graft.dedup.Dedup.releaseLocalCheckpoint(ranks)
       ranks = next

@@ -77,7 +77,7 @@ object ByteHistogramDecoder extends Decoder {
 class ImageIoDecoder extends Decoder {
   val dim = 5
   private var opened = false
-  override def open(): Unit = { opened = true }
+  override def open(): Unit = { opened = true; Multimodal.imageIoNoCache() }
   def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
     require(opened, "ImageIoDecoder.decode before open(): lifecycle violation")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -150,7 +150,7 @@ class WavDecoder extends Decoder {
 class PHashDecoder extends Decoder {
   val dim = 64
   private var opened = false
-  override def open(): Unit = { opened = true }
+  override def open(): Unit = { opened = true; Multimodal.imageIoNoCache() }
   def decode(mediaType: String, bytes: Array[Byte]): Array[Float] = {
     require(opened, "PHashDecoder.decode before open(): lifecycle violation")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -176,6 +176,19 @@ class PHashDecoder extends Decoder {
 
 object Multimodal {
 
+  /** ImageIO's default DISK cache serializes concurrent codec work: every
+    * read/write stages pixels through a temp cache FILE, and under 32
+    * concurrent tasks the codec pass measured ~50× the single-thread task
+    * time (224 s vs 4.4 s for the phash corpus at sf0.1, r13
+    * StageTimeProbe) — lock + filesystem contention, not compute. All
+    * payloads here are in-memory byte arrays, so the cache buys nothing:
+    * disable it once per JVM (executor-side too — this runs inside the
+    * decode/encode helpers, which execute in tasks). */
+  private[multimodal] object ImageIoTuning {
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+  private[multimodal] def imageIoNoCache(): Unit = { ImageIoTuning; () }
+
   final case class Media(doc_id: Long, media_type: String, bytes: Array[Byte],
                          width: Int, height: Int, duration_ms: Long)
   final case class MediaFeatures(doc_id: Long, media_type: String,
@@ -186,7 +199,12 @@ object Multimodal {
   /** Derive a deterministic fake media table from `documents`: the UTF-8 text
     * bytes stand in for an encoded payload; metadata derives from doc fields. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[Media] =
-    mediaProjection(Tables.documents(spark, dir))
+    // spreadSmall: every consumer runs a per-row DECODE (ImageIO/WAV/codec
+    // work) and the single-file fixture scan is one split — spread the
+    // (tiny) corpus so the decode pass uses the whole session; no-op at
+    // scale (see Tables.spreadSmall). Batch path only: the streaming twin
+    // calls mediaProjection directly and keeps its source partitioning.
+    mediaProjection(Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id")))
 
   /** The documents→media projection on any frame with the documents schema —
     * including a `readStream` source: every step is a stateless column
@@ -352,6 +370,7 @@ object Multimodal {
       }
       y += 1
     }
+    imageIoNoCache()
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -361,7 +380,11 @@ object Multimodal {
     * [[syntheticPng]]): the codec-exercising twin of [[mediaTable]]'s
     * text-bytes stand-in. */
   def imageTable(spark: SparkSession, dir: String): Dataset[Media] =
-    imageProjection(Tables.documents(spark, dir))
+    // spreadSmall: PNG encode+decode fuse into this pipeline's one task
+    // per split — spread the tiny single-file fixture scan (see
+    // Tables.spreadSmall; batch path only, the streaming twin calls
+    // imageProjection directly)
+    imageProjection(Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id")))
 
   /** [[imageTable]] over any documents-shaped frame — including a
     * `readStream` source: the PNG encode is a stateless per-row map, so
@@ -435,6 +458,11 @@ object Multimodal {
     * hence re-derivable by DuckDB from `doc_id` alone. Map-only; encode
     * and decode fuse in the same task, no shuffle. */
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    // NO spreadSmall here (tried, reverted — r13 A/B 0.78 s → 1.30 s):
+    // AudioSystem.write/getAudioInputStream serialize on the synchronized
+    // provider registry, so 32 concurrent decode tasks contend instead of
+    // scaling; single-split encode+decode is faster than the contended
+    // spread for this codec.
     val feats = extractFeaturesWith(
       audioProjection(Tables.documents(spark, dir)), () => new WavDecoder).toDF()
     feats.select(col("doc_id"),
@@ -482,6 +510,7 @@ object Multimodal {
       }
       y += 1
     }
+    imageIoNoCache()
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -495,7 +524,11 @@ object Multimodal {
     * re-plants it. */
   def phashCorpus(docs: DataFrame): Dataset[Media] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].flatMap { id =>
+    // spreadSmall: PNG ENCODE happens right here in the flatMap and the
+    // real decode immediately downstream — single-split input serialized
+    // the whole codec pass onto one core (4.4 s single-task checkpoint
+    // stage at sf0.1, r13 StageTimeProbe); no-op at scale
+    Tables.spreadSmall(docs.select(col("doc_id")), col("doc_id")).as[Long].flatMap { id =>
       val w = 4 + (id % 13).toInt
       val h = 4 + (id % 11).toInt
       val base = Media(id, "image", phashPng(id, 0), w, h, 0L)
@@ -523,23 +556,32 @@ object Multimodal {
     * replays pixel recipe → grid → bits → bands → hamming from `doc_id`
     * alone ([[oracleDedupPhashSql]]). */
   def imageDedupPhash(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    import spark.implicits._
     val feats = extractFeaturesWith(
-      phashCorpus(Tables.documents(spark, dir)), () => new PHashDecoder).toDF()
-    // one decode pass feeds the band rows AND both verify sides
+      phashCorpus(Tables.documents(spark, dir)), () => new PHashDecoder)
+    // The 64 aHash bits PACKED INTO ONE BIGINT, computed in the same typed
+    // pass as the decode (plain JVM loop — the former per-doc
+    // transform/aggregate lambda chain was CodegenFallback-interpreted):
+    // bit i set iff 64·lum_i > Σ lums, identical to the old bits array.
+    // Everything downstream becomes integer codegen: band keys are 16-bit
+    // slices (shift+mask), hamming is bit_count(sig1 ^ sig2) — the old
+    // per-PAIR zip_with+aggregate lambda was the multiplied cost.
+    // One decode pass feeds the band rows AND both verify sides.
     val sig = graft.Checkpoints.track(
-      feats.select(col("doc_id"),
-          expr("transform(features, x -> CAST(x AS INT))").as("lums"))
-        .withColumn("tot", expr("aggregate(lums, 0, (a, x) -> a + x)"))
-        .withColumn("bits",
-          expr("transform(lums, x -> CASE WHEN 64 * x > tot THEN 1 ELSE 0 END)"))
-        .select(col("doc_id"), col("bits"))
+      feats.map { f =>
+        val n = f.features.length
+        var tot = 0L
+        var i = 0
+        while (i < n) { tot += f.features(i).toInt; i += 1 }
+        var s = 0L
+        i = 0
+        while (i < n) { if (64L * f.features(i).toInt > tot) s |= 1L << i; i += 1 }
+        (f.doc_id, s)
+      }.toDF("doc_id", "sig")
         .localCheckpoint(true))
-    val bk = sig.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3), b -> struct(b AS band,
-             aggregate(transform(slice(bits, b * 16 + 1, 16),
-               (x, i) -> shiftleft(x, i)), 0, (a, x) -> a + x) AS key))"""))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandArr = array((0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val bk = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "key")))
     val cand = bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -547,9 +589,7 @@ object Multimodal {
     cand.join(sig.as("x"), col("d1") === col("x.doc_id"))
       .join(sig.as("y"), col("d2") === col("y.doc_id"))
       .select(col("d1"), col("d2"),
-        expr("""aggregate(zip_with(x.bits, y.bits,
-                 (p, q) -> CASE WHEN p = q THEN 0 ELSE 1 END),
-                 0, (a, v) -> a + v)""").as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

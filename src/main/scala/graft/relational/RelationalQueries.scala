@@ -544,7 +544,10 @@ object RelationalQueries {
       StructField("tags", ArrayType(StringType)),
       StructField("m", StructType(Seq(
         StructField("a", LongType), StructField("s", StringType))))))
-    Tables.events(spark, dir)
+    // spreadSmall: from_json over a synthesized payload is the expensive
+    // per-row op and the single-file events scan is one split (a 1.0 s
+    // single-task stage at sf0.1, r13 StageTimeProbe); no-op at scale
+    Tables.spreadSmall(Tables.events(spark, dir), col("event_id"))
       .select(col("event_type"), from_json(json, schema).as("p"))
       .select(col("event_type"), col("p.u").as("u"), col("p.m.a").as("a"),
         col("p.m.s").as("s"), explode_outer(col("p.tags")).as("tag"))

@@ -89,7 +89,15 @@ class EntrySpec extends AnyFunSuite {
       "mm_image_decode" -> multimodal.Multimodal.imageDecode(spark, sf))
     mapOnly.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$name plans a shuffle:\n${plan.take(1500)}")
+      // the one allowed Exchange is Tables.spreadSmall's explicit gated
+      // repartition (REPARTITION_BY_NUM — parallelizes per-row decode on
+      // tiny single-split fixtures, no-op at scale); the operator itself
+      // must never DEMAND a shuffle (ENSURE_REQUIREMENTS = a join/agg
+      // sneaked into the map-only pipeline)
+      assert(!plan.contains("ENSURE_REQUIREMENTS"),
+        s"$name demands a shuffle:\n${plan.take(1500)}")
+      assert("Exchange".r.findAllIn(plan).size <= 1,
+        s"$name plans more than the spreadSmall repartition:\n${plan.take(1500)}")
     }
   }
 
