@@ -15,8 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet SCHEMAS memoized per (dir, table): without the explicit
+    * schema, every `spark.read.parquet` call runs a footer-inference job —
+    * 50-200 ms per read per query invocation (StageTimeProbe r13), and a
+    * 178-query bench pass pays it hundreds of times for ten fixed fixture
+    * schemas. Metadata only — the DATA is re-read from parquet on every
+    * invocation; re-inferred once per JVM. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

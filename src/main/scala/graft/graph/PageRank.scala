@@ -141,7 +141,10 @@ object PageRank {
     * = pair count. One map-only scan builds all pairs from the split array
     * — no self-join of an exploded frame. */
   def textrankEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
+    // spread: the adjacent-pair transform+filter below is CodegenFallback-
+    // interpreted, so the single-split fixture scan serialized it; no-op
+    // at scale (Tables.spreadSmall)
+    val pairs = Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(
         """filter(

@@ -61,7 +61,10 @@ object Dsir {
     // multiply (incl. inside the bigram lambda): inlining the regex split
     // into every element_at re-splits the text per element — measured 9×
     // on this stage (the text_top_ngrams project-first idiom)
-    val grams = Tables.documents(spark, dir)
+    // spreadSmall: the gram explode (bigram lambda is CodegenFallback-
+    // interpreted) + hash ran as ONE task on the single-split fixture scan
+    // (742 ms stage, r13 StageTimeProbe); no-op at scale
+    val grams = Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"), TextAnalysis.tokensCol(col("text")).as("tk"))
       .select(col("doc_id"), col("lang"), explode(gramsCol(col("tk"))).as("g"))
       .select(col("doc_id"), col("lang"),

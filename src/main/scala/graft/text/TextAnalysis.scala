@@ -627,11 +627,17 @@ object TextAnalysis {
     * Orientation (least, greatest) halves the pair space. */
   def windowCooc(spark: SparkSession, dir: String, w: Int = 3,
                  minCount: Long = 5L): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(tokensCol(lower(col("text"))).as("t"))
+    // tokenize once, spread (the nested pair-generation transform below is
+    // CodegenFallback-interpreted — parallelism is the lever), materialize
+    // for the two consumers; no-op at scale (Tables.materializeSmall)
+    val docs = Tables.materializeSmall(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
+        .select(tokensCol(lower(col("text"))).as("t")))
     val toksE = docs.select(explode(col("t")).as("tok"))
     val cx = toksE.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val nTot = toksE.agg(count(lit(1)).as("n_tok"))
+    // total token count from the vocabulary-sized cx, NOT a second
+    // tokenize+explode pass over the corpus: Σ c ≡ count of all tokens
+    val nTot = cx.agg(sum(col("c")).as("n_tok"))
     val pairs = docs.select(explode(expr(
       s"""flatten(transform(
             CASE WHEN size(t) >= 2 THEN sequence(0, size(t) - 2) ELSE array() END,
