@@ -753,12 +753,25 @@ object Dedup {
       // ReuseExchange materializes it once — a broadcast build side is a
       // SEPARATE subtree, so it re-ran the whole neighbor join a second
       // time per round (r13 StageTimeProbe: two sym-scanning stages per
-      // round instead of one)
+      // round instead of one).
+      // The lookup side must aggregate the SAME columns as the left side
+      // for that reuse to actually fire: with the natural 2-column
+      // projection, column pruning strips max(prev) from the lookup
+      // branch's aggregate, the two union-agg exchange subtrees no longer
+      // canonicalize equal, and the neighbor-join map side ran TWICE per
+      // round anyway (r13 StageTimeProbe: two ~equal-size map stages per
+      // round, sharing gone). So the lookup keeps `prev` as `jp` and the
+      // output references it through coalesce(prev, jp) — a no-op (every
+      // minned node has exactly one labels row, so max(prev) is never
+      // null) that pins identical aggregates on both branches; the only
+      // per-round duplicate left is the post-shuffle final agg over the
+      // |changed-nodes| frame.
       val jumped = minned
-        .join(minned.select(col("node").as("jn"), col("label").as("jl")),
+        .join(minned.select(col("node").as("jn"), col("label").as("jl"),
+            col("prev").as("jp")),
           col("label") === col("jn"), "left")
         .select(col("node"), coalesce(col("jl"), col("label")).as("label"),
-          col("prev"))
+          coalesce(col("prev"), col("jp")).as("prev"))
       // convergence metric OBSERVED inside the checkpoint job itself — the
       // round runs exactly one action. A nonzero observation is always
       // trustworthy (only successful tasks contribute, and any real change

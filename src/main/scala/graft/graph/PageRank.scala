@@ -58,15 +58,31 @@ object PageRank {
     * `(node, rank)` with rank in micro-units of `scale`. */
   def ranks(edges: DataFrame, iterations: Int = 5, scale: Long = Scale): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // materialize the RAW edge relation once before it is consumed twice
+    // (the wout aggregate needs hash(src), the join side hash-joins on src
+    // with a DIFFERENT upstream exchange layout, so ReuseExchange cannot
+    // share the edge build's map side between them — r13 StageTimeProbe
+    // showed the directed-pair aggregate's map AND reduce stages running
+    // twice inside the ej materialization, ~1.5 s task time at sf0.1).
+    // Released as soon as ej is materialized: at most one extra edge-sized
+    // block set lives between the two checkpoints, never for the iteration.
+    val e0 = edges.localCheckpoint(true)
+    // |E| measured on the materialized blocks (one cache-scan job): below
+    // the cutover the |srcs|-row wout relation rides a broadcast into the
+    // ej join, so the edge side is never exchanged — the same argument as
+    // the per-round rank broadcast below (wout rows ≤ |E| ≤ cutover).
+    val smallE = e0.count() <= BroadcastRanksCutover
+    val wout = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // iteration-invariant: materialize once, reuse every round
-    val ej = edges.join(wout, "src").localCheckpoint(true)
+    val ej = e0.join(if (smallE) broadcast(wout) else wout, "src")
+      .localCheckpoint(true)
+    graft.dedup.Dedup.releaseLocalCheckpoint(e0)
     // node set derived from the CHECKPOINTED ej (same rows as edges — the
     // wout join is key-preserving), not from `edges`: deriving it from the
     // raw relation re-ran the whole edge build (fact-fact join + aggregate)
-    // a second time for one distinct
-    val nodes = ej.select(col("src").as("node"))
-      .unionAll(ej.select(col("dst").as("node")))
+    // a second time for one distinct. ONE block scan (explode), not a
+    // two-branch union scanning the checkpoint twice.
+    val nodes = ej.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
@@ -200,9 +216,24 @@ object PageRank {
   def nodeNameSql(col: String): String =
     s"((CASE WHEN $col % 2 = 0 THEN 'c:' ELSE 's:' END) || CAST($col // 2 AS BIGINT))"
 
-  private def symCounted(pairs: DataFrame): DataFrame =
-    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  /** Symmetrized pair counts via aggregate-THEN-mirror: count the directed
+    * pairs once, union the flipped AGGREGATED rows, and sum. Identical
+    * values to counting over the mirrored raw pairs — w(s,d) = c(s,d) +
+    * c(d,s) either way — but the raw pair generator (an interpreted
+    * adjacent-pair lambda in [[textrankEdges]]) is evaluated ONCE: both
+    * union branches share the identical partial-agg exchange subtree
+    * (ReuseExchange), where the former shape's branches differed (one had
+    * the flip projection below the aggregate) and re-ran the whole explode
+    * chain per branch. The second aggregate runs over pair-count rows
+    * (vocabulary²-bounded), not raw pairs. Unlike [[bipartiteEdges]]'
+    * mirror-without-reaggregate, this needs no disjoint-keyspace
+    * assumption. */
+  private def symCounted(pairs: DataFrame): DataFrame = {
+    val directed = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+    directed.unionAll(
+        directed.select(col("dst").as("src"), col("src").as("dst"), col("c")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("c")).as("w"))
+  }
 
   /** TextRank keywords: top 20 tokens by PageRank over the co-occurrence
     * graph. Deterministic top-k: (rank DESC, token ASC) — integer ranks
