@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only JVM; with 32 executor threads and 128 GiB on
   // the box, a small heap turns shuffle/agg buffers into GC churn
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // A/B hook: extra -D flags (e.g. spark.sql.adaptive.* sweeps) without
+  // editing the harness — empty ⇒ exactly the defaults above
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

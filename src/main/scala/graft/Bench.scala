@@ -121,6 +121,26 @@ object Bench {
         java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8")
       ) catch { case _: Throwable => () }
     println(line)
+    // Driver-parseable SUMMARY line, printed LAST (round-13 verdict item 1):
+    // at 178 queries the full per-query line above is ~2.6 KiB, but the
+    // driver's stdout capture keeps only the last ~2000 chars — for two
+    // rounds running its parser saw a front-truncated object and recorded
+    // parsed: null / empty per_query. This second line is the one that must
+    // always fit: the same contract shape (metric/unit/sf/queries/value)
+    // with per-FAMILY rollups (17 keys, ~350 bytes) instead of 178 query
+    // keys, value in seconds. It sits LAST so the tail window always holds
+    // it whole; per-query ground truth stays in the full line above and in
+    // the committed BENCH_FULL.json.
+    val fams = results.filter(_._2 >= 0)
+      .groupBy { case (k, _) =>
+        if (k.length > 1 && k(0) == 'q' && k(1).isDigit) "tpch"
+        else k.takeWhile(_ != '_')
+      }.toSeq.sortBy(_._1)
+    val famJson = fams.map { case (f, xs) =>
+      "\"" + f + "\":" + math.round(xs.map(_._2).sum * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
+      s""""queries":$famJson,"value":${totalMs / 1000.0}}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] FAILED $n: $e") }

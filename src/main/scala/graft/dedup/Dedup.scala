@@ -127,11 +127,17 @@ object Dedup {
   def containment(spark: SparkSession, dir: String, threshold: Double = 0.5,
                   w: Int = 5): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.TextHash.shingleHashesCol(
-          TextAnalysis.tokensCol(lower(col("text"))), w).as("gs"))
-      .filter(size(col("gs")) > 0)
+    // shingle-hash ONCE, in parallel (r14, the jaccardDocs discipline): this
+    // frame has THREE consumers (the gram explode and both verify-join
+    // sides) and each re-derived the fused tokenize+shingle chain from the
+    // single scan split. No-op at scale (Tables.materializeSmall).
+    val docs = Tables.materializeSmall(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+          bytesPerTask = 16L << 10)
+        .select(col("doc_id"),
+          graft.functions.TextHash.shingleHashesCol(
+            TextAnalysis.tokensCol(lower(col("text"))), w).as("gs"))
+        .filter(size(col("gs")) > 0))
     val g = docs.select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("g"))
     // gram document frequency: groupBy (map-side combined), AQE broadcasts
     // the Zipf-small vocabulary back — the jaccard dfreq discipline
@@ -198,7 +204,8 @@ object Dedup {
     // that stops the filter re-expansion. Both are no-ops at scale (see
     // Tables.materializeSmall for the at-100TB argument).
     Tables.materializeSmall(
-      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+          bytesPerTask = 16L << 10) // tokenize+dedupe-heavy rows: want cores
         .select(col("doc_id"), col("lang"), col("source"),
           array_distinct(TextAnalysis.tokensCol(col("text"))).as("toks")))
 
@@ -351,7 +358,8 @@ object Dedup {
     // here, and the single-file fixture scan is ONE split — without the
     // spread the whole corpus signed on one core (a 6-10 s single-task
     // stage at sf0.1); no-op at scale (see Tables.spreadSmall)
-    Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id")).select(
+    Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+        bytesPerTask = 8L << 10).select( // MinHash-heavy rows: want cores
       col("doc_id"),
       graft.functions.MinHash.minhashTokensCol(
         TextAnalysis.tokensCol(lower(col("text")))).as("sig"))
@@ -440,6 +448,11 @@ object Dedup {
     // the string computation absent an in-pair hash collision (see
     // TextHash.shingleHashesCol), so the string-based SQL oracle still
     // checks this row-for-row.
+    // NOTE (r14, measured): spread+materialize of this frame was tried and
+    // REVERTED — dedup_minhash_lsh 736→1196 ms in a like-for-like subset
+    // A/B: the two verify-side shingle derivations are cheaper than the
+    // checkpoint job + exchange on this corpus (contrast containment,
+    // where THREE consumers and a wider gram set make the same device win)
     val sh = Tables.documents(spark, dir).select(
       col("doc_id"),
       graft.functions.TextHash.shingleHashesCol(
@@ -699,6 +712,14 @@ object Dedup {
       .select(col("dst").as("node"), col("label"))
   }
 
+  /** PRECONDITION: `sym` must be SYMMETRIZED (for every (s,d) row a (d,s)
+    * row exists — all callers go through [[symmetrize]]). The pointer-jump
+    * projection's `coalesce(prev, jp)` is a value no-op ONLY under this:
+    * symmetry makes every nbr dst also a labels src, so every minned node
+    * carries exactly one non-null prev and max(prev) never falls through
+    * to the jump target's. An asymmetric caller would silently corrupt the
+    * convergence metric — CcRoundPlanSpec pins the no-null-prev invariant
+    * on every tapped round. */
   private def ccIterate(sym: DataFrame, nodes: DataFrame, maxIter: Int,
                         mergeHint: Boolean,
                         smallLabels: Boolean = false): DataFrame = {
@@ -772,6 +793,7 @@ object Dedup {
           col("label") === col("jn"), "left")
         .select(col("node"), coalesce(col("jl"), col("label")).as("label"),
           coalesce(col("prev"), col("jp")).as("prev"))
+      graft.tools.PlanProbe.tap(s"ccround_$it", jumped)
       // convergence metric OBSERVED inside the checkpoint job itself — the
       // round runs exactly one action. A nonzero observation is always
       // trustworthy (only successful tasks contribute, and any real change
@@ -878,10 +900,14 @@ object Dedup {
     * fraction of the eval doc (exact IEEE division of exact integers). */
   def decontamOverlap(spark: SparkSession, dir: String, w: Int = 5,
                       evalMod: Long = 50, minShared: Int = 1): DataFrame = {
-    val sh = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      graft.functions.TextHash.shingleHashesCol(
-        TextAnalysis.tokensCol(lower(col("text"))), w).as("sh"))
+    // shingle-hash once, in parallel (r14): the train explode and the eval
+    // side re-derived the fused chain from the one scan split
+    val sh = Tables.materializeSmall(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+          bytesPerTask = 16L << 10)
+        .select(col("doc_id"),
+          graft.functions.TextHash.shingleHashesCol(
+            TextAnalysis.tokensCol(lower(col("text"))), w).as("sh")))
     val train = sh.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
     val ev = sh.filter(col("doc_id") % evalMod === 0)
@@ -912,6 +938,10 @@ object Dedup {
     * oracle re-derives on gram STRINGS (the decontam count-parity +
     * collision acceptance). */
   def crossSourceOverlap(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    // NOTE (r14, measured): spreading this scan was tried and REVERTED
+    // (898→934 ms like-for-like — the distinct's exchange already spreads
+    // everything downstream; the serial map side is cheaper than a second
+    // exchange on this corpus)
     val sg = Tables.documents(spark, dir)
       .select(col("source"),
         explode(graft.functions.TextHash.shingleHashesCol(
@@ -1015,7 +1045,12 @@ object Dedup {
     * reuses the doc_id partitioning, so no further exchange. */
   def spanExtents(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    def occurrences = Tables.documents(spark, dir)
+    // spread: positional shingle hashing is the per-row cost and both
+    // occurrence derivations ran it on the one scan split (r14); the
+    // derive-twice-instead-of-cache choice itself is documented above and
+    // unchanged. No-op at scale.
+    def occurrences = Tables.spreadSmall(Tables.documents(spark, dir),
+        col("doc_id"), bytesPerTask = 16L << 10)
       .select(col("doc_id"),
         TextAnalysis.tokensCol(lower(col("text"))).as("t"))
       .select(col("doc_id"), size(col("t")).cast("bigint").as("n_tokens"),
@@ -1119,10 +1154,14 @@ object Dedup {
                          evalMod: Long = 50, minShared: Int = 1,
                          fpp: Double = 1e-4): DataFrame = {
     import spark.implicits._
-    val sh = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      graft.functions.TextHash.shingleHashesCol(
-        TextAnalysis.tokensCol(lower(col("text"))), w).as("sh"))
+    // shingle-hash once, in parallel (r14): the bloom-build side and the
+    // train probe side re-derived the fused chain from the one scan split
+    val sh = Tables.materializeSmall(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+          bytesPerTask = 16L << 10)
+        .select(col("doc_id"),
+          graft.functions.TextHash.shingleHashesCol(
+            TextAnalysis.tokensCol(lower(col("text"))), w).as("sh")))
     // persisted across its TWO actions (sizing count + filter build) so the
     // eval split's scan + shingle pipeline runs once, not twice
     val evalGrams = sh.filter(col("doc_id") % evalMod === 0)
@@ -1174,6 +1213,9 @@ object Dedup {
   def shingleFingerprints(spark: SparkSession, dir: String, w: Int = 5,
                           keepMod: Int = 4): Dataset[DocFp] = {
     import spark.implicits._
+    // NOTE (r14, measured): spreading this scan was tried and REVERTED
+    // (dedup_fp_overlap 590→729 ms like-for-like — the exchange costs more
+    // than the serial fingerprint pass saves on this corpus)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.TextHash.fingerprintTokensCol(
@@ -1303,7 +1345,8 @@ object Dedup {
     // join-back side — the unmaterialized form re-ran it twice on the
     // single scan split. No-op at scale (Tables.materializeSmall).
     val canon = Tables.materializeSmall(
-      Tables.spreadSmall(graft.Fixtures.urlDocs(spark, dir), col("doc_id"))
+      Tables.spreadSmall(graft.Fixtures.urlDocs(spark, dir), col("doc_id"),
+          bytesPerTask = 8L << 10) // regex-chain-heavy rows: want cores
         .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url")))
     val groups = canon.groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))

@@ -79,6 +79,7 @@ object Bfs {
         .select(col("dst").as("node")).distinct()
         .join(bcast(dist.select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
+      graft.tools.PlanProbe.tap(s"bfsround_$d", next)
       // node-type-agnostic row counting map (the typed .as[(String, Int)]
       // form pinned the node column to strings)
       val nextCounted = next

@@ -56,13 +56,14 @@ object KCore {
           "(and the oracle's unroll count with it); refusing to emit a half-peeled core")
       // degree within the current alive set: both endpoints must survive.
       // Symmetrized edges mean the per-src count IS the undirected degree.
-      val nextDeg = adj
+      val roundDf = adj
         .join(bcast(alive.select(col("node").as("src"))), "src")
         .join(bcast(alive.select(col("node").as("dst"))), "dst")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
-        .localCheckpoint(true)
+      graft.tools.PlanProbe.tap(s"kcoreround_$round", roundDf)
+      val nextDeg = roundDf.localCheckpoint(true)
       val nextN = nextDeg.count()
       if (deg != null) graft.dedup.Dedup.releaseLocalCheckpoint(deg)
       graft.dedup.Dedup.releaseLocalCheckpoint(alive)

@@ -67,16 +67,29 @@ object PageRank {
     // Released as soon as ej is materialized: at most one extra edge-sized
     // block set lives between the two checkpoints, never for the iteration.
     val e0 = edges.localCheckpoint(true)
-    // |E| measured on the materialized blocks (one cache-scan job): below
-    // the cutover the |srcs|-row wout relation rides a broadcast into the
-    // ej join, so the edge side is never exchanged — the same argument as
-    // the per-round rank broadcast below (wout rows ≤ |E| ≤ cutover).
-    val smallE = e0.count() <= BroadcastRanksCutover
-    val wout = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // iteration-invariant: materialize once, reuse every round
-    val ej = e0.join(if (smallE) broadcast(wout) else wout, "src")
-      .localCheckpoint(true)
-    graft.dedup.Dedup.releaseLocalCheckpoint(e0)
+    // try/finally (r13 advice): the pinned non-fault-tolerant blocks must
+    // be released on EVERY exit — e0.count(), the ej materialization, the
+    // empty-graph require and the overflow guard can all throw, and the
+    // happy-path releases alone leaked e0/ej/nodes on those paths.
+    val ej = try {
+      // |E| measured on the materialized blocks (one cache-scan job): below
+      // the cutover the |srcs|-row wout relation rides a broadcast into the
+      // ej join, so the edge side is never exchanged — the same argument as
+      // the per-round rank broadcast below (wout rows ≤ |E| ≤ cutover).
+      val smallE = e0.count() <= BroadcastRanksCutover
+      val wout = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      // iteration-invariant: materialize once, reuse every round
+      e0.join(if (smallE) broadcast(wout) else wout, "src")
+        .localCheckpoint(true)
+    } finally graft.dedup.Dedup.releaseLocalCheckpoint(e0)
+    try {
+      ranksFromEj(ej, iterations, scale)
+    } finally graft.dedup.Dedup.releaseLocalCheckpoint(ej)
+  }
+
+  /** The iteration over a CHECKPOINTED edge⋈wout relation — split out so
+    * [[ranks]] can scope each pinned block set with try/finally. */
+  private def ranksFromEj(ej: DataFrame, iterations: Int, scale: Long): DataFrame = {
     // node set derived from the CHECKPOINTED ej (same rows as edges — the
     // wout join is key-preserving), not from `edges`: deriving it from the
     // raw relation re-ran the whole edge build (fact-fact join + aggregate)
@@ -84,6 +97,13 @@ object PageRank {
     // two-branch union scanning the checkpoint twice.
     val nodes = ej.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().localCheckpoint(true)
+    try {
+      ranksIterate(ej, nodes, iterations, scale)
+    } finally graft.dedup.Dedup.releaseLocalCheckpoint(nodes)
+  }
+
+  private def ranksIterate(ej: DataFrame, nodes: DataFrame,
+                           iterations: Int, scale: Long): DataFrame = {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val maxW = ej.agg(max(col("w"))).head.getLong(0)
@@ -96,7 +116,7 @@ object PageRank {
       if (n <= BroadcastRanksCutover) broadcast _ else identity _
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ej.join(bcast(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("(rank * w) DIV wout").as("c"))
@@ -106,16 +126,16 @@ object PageRank {
       // whole join (and its exchange) — the ccIterate device. Exactly
       // rank' = teleport + (85·s) DIV 100 with s = 0 for in-edge-less
       // nodes, as before.
-      val next = nodes.select(col("node"), lit(0L).as("c"))
+      val round = nodes.select(col("node"), lit(0L).as("c"))
         .unionAll(contrib)
         .groupBy(col("node"))
         .agg((lit(teleport) + expr("(85 * sum(c)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
+      graft.tools.PlanProbe.tap(s"prround_$i", round)
+      val next = round.localCheckpoint(true)
       graft.dedup.Dedup.releaseLocalCheckpoint(ranks)
       ranks = next
     }
-    graft.dedup.Dedup.releaseLocalCheckpoint(ej)
-    graft.dedup.Dedup.releaseLocalCheckpoint(nodes)
+    // ej/nodes are released by the callers' finally blocks
     // the returned frame IS the last round's checkpoint — it must outlive
     // this builder, so its release is deferred to the harness's
     // between-queries drain rather than leaked to ContextCleaner GC

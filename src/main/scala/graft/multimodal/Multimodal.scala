@@ -204,7 +204,10 @@ object Multimodal {
     // (tiny) corpus so the decode pass uses the whole session; no-op at
     // scale (see Tables.spreadSmall). Batch path only: the streaming twin
     // calls mediaProjection directly and keeps its source partitioning.
-    mediaProjection(Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id")))
+    // bytesPerTask 8 KB: per-row codec work is orders of magnitude above
+    // the bytes, so even a sub-MB corpus wants every core (r14 scaling fix)
+    mediaProjection(Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+      bytesPerTask = 8L << 10))
 
   /** The documents→media projection on any frame with the documents schema —
     * including a `readStream` source: every step is a stateless column
@@ -384,7 +387,9 @@ object Multimodal {
     // per split — spread the tiny single-file fixture scan (see
     // Tables.spreadSmall; batch path only, the streaming twin calls
     // imageProjection directly)
-    imageProjection(Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id")))
+    // bytesPerTask 8 KB: codec-heavy rows (see mediaTable)
+    imageProjection(Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+      bytesPerTask = 8L << 10))
 
   /** [[imageTable]] over any documents-shaped frame — including a
     * `readStream` source: the PNG encode is a stateless per-row map, so
@@ -528,7 +533,8 @@ object Multimodal {
     // real decode immediately downstream — single-split input serialized
     // the whole codec pass onto one core (4.4 s single-task checkpoint
     // stage at sf0.1, r13 StageTimeProbe); no-op at scale
-    Tables.spreadSmall(docs.select(col("doc_id")), col("doc_id")).as[Long].flatMap { id =>
+    Tables.spreadSmall(docs.select(col("doc_id")), col("doc_id"),
+        bytesPerTask = 1L << 10).as[Long].flatMap { id =>
       val w = 4 + (id % 13).toInt
       val h = 4 + (id % 11).toInt
       val base = Media(id, "image", phashPng(id, 0), w, h, 0L)

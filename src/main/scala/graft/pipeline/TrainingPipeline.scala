@@ -85,7 +85,13 @@ object TrainingPipeline {
                  rates: Map[String, Int] = Map(
                    "en" -> 90, "fr" -> 75, "de" -> 50, "es" -> 25, "zh" -> 10)): DataFrame = {
     val evalGrams = Dedup.evalGramSet(spark, dir) // bounded, by design (eval sets are small)
-    val base = verdictFlags(Tables.documents(spark, dir), evalGrams, blocked, rates)
+    // spread (batch path only — the stream twin keeps its source
+    // partitioning): the fused verdict columns (gram stats + hygiene +
+    // decontam probe) are the per-row cost and ran on the one scan split
+    val base = verdictFlags(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"),
+        bytesPerTask = 16L << 10),
+      evalGrams, blocked, rates)
     val keep = Dedup.nearDupComponents(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_dedup"))
     base.join(keep, "doc_id")

@@ -224,13 +224,20 @@ object Sampling {
   def budgetSelect(spark: SparkSession, dir: String, budgetFrac: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.text.TextAnalysis.tokensCol(col("text"))
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(toks).cast("bigint").as("n_tokens"),
-        size(array_distinct(toks)).cast("bigint").as("n_dist"))
-      .filter(col("n_tokens") > 0)
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        expr("n_dist * 1000000 DIV n_tokens").as("score"))
+    // tokenize ONCE, in parallel (r14, §2.3/§6): perDoc feeds THREE
+    // consumers (the layer aggregate, the above-threshold filter and the
+    // boundary-layer window) and each re-derived the tokenize +
+    // array_distinct chain from its own single-split corpus scan. Spread
+    // the scan, compute the narrow (doc_id, source, n_tokens, score) frame
+    // once, checkpoint it (released at the harness drain); no-op at scale.
+    val perDoc = Tables.materializeSmall(
+      Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(array_distinct(toks)).cast("bigint").as("n_dist"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("n_dist * 1000000 DIV n_tokens").as("score")))
     val layers = perDoc.groupBy(col("score"))
       .agg(sum(col("n_tokens")).as("layer_tokens"))
     // budget and cumsum live on the LAYER table (≤ 10^6 rows at any

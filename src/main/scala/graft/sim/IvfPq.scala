@@ -112,7 +112,7 @@ object IvfPq {
            trained: Option[IvfPqIndex] = None,
            codes: Option[Dataset[IvfPqCode]] = None): Dataset[Hit] = {
     val vecs = vectors(spark, dir)
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = Similarity.queryArr(spark, dir, numQueries)
     val idx = trained.getOrElse(train(vecs, nlist, m, ksub))
     val bcI = spark.sparkContext.broadcast(idx)
     val codesDs = codes.getOrElse(encode(vecs, idx))

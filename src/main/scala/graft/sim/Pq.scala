@@ -154,9 +154,13 @@ object Pq {
              trained: Option[PqCodebook] = None,
              codes: Option[Dataset[PqCode]] = None): Dataset[Hit] = {
     val vecs = vectors(spark, dir)
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = Similarity.queryArr(spark, dir, numQueries)
     val book = trained.getOrElse(train(vecs, m, ksub))
     val bcB = spark.sparkContext.broadcast(book)
+    // NOTE (r14, measured): spreading the encode scan was tried and
+    // REVERTED with the rest of the sim-family spreads (18-query A/B,
+    // family 1.25× slower) — the cost here is the 4 Lloyd treeAggregate
+    // jobs above, a fixed job-count floor, not the encode pass
     val codesDs = codes.getOrElse(encode(vecs, book))
     AdcSearch.topK[PqCode](codesDs, _.vec_id, queries, vecs, k, rerank, qs => {
       val b = bcB.value

@@ -1,5 +1,7 @@
 package graft.sim
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,15 +39,35 @@ object Similarity {
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).as[Vec]
   }
 
+  /** NOTE (r14, measured): spreading this family's single-split scans via
+    * `Tables.spreadSmall` was tried on every heap-scan/encode consumer and
+    * REVERTED — an 18-query A/B (two sim-only bench runs per config,
+    * per-query min) showed the family 1.25× SLOWER spread (10.4 s → 12.9 s
+    * at sf0.1): these scans are fixed-cost-bound (50-250 ms stages whose
+    * real CPU is single-digit ms at sub-MB corpus sizes), so the added
+    * exchange + 32-task scheduling outweighs the parallelism everywhere
+    * except the n²-dense [[knnGraph]] chunk kernel, which keeps its own
+    * explicit repartition below. At real scale the scan yields ≥ cores
+    * splits by itself, so nothing is lost. */
+
+  /** The bounded broadcast query set, collected through a COLUMN predicate
+    * so it pushes into the parquet scan — the former typed
+    * `.filter(_.vec_id < q)` deserialized the whole corpus into Vec objects
+    * per collect (once per registered query in this family). */
+  private[sim] def queryArr(spark: SparkSession, dir: String, numQueries: Int): Array[Vec] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < numQueries).as[Vec].collect()
+  }
+
   /** Exact brute-force top-k: baseline and recall oracle for the ANN path.
     * Deterministic tie-break on (cosine desc, neighbor_id asc). */
   def bruteForceTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
                      k: Int = 10): Dataset[Hit] = {
     import spark.implicits._
-    val vecs = vectors(spark, dir)
-    val queries = vecs.filter(_.vec_id < numQueries).collect() // bounded: Q rows
+    val queries = queryArr(spark, dir, numQueries) // bounded: Q rows
     val bc = spark.sparkContext.broadcast(queries)
-    val candidates = vecs.mapPartitions { it =>
+    val candidates = vectors(spark, dir).mapPartitions { it =>
       val qs = bc.value
       val heaps = qs.map(q => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
         Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
@@ -88,12 +110,14 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String, numQueries: Int = 8,
                     k: Int = 10): Dataset[Hit] = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
-    val queries = vecs.filter(_._2 < numQueries).collect() // bounded: Q rows
+    // column predicate (pushes to the scan) for the bounded query collect
+    val queries = base.filter(col("vec_id") < numQueries)
+      .as[(Int, Long, Array[Float])].collect() // bounded: Q rows
     val bc = spark.sparkContext.broadcast(queries)
-    val candidates = vecs.mapPartitions { it =>
+    val candidates = base
+      .as[(Int, Long, Array[Float])].mapPartitions { it =>
       val qs = bc.value
       val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
         Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
@@ -203,7 +227,7 @@ object Similarity {
       }
       (best, v)
     }
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = queryArr(spark, dir, numQueries)
     val bcQ = spark.sparkContext.broadcast(queries.map { q =>
       val cs = bcCent.value
       val probes = cs.indices.map(i => (cosine(q.embedding, cs(i)), i))
@@ -272,11 +296,12 @@ object Similarity {
       }
       best
     }
-    val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v))
+    val assigned = vecs
+      .map(v => (nearestList(bcCent.value, v.embedding), v))
       .persist() // consumed by the radius agg + up to two scan passes
     val radius = listRadii(assigned.rdd.map { case (l, v) => (l, v.embedding) },
       bcCent, nlist)
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = queryArr(spark, dir, numQueries)
     val out = exactScanMerge(spark, _ => assigned, centroids, radius, queries, k, nprobe)
     assigned.unpersist()
     out
@@ -521,6 +546,19 @@ object Similarity {
   /** Reader for one probe pass over the stored index: only the requested
     * lists' partition directories are opened (partition pruning on
     * `list_id` — spec-asserted via the scan's PartitionFilters). */
+  /** The stored-index generation layout is CONSTANT by construction
+    * ([[assignLists]] → partitionBy(list_id)): declaring it skips the
+    * parquet footer-inference job every probe pass paid per generation
+    * (guide §6 — two generations × up to two scan passes per upsert
+    * search). */
+  private val StoredGenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("list_id",
+      org.apache.spark.sql.types.IntegerType)))
+
   def storedLists(spark: SparkSession, indexPath: String, lists: Set[Int]): DataFrame =
     // comma-separated = multi-generation index (base + delta segments, the
     // upsertIvfIndexTo layout). Each generation is its own partitioned
@@ -529,7 +567,7 @@ object Similarity {
     // filter pushes through the union, so partition pruning still applies
     // per generation
     indexPath.split(',').iterator
-      .map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      .map(p => spark.read.schema(StoredGenSchema).parquet(p)).reduce(_ unionByName _)
       .filter(col("list_id").isin(lists.toSeq.map(Int.box): _*))
       .select(col("list_id"), col("vec_id"), col("embedding"))
 
@@ -561,7 +599,7 @@ object Similarity {
     val idx = graft.sources.ArtifactCache.memo(
       s"ivfstored:$indexPath:$nlist:${graft.sources.ArtifactCache.fixtureKey(dir)}")(
       buildIvfIndex(spark, dir, indexPath, nlist))
-    val queries = vectors(spark, dir).filter(_.vec_id < numQueries).collect()
+    val queries = queryArr(spark, dir, numQueries)
     searchStoredIndex(spark, idx, queries, k, nprobe)
   }
 
@@ -578,8 +616,10 @@ object Similarity {
                     nlist: Int = 16, nprobe: Int = 4): Dataset[Hit] = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
-    val base  = vecs.filter(_.vec_id % 5 != 4)
-    val delta = vecs.filter(_.vec_id % 5 == 4)
+    // column predicates (codegen + scan-evaluable), not typed lambdas that
+    // force a whole-corpus deserialize before the split
+    val base  = vecs.filter(col("vec_id") % 5 =!= 4)
+    val delta = vecs.filter(col("vec_id") % 5 === 4)
     // the BASE build (codebook train + partitioned write) is ingest — one
     // generation per fixture state (ArtifactCache contract); the UPSERT
     // (delta assign + append + merged-radius search) IS the operation and
@@ -592,7 +632,7 @@ object Similarity {
     }
     val deltaPath = s"$indexPath/delta_${upsertGen.incrementAndGet()}"
     val idx = upsertIvfIndexTo(baseIdx, delta, deltaPath)
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = queryArr(spark, dir, numQueries)
     searchStoredIndex(spark, idx, queries, k, nprobe)
   }
 
@@ -622,13 +662,15 @@ object Similarity {
   def filteredTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
                    k: Int = 10): Dataset[Hit] = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label")).as[LVec]
-    val queries = vecs.filter(_.vec_id < numQueries).collect() // bounded: Q rows
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // column predicate for the bounded query collect (pushes to the scan)
+    val queries = base.filter(col("vec_id") < numQueries).as[LVec].collect()
     val labels = queries.map(_.label).distinct.sorted
     val bc = spark.sparkContext.broadcast(queries)
-    val candidates = vecs
-      .filter(col("label").isin(labels.map(Int.box).toSeq: _*))
+    // the label IN (...) pre-filter pushes into the parquet scan
+    val candidates = base
+      .filter(col("label").isin(labels.map(Int.box).toSeq: _*)).as[LVec]
       .mapPartitions { it =>
         val qs = bc.value
         val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
@@ -767,7 +809,7 @@ object Similarity {
               k: Int = 10): Dataset[Hit] = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = queryArr(spark, dir, numQueries)
     val bcQ = spark.sparkContext.broadcast(queries)
     val idx = sq8Index(vecs).persist()
 
@@ -1021,19 +1063,45 @@ object Similarity {
       }
       heap.iterator.map { case (c, nid) => (id, nid, c) }
     }
-    val partials = exploded.groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Float])]) =>
-        val (a, b) = key
-        val members = it.map(t => (t._3, t._4, t._5)).toArray
-        if (a == b) {
-          members.iterator.flatMap { case (_, id, e) =>
-            localTopK(id, e, members.iterator.map(m => (m._2, m._3)))
+    // The chunk-pair kernel is CPU-dense but byte-TINY, which defeats both
+    // layers of default parallelism (r14 StageTimeProbe: the whole n²/nc
+    // kernel ran as ONE 3 s task): the sampled form's global limit yields a
+    // single partition, which SATISFIES groupByKey's clustering requirement
+    // outright (zero exchanges planned), and even with an exchange AQE's
+    // byte-driven coalescing folds a few-MB shuffle back to 1-4 tasks. So
+    // the group stage is an EXPLICIT repartition on the chunk-pair key with
+    // a pinned partition count (user-specified counts are exempt from AQE
+    // coalescing) and the grouping runs partition-locally — same groups,
+    // same kernel, and the kernel's bounded heaps are total-order
+    // tie-broken, so the output set is identical from any partitioning.
+    val nGroups = nc.toLong * (nc + 1) / 2
+    val p = math.max(1L, math.min(nGroups,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+    val partials = exploded.toDF("a", "b", "c", "id", "emb")
+      .repartition(p, col("a"), col("b"))
+      .as[(Int, Int, Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val groups = new java.util.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Float])]]()
+        it.foreach { case (a, b, c, id, e) =>
+          groups.computeIfAbsent((a.toLong << 32) | (b.toLong & 0xffffffffL),
+            _ => scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long, Array[Float])]) += ((c, id, e))
+        }
+        groups.entrySet().iterator().asScala.flatMap { ent =>
+          val a = (ent.getKey >> 32).toInt
+          val b = ent.getKey.toInt
+          val members = ent.getValue
+          if (a == b) {
+            members.iterator.flatMap { case (_, id, e) =>
+              localTopK(id, e, members.iterator.map(m => (m._2, m._3)))
+            }
+          } else {
+            val left = members.filter(_._1 == a).map(m => (m._2, m._3))
+            val right = members.filter(_._1 == b).map(m => (m._2, m._3))
+            left.iterator.flatMap { case (id, e) => localTopK(id, e, right.iterator) } ++
+              right.iterator.flatMap { case (id, e) => localTopK(id, e, left.iterator) }
           }
-        } else {
-          val left = members.filter(_._1 == a).map(m => (m._2, m._3))
-          val right = members.filter(_._1 == b).map(m => (m._2, m._3))
-          left.iterator.flatMap { case (id, e) => localTopK(id, e, right.iterator) } ++
-            right.iterator.flatMap { case (id, e) => localTopK(id, e, left.iterator) }
         }
       }
     partials.groupByKey(_._1).flatMapGroups { (id: Long, it: Iterator[(Long, Long, Double)]) =>
@@ -1107,6 +1175,24 @@ object Similarity {
       maxBlock: Int = 256): Dataset[(Long, Long)] = {
     val spark = queries.sparkSession
     import spark.implicits._
+    prunedKnnEdgesMulti(Seq(nprobe -> queries), members, centroids, k, maxBlock)
+      .map { case (_, qid, nid) => (qid, nid) }
+  }
+
+  /** [[prunedKnnEdges]] for SEVERAL (nprobe, query set) rungs over ONE
+    * member relation in ONE pass (§2.3 — the r13 sweep ran the member
+    * assignment, the nlist-row listCounts collect AND the member-side
+    * cogroup shuffle once PER RUNG; all three are rung-invariant). The
+    * probe sides union with an `np` tag; the member chunking, the kernel
+    * and the per-(np, query) top-k fold are byte-identical to running each
+    * rung alone — every probe row still scores exactly its own chunk's
+    * members with the same (cosine desc, id asc) bounded heap, and the
+    * final merge keys on (np, qid) instead of qid. Returns (np, qid, nid). */
+  private[graft] def prunedKnnEdgesMulti(rungQueries: Seq[(Int, Dataset[Vec])],
+      members: Dataset[Vec], centroids: Array[Array[Float]], k: Int,
+      maxBlock: Int = 256): Dataset[(Int, Long, Long)] = {
+    val spark = members.sparkSession
+    import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
     val assigned = members.map(v => (nearestList(bcC.value, v.embedding), v.vec_id, v.embedding))
     // nlist rows — the only driver-side state, same shape as chunkedNearDups
@@ -1117,22 +1203,26 @@ object Similarity {
     val memberRows = assigned.map { case (l, id, e) =>
       (l, math.floorMod(mix64(id), bcNmc.value(l).toLong).toInt, id, e)
     }
-    val probeRows = queries.flatMap { q =>
-      val lists = rankedLists(bcC.value, q.embedding, nprobe)
-      lists.iterator.flatMap { l =>
-        (0 until bcNmc.value(l)).iterator.map(c => (l, c, q.vec_id, q.embedding))
+    val probeRows = rungQueries.map { case (np, queries) =>
+      queries.flatMap { q =>
+        val lists = rankedLists(bcC.value, q.embedding, np)
+        lists.iterator.flatMap { l =>
+          (0 until bcNmc.value(l)).iterator.map(c => (l, c, np, q.vec_id, q.embedding))
+        }
       }
-    }
+    }.reduce(_ unionAll _)
     val partials = memberRows.groupByKey(t => (t._1, t._2))
       .cogroup(probeRows.groupByKey(t => (t._1, t._2))) { (_, mIt, pIt) =>
         val mem = mIt.map(t => (t._3, t._4)).toArray
-        pIt.flatMap { case (_, _, qid, qe) =>
-          localTopKAgainst(qid, qe, k, mem.iterator) }
+        pIt.flatMap { case (_, _, np, qid, qe) =>
+          localTopKAgainst(qid, qe, k, mem.iterator)
+            .map { case (_, nid, c) => (np, qid, nid, c) } }
       }
-    partials.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
-      it.toArray.sortBy { case (_, nid, c) => (-c, nid) }.take(k).iterator
-        .map { case (_, nid, _) => (qid, nid) }
-    }
+    partials.groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Double)]) =>
+        it.toArray.sortBy { case (_, _, nid, c) => (-c, nid) }.take(k).iterator
+          .map { case (np, qid, nid, _) => (np, qid, nid) }
+      }
   }
 
   /** Exact top-k for a BOUNDED broadcast query set against the full corpus
@@ -1225,11 +1315,15 @@ object Similarity {
     val truth = exactTopKBroadcast(vecs, sampleArr, k).toDF("query_id", "neighbor_id")
     val nTruth = truth.count()
     val rungs = Seq(math.max(1, nlist / 8), math.max(2, nlist / 4), nlist)
-    val edges = rungs.map { np =>
-      val queries = if (np == nlist) sampleDs else vecs
-      prunedKnnEdges(queries, vecs, centroids, np, k, maxBlock)
-        .map { case (q, nb) => (np, q, nb) }
-    }.reduce(_ unionAll _).toDF("nprobe", "query_id", "neighbor_id")
+    // ALL rungs in one pruned pass: member assignment, listCounts and the
+    // member-side cogroup shuffle are rung-invariant (§2.3) — see
+    // prunedKnnEdgesMulti. Rung nprobe values are distinct by construction
+    // (nlist >= 16 ⇒ nlist/8 < nlist/4 < nlist), so (np, qid) keys never
+    // collide across rungs.
+    val edges = prunedKnnEdgesMulti(
+        rungs.map(np => np -> (if (np == nlist) sampleDs else vecs)),
+        vecs, centroids, k, maxBlock)
+      .toDF("nprobe", "query_id", "neighbor_id")
     val totals = edges.groupBy(col("nprobe"))
       .agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_edges"))
     val matched = edges.join(truth, Seq("query_id", "neighbor_id"))
@@ -1381,10 +1475,11 @@ object Similarity {
       }
       best
     }
-    val assigned = vecs.map(v => (nearestList(bcCent.value, v.embedding), v)).persist()
+    val assigned = vecs
+      .map(v => (nearestList(bcCent.value, v.embedding), v)).persist()
     val radius = listRadii(assigned.rdd.map { case (l, v) => (l, v.embedding) },
       bcCent, nlist)
-    val queries = vecs.filter(_.vec_id < numQueries).collect()
+    val queries = queryArr(spark, dir, numQueries)
     // driver-side: per query, the lists the ball bound cannot exclude
     val admitted: Array[(Vec, Set[Int])] = queries.map { q =>
       val cs = bcCent.value

@@ -85,7 +85,10 @@ object TextAnalysis {
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val words = docs.select(col("doc_id"), explode(tokensCol(lower(col("text")))).as("word"))
+    // spread: tokenize+explode is the per-row cost and ran on the one scan
+    // split (r14); counts/windows downstream are partitioning-insensitive
+    val words = Tables.spreadSmall(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokensCol(lower(col("text")))).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -402,7 +405,9 @@ object TextAnalysis {
     * and the driver merges partitions×k; no global sort materializes at any
     * corpus size (plan-spec-pinned). */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
-    Tables.documents(spark, dir)
+    // spread: the bigram transform lambda is CodegenFallback-interpreted
+    // and ran on the one scan split (r14, the Dsir.importanceTop finding)
+    Tables.spreadSmall(Tables.documents(spark, dir), col("doc_id"))
       .select(tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(expr(

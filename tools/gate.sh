@@ -25,8 +25,19 @@ SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   java $CS_OPENS -Xmx4g -cp "$CS_CP" graft.tools.ClusterSmoke /root/testdata/sf0.001 2>/dev/null \
   | grep '\[clustersmoke\] total'
 echo "[gate] local-cluster smoke ok"
-# Bench contract smoke: one parseable JSON line (a Bench crash would zero
-# BENCH_r{N} exactly like round 2's compile error zeroed everything)
+# Bench contract smoke: both stdout JSON lines parse (a Bench crash would
+# zero BENCH_r{N} exactly like round 2's compile error zeroed everything).
+# Since r14 the bench prints TWO lines — the full per-query object and the
+# driver-parseable family-rollup summary LAST — so validate each line on its
+# own and require the last one to be the summary (unit "sec"), mirroring
+# what the driver's 2 KiB stdout tail actually parses.
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep '"metric"' | python3 -c 'import json,sys; s=sys.stdin.read(); json.loads(s[s.index("{"):]); print("[gate] bench JSON ok")'
+  | grep '"metric"' | python3 -c '
+import json, sys
+lines = [l for l in sys.stdin.read().splitlines() if l.strip()]
+assert len(lines) == 2, f"want 2 JSON lines (full + summary), got {len(lines)}"
+objs = [json.loads(l[l.index("{"):]) for l in lines]
+assert objs[-1]["unit"] == "sec", "summary line must be LAST"
+assert len(json.dumps(objs[-1])) < 1500, "summary line must fit the driver tail"
+print("[gate] bench JSON ok")'
 echo "[gate] all green"
