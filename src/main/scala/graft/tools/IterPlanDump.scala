@@ -38,10 +38,20 @@ object IterPlanDump {
         val prefix = tag.replaceAll("_\\d+$", "")
         val n = seen.getOrElse(prefix, 0) + 1
         seen(prefix) = n
-        if (n <= 2) // keep round 2 (overwrite round 1's provisional capture)
-          captured(prefix) = s"== tapped round frame: $tag ==\n" +
+        if (n <= 2) { // keep round 2 (overwrite round 1's provisional capture)
+          // EXECUTE the tapped frame's own queryExecution first: with AQE
+          // on, exchange reuse / coalescing / broadcast demotion are
+          // runtime decisions — the initial plan prints both union-agg
+          // branches separately and never shows a ReusedExchange, which is
+          // exactly the shape the dump exists to document. The round's
+          // inputs are checkpoints, so this re-runs only the round's own
+          // joins/aggregates (dev-only tool; cost is irrelevant).
+          df.queryExecution.toRdd.count(): Unit
+          captured(prefix) = s"== tapped round frame: $tag " +
+            "(FINAL adaptive plan, after execution) ==\n" +
             df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
+        }
       }
       try {
         graft.SparkEntry.queries(name)(spark, sfDir).count(): Unit
