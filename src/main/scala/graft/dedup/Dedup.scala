@@ -227,6 +227,19 @@ object Dedup {
     // ships the whole exploded corpus unreduced.
     val dfreq = w.groupBy(col("lang"), col("source"), col("word"))
       .agg(count(lit(1)).as("dfreq"))
+    // NOTE (r14, measured): the window→candidate-join chain's exchanges
+    // carry sub-MB frames that AQE coalesces to single tasks (a ~0.8 s
+    // serial chain per invocation at sf0.1, StageTimeProbe). Replacing
+    // them with user-pinned keyed repartitions (AQE-exempt, same exchange
+    // count) was tried at cores granularity and REVERTED — like-for-like
+    // subset A/B, per-query min of 2: dedup_components 3436→4804 with the
+    // pair-dedup exchange pinned (the pin re-partitions the verify join's
+    // probe side and forces the token arrays through a new exchange), and
+    // still no win with only the window/join pins (token_jaccard
+    // 1193→1455, incremental 1164→1714 — 32-way sorts + lost AQE runtime
+    // flexibility cost more than the single-task stages). The serial
+    // chain is the measured floor here; at scale these frames are GBs and
+    // AQE sizes them correctly on its own.
     val prefixes = w.join(dfreq, Seq("lang", "source", "word"))
       .withColumn("rank", row_number().over(W.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("word"))))
       .filter(col("rank") <= col("n") - ceil(col("n") * threshold) + 1)
